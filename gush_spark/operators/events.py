@@ -1,0 +1,123 @@
+"""Event-layer operators: filters + classification (SURVEY.md §2.2).
+
+The reference filters raw binlog statements before parsing
+(SqlToBinlog.scala:12-14) and then type-filters events per flow
+(cep/Cep.scala:11-27). All of these are plain Catalyst-pushable column
+predicates here — they sit *before* any Python UDF in the plan so the
+parquet/Iceberg scan prunes rows and columns (the Spark analog of gush's
+prefilter-then-parse ordering).
+
+Event-type vocabulary (north_star mapping):
+    INSERT → ``crawl``    UPDATE → ``recrawl``    DELETE → ``drop``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gush_spark.config import DEFAULT_CONFIG, GushSparkConfig
+
+CRAWL, RECRAWL, DROP = "crawl", "recrawl", "drop"
+SUPPORTED_EVENT_TYPES = (CRAWL, RECRAWL, DROP)
+
+
+def host_of(url: Column) -> Column:
+    """Derive host from url — the CEP state key (SURVEY.md §1.3).
+
+    Pure built-in expression (stays in whole-stage codegen).
+    """
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def supported_kinds_filter(df: DataFrame, event_col: str = "event_type") -> DataFrame:
+    """F1 analog: keep only statement kinds the engine understands
+    (reference keeps INSERT/UPDATE, SqlToBinlog.scala:12)."""
+    return df.filter(F.col(event_col).isin(*SUPPORTED_EVENT_TYPES))
+
+
+def unsupported_feature_filter(df: DataFrame, text_col: str, needle: str) -> DataFrame:
+    """F2 analog: drop records containing an unsupported marker
+    (reference drops ``ON DUPLICATE KEY UPDATE``, SqlToBinlog.scala:13)."""
+    return df.filter(~F.col(text_col).contains(needle))
+
+
+def blacklist_filter(
+    df: DataFrame,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """F3 analog: config-driven ignore lists (SqlToBinlog.scala:14,24-27).
+
+    Hosts are an IN-list (Catalyst folds small lists into the scan
+    filter); prefixes compile to ORed ``startswith`` predicates. Both are
+    driver-side constants — effectively broadcast, no shuffle.
+    """
+    out = df
+    if config.ignored_hosts:
+        out = out.filter(~F.col(host_col).isin(*config.ignored_hosts))
+    if config.ignored_url_prefixes:
+        pred = None
+        for p in config.ignored_url_prefixes:
+            c = F.col(url_col).startswith(p)
+            pred = c if pred is None else (pred | c)
+        out = out.filter(~pred)
+    return out
+
+
+def crawl_events(df: DataFrame, host: str | None = None) -> DataFrame:
+    """F4 analog of InsertEventFlow (cep/Cep.scala:11-18): crawls,
+    optionally for one host (gush filtered by tableName)."""
+    out = df.filter(F.col("event_type") == CRAWL)
+    if host is not None:
+        out = out.filter(F.col("host") == host)
+    return out
+
+
+def recrawl_events(df: DataFrame, host: str | None = None) -> DataFrame:
+    """F5 analog of UpdateEventFlow (cep/Cep.scala:20-27).
+
+    The reference has a bug here (tests ``isInstanceOf[BinlogEvent]`` —
+    always true — then casts, so a stray insert crashes the flow). We
+    implement the *intended* semantics: a real event-type predicate.
+    """
+    out = df.filter(F.col("event_type") == RECRAWL)
+    if host is not None:
+        out = out.filter(F.col("host") == host)
+    return out
+
+
+def get_field(df: DataFrame, key: str, alias: str | None = None) -> Column:
+    """F6 analog of BinlogEvent.getField (BinlogEvent.scala:34)."""
+    return F.col("fields")[key].alias(alias or key)
+
+
+def get_as_float(key: str, alias: str | None = None) -> Column:
+    """F6 analog of getAsFloat (BinlogEvent.scala:36): string field →
+    float at use-site. Spark cast of a non-numeric string yields NULL
+    (the reference throws; our error channel is NULL + metrics)."""
+    return F.col("fields")[key].cast("float").alias(alias or key)
+
+
+def classify_change_events(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    mapping: dict[str, str] | None = None,
+) -> DataFrame:
+    """P3/P8 analog: map raw change kinds onto the crawl/recrawl/drop
+    vocabulary; unknown kinds become error rows (P10 error channel:
+    the stream never dies on bad data — gush_example/gush.scala:13-18).
+    """
+    mapping = mapping or {"insert": CRAWL, "update": RECRAWL, "delete": DROP}
+    expr = None
+    for src, dst in mapping.items():
+        branch = F.when(F.col(type_col) == src, F.lit(dst))
+        expr = branch if expr is None else expr.when(F.col(type_col) == src, F.lit(dst))
+    expr = expr.otherwise(F.lit(None))
+    return df.withColumn("page_event_type", expr).withColumn(
+        "extract_error",
+        F.when(F.col("page_event_type").isNull(),
+               F.concat(F.lit("unsupported event kind: "), F.col(type_col))),
+    )

@@ -1,0 +1,121 @@
+"""Windowed aggregations — batch and streaming forms (SURVEY.md §2.5/§2.6).
+
+The reference's only windows are processing-time tumbling batches via
+``groupedWithin`` feeding a count (cep/Cep.scala:29-35) or a mean
+(cep/Cep.scala:37-49). Our engine is event-time end-to-end: tumbling,
+sliding and session windows on the event timestamp with watermarks.
+
+Batch variants below are the DuckDB-oracle-checkable forms the driver
+verifies; the streaming variants apply the identical expressions on a
+streaming DataFrame plus ``withWatermark`` (incremental state handled by
+Spark's StateStoreSave — SURVEY.md §4.2).
+
+Scale notes: windowed groupBy is a hash aggregation with map-side partial
+aggregation — one shuffle on (key, window). For skewed keys use
+``salted_agg`` (two-stage: partial on (key, salt) → merge on key), which
+turns one hot reducer into ``salt_buckets`` parallel ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling(ts_col: str, duration: str) -> Column:
+    return F.window(F.col(ts_col), duration)
+
+
+def sliding(ts_col: str, duration: str, slide: str) -> Column:
+    return F.window(F.col(ts_col), duration, slide)
+
+
+def session(ts_col: str, gap: str) -> Column:
+    return F.session_window(F.col(ts_col), gap)
+
+
+def _flatten_window(df: DataFrame, struct_col: str = "window") -> DataFrame:
+    """Replace the window struct with sortable start/end columns (stable
+    names keep the oracle comparison honest)."""
+    return df.select(
+        F.col(f"{struct_col}.start").alias("window_start"),
+        F.col(f"{struct_col}.end").alias("window_end"),
+        *[c for c in df.columns if c != struct_col],
+    ).drop(struct_col)
+
+
+def windowed_count(
+    df: DataFrame, ts_col: str, duration: str, *keys: str, slide: str | None = None
+) -> DataFrame:
+    """A1 analog (WindowedInsertCount, cep/Cep.scala:29-35): events per
+    (window, keys). Tumbling when ``slide`` is None, else sliding."""
+    win = sliding(ts_col, duration, slide) if slide else tumbling(ts_col, duration)
+    out = df.groupBy(win, *[F.col(k) for k in keys]).agg(F.count(F.lit(1)).alias("n_events"))
+    return _flatten_window(out)
+
+
+def windowed_avg(
+    df: DataFrame, ts_col: str, value: Column, duration: str, *keys: str
+) -> DataFrame:
+    """A2 analog (WindowedInsertsAvg, cep/Cep.scala:37-49): mean of a
+    numeric projection per window. Spark's avg of an empty/all-null group
+    is NULL ≙ the reference's ``None`` (Try(...).toOption)."""
+    out = df.groupBy(tumbling(ts_col, duration), *[F.col(k) for k in keys]).agg(
+        F.avg(value).alias("avg_value")
+    )
+    return _flatten_window(out)
+
+
+def session_count(df: DataFrame, ts_col: str, gap: str, *keys: str) -> DataFrame:
+    """Session windows (north_rule addition; no reference analog):
+    per-key activity sessions separated by > gap."""
+    out = df.groupBy(session(ts_col, gap), *[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return _flatten_window(out, "session_window")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    agg_exprs: dict[str, str],
+    salt_buckets: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation (north_rule: skew handled explicitly).
+
+    Stage 1 groups by (keys..., salt) where salt spreads a hot key over
+    ``salt_buckets`` reducers; stage 2 merges partials per key. Only
+    decomposable aggregates are supported: count → sum of partial counts,
+    sum → sum, min/min, max/max, avg → sum/count recombined.
+
+    ``agg_exprs`` maps output column → "fn(col)" with fn in
+    {count,sum,min,max,avg}; col ignored for count.
+    """
+    salt_src = salt_on or keys[-1]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_src), F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+
+    partial_cols, merge_cols = [], []
+    for out_name, spec in agg_exprs.items():
+        fn, _, col = spec.partition("(")
+        col = col.rstrip(")")
+        fn = fn.strip().lower()
+        if fn == "count":
+            partial_cols.append(F.count(F.lit(1)).alias(f"_p_{out_name}"))
+            merge_cols.append(F.sum(f"_p_{out_name}").alias(out_name))
+        elif fn in ("sum", "min", "max"):
+            partial_cols.append(getattr(F, fn)(col).alias(f"_p_{out_name}"))
+            merge_cols.append(getattr(F, fn)(f"_p_{out_name}").alias(out_name))
+        elif fn == "avg":
+            partial_cols.append(F.sum(col).alias(f"_ps_{out_name}"))
+            partial_cols.append(F.count(col).alias(f"_pc_{out_name}"))
+            merge_cols.append(
+                (F.sum(f"_ps_{out_name}") / F.sum(f"_pc_{out_name}")).alias(out_name)
+            )
+        else:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+
+    stage1 = salted.groupBy(*keys, "_salt").agg(*partial_cols)
+    return stage1.groupBy(*keys).agg(*merge_cols)

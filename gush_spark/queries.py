@@ -1,0 +1,325 @@
+"""Query catalog — every DuckDB-checkable operator exposed to the driver.
+
+Each entry pairs a PySpark DataFrame query with a byte-equivalent ANSI
+SQL oracle (run by DuckDB on the same parquet). Conventions that make
+the driver's order-insensitive value-hash comparison exact:
+
+- every computed column is aliased identically on both sides;
+- timestamps are emitted as epoch integers (``unix_micros``/``epoch_us``)
+  so engine-specific timestamp rendering can't diverge;
+- floating aggregates are computed as exact DECIMAL sums first, then a
+  single double division/cast — identical IEEE result regardless of
+  each engine's internal aggregation order.
+
+Registered by ``__spark_entry__.queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gush_spark.operators import joins, windows
+from gush_spark.operators.events import classify_change_events
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def _us(col: str) -> Column:
+    """Epoch-microseconds projection of a timestamp column.
+
+    Parquet naive timestamps load as TIMESTAMP_NTZ in Spark 4; cast to
+    session-TZ timestamp (session TZ is pinned to UTC) before
+    ``unix_micros`` so the integer matches DuckDB's ``epoch_us``.
+    """
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+_QUERIES: dict[str, Query] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Query) -> Query:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def all_queries() -> dict[str, Query]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# A1 — tumbling windowed count (WindowedInsertCount analog, cep/Cep.scala:29-35)
+# ---------------------------------------------------------------------------
+@query(
+    "tumbling_window_count",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_s,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = windows.windowed_count(ev, "ts", "10 minutes", "event_type")
+    return out.select(
+        F.col("window_start").cast("timestamp").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — tumbling windowed average (WindowedInsertsAvg analog, cep/Cep.scala:37-49)
+# ---------------------------------------------------------------------------
+@query(
+    "tumbling_window_avg",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_s,
+           event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy(windows.tumbling("ts", "10 minutes"), "event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+         / F.count("value")).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return out.select(
+        F.col("window.start").cast("timestamp").cast("long").alias("window_start_s"),
+        "event_type",
+        "avg_value",
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding window count (north_rule window family)
+# ---------------------------------------------------------------------------
+@query(
+    "sliding_window_count",
+    oracle="""
+    SELECT ws AS window_start_s, event_type, count(*) AS n_events
+    FROM (
+      SELECT CAST(floor(epoch(ts) / 300) * 300 - offs.o AS BIGINT) AS ws,
+             event_type
+      FROM events, (VALUES (0), (300)) AS offs(o)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = windows.windowed_count(ev, "ts", "10 minutes", "event_type", slide="5 minutes")
+    return out.select(
+        F.col("window_start").cast("timestamp").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# session windows (north_rule window family; gaps-and-islands oracle)
+# ---------------------------------------------------------------------------
+@query(
+    "session_window_count",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           count(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_session_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = windows.session_count(ev, "ts", "30 minutes", "user_id")
+    return out.select(
+        "user_id",
+        _us("window_start").alias("session_start_us"),
+        _us("window_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — prior-event enrichment (BinlogUpdateEvent whereFields analog)
+# ---------------------------------------------------------------------------
+@query(
+    "prior_event_join",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+           lag(event_type) OVER w AS prior_event_type,
+           epoch_us(lag(ts) OVER w) AS prior_ts_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_prior_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = joins.with_prior_event(
+        ev, key="user_id", ts_col="ts", carry=["event_type", "ts"], order_tiebreak="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("ts_us"),
+        "event_type",
+        "prior_event_type",
+        _us("prior_ts").alias("prior_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F5 + P3 — kind filter + crawl/recrawl/drop classification
+# ---------------------------------------------------------------------------
+@query(
+    "filter_classify_events",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE event_type WHEN 'view' THEN 'crawl'
+                           WHEN 'click' THEN 'recrawl'
+                           WHEN 'purchase' THEN 'drop' END AS page_event_type
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+      AND props NOT LIKE '%"k": 13%'
+    """,
+)
+def q_filter_classify_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # F1 (kind prefilter) + F2 (unsupported-feature substring filter) +
+    # P3 classification; all Catalyst-pushable predicates before any UDF.
+    filtered = ev.filter(F.col("event_type").isin("view", "click", "purchase")).filter(
+        ~F.col("props").contains('"k": 13')
+    )
+    classified = classify_change_events(
+        filtered, mapping={"view": "crawl", "click": "recrawl", "purchase": "drop"}
+    )
+    return classified.select(
+        "event_id", "user_id", _us("ts").alias("ts_us"), "page_event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 + skew salting — two-stage salted aggregate == plain GROUP BY
+# ---------------------------------------------------------------------------
+@query(
+    "salted_user_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = windows.salted_agg(
+        ev,
+        keys=["user_id"],
+        agg_exprs={"n_events": "count(*)", "total_value_dec": "sum(value_dec)"},
+        salt_buckets=8,
+    )
+    return out.select(
+        "user_id", "n_events", F.col("total_value_dec").cast("double").alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — broadcast dimension join (revenue per nation)
+# ---------------------------------------------------------------------------
+@query(
+    "dim_join_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_dim_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    dim = joins.enrich_with_dim(customer, nation.withColumnRenamed("n_nationkey", "c_nationkey"),
+                                on="c_nationkey")
+    joined = orders.join(F.broadcast(dim.select("c_custkey", "n_name")),
+                         orders.o_custkey == dim.c_custkey, "inner")
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape) — map-side-combine hash agg at scale
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
