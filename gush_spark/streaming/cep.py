@@ -1,0 +1,155 @@
+"""CEP stateful operator — the flatMapGroupsWithState analog.
+
+This is the engine's re-imagining of gush's CEP layer (cep/Cep.scala):
+gush gives users typed event flows + windowed batches; our engine gives
+a keyed, event-time-ordered state machine over page events, built on
+``applyInPandasWithState`` keyed by url-host (north_star requirement).
+
+Semantics per host key:
+- events are processed in (warc_ts, event_id) order within each
+  microbatch (gush preserved arrival order; we pin event-time order so
+  output is deterministic under re-partitioning — SURVEY.md §2.7);
+- state is a per-key hash map url → (last_event_ts_us, crawl_count):
+  the "per-partition hash-aggregate state store" from the north_rule;
+- ``crawl``   → upsert state, emit row with prior_ts_us of the urls's
+                previous event (NULL on first sight);
+- ``recrawl`` → emit enriched with prior event ts (the J1 stateful
+                join: page-event vs prior-crawl state), update state;
+- ``drop``    → emit enriched, then evict the url from state.
+
+State growth is bounded two ways at scale: event-time timeout evicts
+idle hosts (EventTimeTimeout vs the stream's watermark) and per-url
+entries are dropped on ``drop`` events. The rule logic itself is a pure
+function over (sorted pandas batch, dict state) — unit-testable without
+Spark (SURVEY.md §7 step 5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CEP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts_us", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("prior_ts_us", T.LongType()),
+        T.StructField("crawl_count", T.LongType()),
+    ]
+)
+
+# state: parallel arrays ≙ dict url → (ts_us, count); arrays because the
+# state encoder wants a flat struct, the python side reconstructs a dict
+CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("urls", T.ArrayType(T.StringType())),
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def apply_rules(pdf: pd.DataFrame, state: dict[str, tuple[int, int]]) -> pd.DataFrame:
+    """Pure rule engine: one host's events (any order) + state dict →
+    output rows; mutates ``state`` in place.
+
+    The per-event callbacks gush users wrote as Akka Sink lambdas
+    (op: Seq[BinlogEvent] ⇒ Unit, cep/Cep.scala:30,38) are pinned here
+    as the crawl/recrawl/drop transitions.
+    """
+    pdf = pdf.sort_values(["warc_ts_us", "event_id"], kind="stable")
+    out: list[dict[str, Any]] = []
+    for row in pdf.itertuples(index=False):
+        url = row.url
+        prior = state.get(url)
+        prior_ts = prior[0] if prior else None
+        if row.event_type == "crawl":
+            count = (prior[1] if prior else 0) + 1
+            state[url] = (row.warc_ts_us, count)
+        elif row.event_type == "recrawl":
+            count = (prior[1] if prior else 0) + 1
+            state[url] = (row.warc_ts_us, count)
+        elif row.event_type == "drop":
+            count = prior[1] if prior else 0
+            state.pop(url, None)
+        else:  # unknown kind → error channel: pass through, no state change
+            count = prior[1] if prior else 0
+        out.append(
+            {
+                "host": row.host,
+                "event_id": row.event_id,
+                "url": url,
+                "warc_ts_us": row.warc_ts_us,
+                "event_type": row.event_type,
+                "prior_ts_us": prior_ts,
+                "crawl_count": count,
+            }
+        )
+    return pd.DataFrame(out, columns=[f.name for f in CEP_OUTPUT_SCHEMA.fields])
+
+
+def _cep_func(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle host past watermark: evict everything (bounded state)
+        state.remove()
+        return
+    if state.exists:
+        urls, ts_us, counts = state.get
+        sdict = {u: (t, c) for u, t, c in zip(urls, ts_us, counts)}
+    else:
+        sdict = {}
+    for pdf in pdf_iter:
+        if len(pdf):
+            yield apply_rules(pdf, sdict)
+    if sdict:
+        state.update((list(sdict), [v[0] for v in sdict.values()],
+                      [v[1] for v in sdict.values()]))
+        # TTL: hosts idle for > 1h of event time get evicted on timeout
+        if state.getCurrentWatermarkMs() > 0:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+    else:
+        state.remove()
+
+
+def cep_enrich(events: DataFrame, watermark_delay: str | None = "10 minutes") -> DataFrame:
+    """Run the CEP state machine over a (streaming or batch-test) events
+    DataFrame with columns (event_id, url, host, warc_ts, event_type).
+
+    One shuffle on host (the state key). Skewed hosts: state per key is
+    O(live urls per host); hot hosts should be pre-salted upstream only
+    for stateless aggs — CEP state must see ALL events of a host, so the
+    scale lever here is more shuffle partitions, not salting.
+    """
+    from pyspark.sql import functions as F
+
+    ev = events.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    if watermark_delay and events.isStreaming:
+        ev = ev.withWatermark("warc_ts", watermark_delay)
+    # keep the watermarked event-time column in the projection — dropping
+    # it would strip the watermark the event-time timeout depends on
+    ev = ev.select(
+        "host", "event_id", "url", "warc_ts",
+        F.unix_micros("warc_ts").alias("warc_ts_us"), "event_type",
+    )
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if (watermark_delay and events.isStreaming)
+        else GroupStateTimeout.NoTimeout
+    )
+    return ev.groupBy("host").applyInPandasWithState(
+        _cep_func,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

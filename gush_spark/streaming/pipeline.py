@@ -1,0 +1,123 @@
+"""End-to-end streaming pipelines — the GushApp analog (SURVEY.md §3.1).
+
+Two flagship assemblies:
+
+- ``pages_pipeline``: pages stream → cheap column filters (BELOW the
+  UDF, so Catalyst pushes them into the scan) → vectorized extraction →
+  event-time tumbling window count per host → exactly-once sink. This
+  is gush's `bookingsWindowCount` end to end (GushCEP.scala:40-42).
+
+- ``cep_pipeline``: page_events stream → blacklist filters → stateful
+  CEP enrichment (prior-crawl join) → exactly-once append sink. This is
+  gush's full CEP layer with state gush never had.
+
+Both return the StreamingQuery; callers own trigger choice
+(AvailableNow for tests/bench, ProcessingTime in production) and
+checkpoint location (resume = same checkpoint, gush's postRestart
+analog).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gush_spark.config import DEFAULT_CONFIG, GushSparkConfig
+from gush_spark.functions.extract import with_extracted_text
+from gush_spark.operators.events import blacklist_filter, host_of, supported_kinds_filter
+from gush_spark.streaming.cep import cep_enrich
+from gush_spark.streaming.metrics import partition_lineage, with_observed_metrics
+from gush_spark.streaming.sink import IdempotentKeyedSink
+from gush_spark.streaming.source import read_page_events_stream, read_pages_stream
+
+
+def extracted_pages(pages: DataFrame, config: GushSparkConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Filters-then-extraction plan prefix shared by batch and streaming."""
+    df = pages.withColumn("host", host_of(F.col("url")))
+    df = blacklist_filter(df, config)  # pushable predicates BEFORE the UDF
+    return with_extracted_text(df)
+
+
+def windowed_host_counts(extracted: DataFrame, config: GushSparkConfig = DEFAULT_CONFIG,
+                         streaming: bool = True) -> DataFrame:
+    df = extracted
+    if streaming:
+        df = df.withWatermark("warc_ts", config.watermark_delay)
+    agg = (
+        df.groupBy(F.window("warc_ts", config.window_duration), "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.when(F.col("extract_error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+        )
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "host", "n_pages", "n_errors",
+    )
+
+
+def pages_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    lineage_path: str | None = None,
+):
+    """Flagship: rate-controlled pages stream → extraction → windowed
+    counts → exactly-once keyed sink ((host, window) ≙ (url, window) at
+    page granularity)."""
+    stream = read_pages_stream(spark, pages_path, config.max_files_per_trigger)
+    extracted = with_observed_metrics(extracted_pages(stream, config))
+    agg = windowed_host_counts(extracted, config, streaming=True)
+    sink = IdempotentKeyedSink(sink_path, keys=["host", "window_start"])
+
+    def write(batch_df, batch_id):
+        sink.write_batch(batch_df, batch_id)
+        if lineage_path:
+            partition_lineage(batch_df, batch_id, lineage_path)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def cep_pipeline(
+    spark: SparkSession,
+    events_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    lineage_path: str | None = None,
+):
+    """CEP: event stream → filters → stateful enrichment → append sink."""
+    stream = read_page_events_stream(spark, events_path, max_files_per_trigger)
+    stream = supported_kinds_filter(stream)
+    stream = blacklist_filter(stream, config)
+    enriched = cep_enrich(stream, watermark_delay=config.watermark_delay)
+    sink = IdempotentKeyedSink(sink_path, keys=[])  # append mode: every row kept
+
+    def write(batch_df, batch_id):
+        sink.write_batch(batch_df, batch_id)
+        if lineage_path:
+            partition_lineage(batch_df, batch_id, lineage_path)
+
+    writer = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink

@@ -1,0 +1,106 @@
+"""Exactly-once sink (SURVEY.md §4.3) + multi-sink fan-out (S7).
+
+Delivery model: Spark's replayable source offsets + checkpointed state
+give at-least-once into ``foreachBatch``; this sink makes the last hop
+idempotent, yielding end-to-end exactly-once. The reference, by
+contrast, is at-most-once (in-memory buffer lost on crash,
+BinlogRemoteReaderActor.scala:39,49-52).
+
+Design (Iceberg ``MERGE INTO`` analog, sandbox-safe):
+- data for batch N lands under ``data/batch=N/`` (written fully before
+  commit);
+- a commit marker ``_commits/N`` is created atomically (tmp + rename)
+  AFTER the data write;
+- a replayed batch N (restart between data-write and marker, or between
+  marker and offset-commit) sees the marker and skips — rewriting the
+  same deterministic rows is also safe because readers only see
+  committed batches;
+- readers resolve the current row per key with "last committed batch
+  wins" (``row_number() over (partition by keys order by batch desc)``)
+  — the MERGE-by-(url, window) semantics without a table format.
+
+On a real cluster this class is swapped for Iceberg
+``MERGE INTO sink USING batch ON sink.url=b.url AND
+sink.window_start=b.window_start`` inside the same foreachBatch; the
+commit-marker protocol is exactly what the table format's snapshot
+commit does for us.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class IdempotentKeyedSink:
+    def __init__(self, path: str | Path, keys: list[str]):
+        self.root = Path(path)
+        self.keys = keys
+        (self.root / "_commits").mkdir(parents=True, exist_ok=True)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> Path:
+        return self.root / "_commits" / str(batch_id)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return self._marker(batch_id).exists()
+
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch body. Safe under replay."""
+        if self.is_committed(batch_id):
+            return  # replayed batch: already visible, skip
+        out = str(self.root / "data" / f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(out)
+        tmp = self.root / "_commits" / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps({"batch_id": batch_id, "rows": batch_df.count()}))
+        os.rename(tmp, self._marker(batch_id))  # atomic commit point
+
+    def foreach_batch(self):
+        return lambda df, bid: self.write_batch(df, bid)
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(p.name) for p in (self.root / "_commits").iterdir()
+            if not p.name.startswith(".")
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current view: latest committed version of each key."""
+        batches = self.committed_batches()
+        if not batches:
+            raise FileNotFoundError(f"no committed batches under {self.root}")
+        paths = [str(self.root / "data" / f"batch={b}") for b in batches]
+        df = spark.read.option("basePath", str(self.root / "data")).parquet(*paths)
+        if not self.keys:
+            return df
+        w = Window.partitionBy(*self.keys).orderBy(F.col("batch").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch")
+        )
+
+    def read_all_appends(self, spark: SparkSession) -> DataFrame:
+        """Append-mode view: every committed row exactly once."""
+        batches = self.committed_batches()
+        if not batches:
+            raise FileNotFoundError(f"no committed batches under {self.root}")
+        paths = [str(self.root / "data" / f"batch={b}") for b in batches]
+        return spark.read.option("basePath", str(self.root / "data")).parquet(*paths).drop("batch")
+
+
+def fan_out(batch_df: DataFrame, batch_id: int, sinks: list) -> None:
+    """S7 analog (Broadcast fan-out, GushCEP.scala:15-22): one microbatch
+    → N sinks, single upstream computation. ``persist`` replaces gush's
+    Broadcast stage so each sink doesn't recompute the batch."""
+    batch_df.persist()
+    try:
+        for sink in sinks:
+            sink(batch_df, batch_id)
+    finally:
+        batch_df.unpersist()

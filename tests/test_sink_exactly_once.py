@@ -1,0 +1,85 @@
+"""Exactly-once sink + checkpoint resume (SURVEY.md §4.3, §5.2).
+
+The reference is at-most-once (in-memory buffer lost on crash,
+BinlogRemoteReaderActor.scala:39); the north_rule requires exactly-once:
+replayed batches must not duplicate, and resume-from-checkpoint must
+produce the same final rows as an uninterrupted run.
+"""
+
+import pandas as pd
+import pytest
+
+from gush_spark.config import GushSparkConfig
+from gush_spark.sources.fixtures import canonical_event_sequences, generate_page_events
+from gush_spark.streaming.pipeline import cep_pipeline
+from gush_spark.streaming.sink import IdempotentKeyedSink
+
+CFG = GushSparkConfig(ignored_hosts=("ignored.example",))
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["k"])
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 0)  # replay: same batch id
+    out = sink.read(spark).toPandas().sort_values("k")
+    assert out.v.tolist() == ["a", "b"]
+    assert sink.committed_batches() == [0]
+
+
+def test_keyed_merge_last_batch_wins(spark, tmp_path):
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["k"])
+    sink.write_batch(spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})), 0)
+    sink.write_batch(spark.createDataFrame(pd.DataFrame({"k": [2, 3], "v": ["B", "c"]})), 1)
+    out = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}  # MERGE INTO semantics
+
+
+def test_resume_from_checkpoint_equals_uninterrupted(spark, tmp_path):
+    events = canonical_event_sequences()
+    # uninterrupted reference run over all 10 events
+    full_dir = tmp_path / "full"
+    generate_page_events(full_dir, events, n_chunks=5)
+    q, full_sink = cep_pipeline(
+        spark, str(full_dir), str(tmp_path / "full_sink"), str(tmp_path / "full_ckpt"),
+        config=CFG, available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    expected = full_sink.read_all_appends(spark).toPandas()
+
+    # interrupted run: first only 3 chunks exist, stream finishes
+    # (AvailableNow drains what's there), THEN the remaining chunks
+    # appear and the stream restarts from the same checkpoint
+    part_dir = tmp_path / "part"
+    import numpy as np
+    chunks = np.array_split(np.arange(len(events)), 5)
+    first = [events[i] for c in chunks[:3] for i in c]
+    generate_page_events(part_dir, first, n_chunks=3)
+    q1, sink1 = cep_pipeline(
+        spark, str(part_dir), str(tmp_path / "r_sink"), str(tmp_path / "r_ckpt"),
+        config=CFG, available_now=True, max_files_per_trigger=1,
+    )
+    q1.awaitTermination(120)
+    n_after_first = sink1.read_all_appends(spark).count()
+    assert 0 < n_after_first < len(expected)
+
+    rest = [events[i] for c in chunks[3:] for i in c]
+    # chunk file names must not collide with the first write
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from gush_spark.sources.fixtures import PAGE_EVENTS_ARROW_SCHEMA
+    tbl = pa.Table.from_pandas(pd.DataFrame(rest), schema=PAGE_EVENTS_ARROW_SCHEMA,
+                               preserve_index=False)
+    pq.write_table(tbl, part_dir / "chunk-99990.parquet")
+
+    q2, sink2 = cep_pipeline(
+        spark, str(part_dir), str(tmp_path / "r_sink"), str(tmp_path / "r_ckpt"),
+        config=CFG, available_now=True, max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    resumed = sink2.read_all_appends(spark).toPandas()
+
+    key = ["event_id", "url", "event_type", "prior_ts_us", "crawl_count"]
+    exp = expected[key].sort_values("event_id").reset_index(drop=True)
+    got = resumed[key].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exp, got, check_dtype=False)
