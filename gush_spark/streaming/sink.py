@@ -37,6 +37,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _parquet_row_count(path: str) -> int | None:
+    """Row count from parquet footers on a driver-visible path."""
+    try:
+        import pyarrow.parquet as pq
+
+        p = Path(path)
+        if not p.exists():
+            return None
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows for f in p.glob("*.parquet")
+        )
+    except Exception:
+        return None
+
+
 class IdempotentKeyedSink:
     def __init__(self, path: str | Path, keys: list[str]):
         self.root = Path(path)
@@ -55,9 +70,15 @@ class IdempotentKeyedSink:
         if self.is_committed(batch_id):
             return  # replayed batch: already visible, skip
         out = str(self.root / "data" / f"batch={batch_id}")
+        # one computation only: write the files, then take the committed row
+        # count from the parquet footers (metadata-only read — no recompute
+        # of the upstream extraction/shuffle/agg, no extra Spark job).
         batch_df.write.mode("overwrite").parquet(out)
+        rows = _parquet_row_count(out)
+        if rows is None:  # non-local sink path: fall back to a Spark scan
+            rows = batch_df.sparkSession.read.parquet(out).count()
         tmp = self.root / "_commits" / f".tmp-{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps({"batch_id": batch_id, "rows": batch_df.count()}))
+        tmp.write_text(json.dumps({"batch_id": batch_id, "rows": rows}))
         os.rename(tmp, self._marker(batch_id))  # atomic commit point
 
     def foreach_batch(self):
