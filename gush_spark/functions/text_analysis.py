@@ -1,0 +1,157 @@
+"""Text-analysis operators for the web-scale training-data pipeline.
+
+The reference's per-record computation is SQL-string parsing
+(`/root/reference/src/main/scala/io/simao/gush/parser/FoundationParser.scala:27-36`);
+a Common-Crawl-scale pipeline needs the text-side equivalents: token
+counting, quality scoring, language-ID and document fingerprinting.
+
+Everything here is **pure JVM-side column expressions** — no Python UDF
+anywhere. At 100 TB these run inside whole-stage codegen on the scan
+output with zero serialization cost; the pandas-UDF hot path stays
+reserved for html extraction only (gush_spark.functions.extract).
+
+Oracle-exactness conventions (the driver hashes values against DuckDB):
+- hashing is md5 (identical hex in Spark and DuckDB);
+- hex→int is the first 15 hex digits (60 bits, fits signed int64);
+- folds are sequential left-to-right so both engines agree bit-for-bit;
+- modular rolling-hash arithmetic stays under 2^36 so neither engine
+  overflows int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum glyph
+# (the shape GPT-2-style byte-pair pre-tokenization produces on ASCII).
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Minimal per-language stopword profiles (public, classic lists).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"],
+    "pt": ["de", "que", "e", "o", "a", "do", "da", "em", "um", "para"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "une", "du", "que"],
+    "es": ["el", "la", "y", "que", "de", "en", "un", "los", "se", "no"],
+}
+
+ROLL_MOD = 2147483647  # 2^31-1: keeps acc*31 + 28-bit hash < 2^36
+ROLL_MUL = 31
+
+
+def norm_text(col: Column) -> Column:
+    """Canonical text form shared by every fingerprint/dedup operator:
+    lowercase, whitespace runs collapsed to one space, trimmed. (The P8
+    analog of the extraction spec, applied to already-extracted text.)"""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def words_of(col: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(norm_text(col), " ")
+
+
+def token_stats(text: Column) -> dict[str, Column]:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    character stats. All codegen-able expressions."""
+    w = words_of(text)
+    norm = norm_text(text)
+    return {
+        "n_ws_tokens": F.size(w),
+        "n_bpe_tokens": F.size(F.regexp_extract_all(norm, F.lit(BPE_TOKEN_RE), 0)),
+        "n_chars": F.length(norm),
+        "n_distinct_tokens": F.size(F.array_distinct(w)),
+    }
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features: length, mean token length, punctuation
+    ratio, stopword ratio, distinct-token ratio. The composite score is a
+    fixed linear blend clamped to [0, 1] — deterministic, unit-tested,
+    and cheap enough to run on every page of a 10^12-page crawl."""
+    w = words_of(text)
+    norm = norm_text(text)
+    n_tokens = F.size(w)
+    n_chars = F.length(norm)
+    # single-space joined => chars excluding separators
+    mean_token_len = (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens
+    punct_ratio = (
+        F.size(F.regexp_extract_all(norm, F.lit(r"[^a-z0-9 ]"), 0)).cast("double") / n_chars
+    )
+    stop_en = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    stopword_ratio = (
+        F.size(F.array_intersect(F.array_distinct(w), stop_en)).cast("double")
+        / F.size(F.array_distinct(w))
+    )
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_tokens
+    score = (
+        F.lit(0.25) * F.least(mean_token_len / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0)))
+        + F.lit(0.25) * F.least(stopword_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.25) * distinct_ratio
+    )
+    return {
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(mean_token_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stopword_ratio, 6),
+        "distinct_ratio": F.round(distinct_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Language-ID by stopword-profile hit ratio; prediction is the
+    argmax with lexicographic tie-break (deterministic). An n-gram model
+    would be the production upgrade; the operator shape — per-doc scores
+    + argmax, all JVM-side — is identical."""
+    distinct = F.array_distinct(words_of(text))
+    out: dict[str, Column] = {}
+    for lang, stops in sorted(STOPWORDS.items()):
+        arr = F.array([F.lit(s) for s in stops])
+        out[f"score_{lang}"] = F.round(
+            F.size(F.array_intersect(distinct, arr)).cast("double") / F.size(distinct), 6
+        )
+    # argmax with lang-ascending tie-break: fold over sorted langs keeps
+    # the first max
+    langs = sorted(STOPWORDS)
+    pred = F.lit(langs[0])
+    best = out[f"score_{langs[0]}"]
+    for lang in langs[1:]:
+        cond = out[f"score_{lang}"] > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, out[f"score_{lang}"]).otherwise(best)
+    out["pred_lang"] = pred
+    return out
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (hex)."""
+    return F.md5(norm_text(text))
+
+
+def md5_fingerprint60(text: Column) -> Column:
+    """60-bit integer form (first 15 hex digits) — join/bucket key."""
+    return F.conv(F.substring(md5_fingerprint(text), 1, 15), 16, 10).cast("long")
+
+
+def word_hash28(word: Column) -> Column:
+    """28-bit word hash (first 7 md5 hex digits) — small enough that the
+    rolling-hash fold below cannot overflow int64 in either engine."""
+    return F.conv(F.substring(F.md5(word), 1, 7), 16, 10).cast("long")
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: sequential polynomial
+    rolling hash over word hashes, ``acc = (acc*31 + h(w)) mod 2^31-1``.
+
+    Unlike the md5 fingerprint this changes under word reordering —
+    the pair (md5_fp, rolling_fp) distinguishes "same bag of words" from
+    "same sequence". Sequential left fold => byte-identical in DuckDB's
+    list_reduce."""
+    return F.aggregate(
+        words_of(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(ROLL_MUL) + word_hash28(w)) % F.lit(ROLL_MOD),
+    )

@@ -1,0 +1,274 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The training-data-pipeline layer on top of the CEP engine: a 10^12-page
+crawl is full of exact and near duplicates, and dedup is the first
+large-scale transformation any corpus build runs. The reference engine
+has no analog (gush dedups nothing); these are designed Spark-first.
+
+Scale design:
+- every operator is built-in-expression only (md5, array ops, window
+  functions) — whole-stage codegen end to end, no Python in the path;
+- exact dedup is one hash shuffle on the fingerprint;
+- MinHash: shingle explode → per-doc min-hash aggregation is one
+  map-side-combinable hash agg (the explode never shuffles raw text —
+  only (doc_id, shingle-hash min partials) move);
+- LSH banding turns the O(n²) all-pairs problem into a self-equi-join
+  on (band, signature) — shuffle keyed by band signature, so only
+  bucket-mates meet. Hot buckets (boilerplate pages) are the skew risk:
+  cap bucket size or salt the verify join at production scale;
+- exact Jaccard verification runs only on LSH candidates (bounded).
+
+Oracle-exactness: hashing is md5 (identical in DuckDB); signature mins
+compare lexicographically on hex strings; jaccard is int/int → double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gush_spark.functions.text_analysis import md5_fingerprint, norm_text, words_of
+
+SHINGLE_K = 3
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K = LSH_BANDS * LSH_ROWS
+
+# MinHash hash families: one md5 per shingle -> 32-bit int h, then
+# mh_j = min((A[j]*h + B[j]) mod MINHASH_P). The linear transforms are
+# 16x cheaper than 16 independent md5s and shuffle 8-byte longs instead
+# of 32-char hex strings. Constants are fixed md5-derived 28-bit values
+# (A odd), so A[j]*h < 2^60 — no int64 overflow in Spark or DuckDB.
+import hashlib as _hashlib
+
+MINHASH_P = 4294967291  # largest 32-bit prime
+
+
+def _seed28(tag: str) -> int:
+    return int(_hashlib.md5(tag.encode()).hexdigest()[:7], 16)
+
+
+MINHASH_A = [_seed28(f"a{j}") | 1 for j in range(MINHASH_K)]
+MINHASH_B = [_seed28(f"b{j}") for j in range(MINHASH_K)]
+
+
+def _shingles_of(ws: Column, k: int) -> Column:
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + F.lit(j + 1)) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(ws) >= k, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles of the normalized text (empty array
+    for docs shorter than k words).
+
+    The words array is bound through a single-element-array lambda so
+    every ``element_at`` inside the gram loop references the *bound*
+    array: Catalyst does not common-subexpression-eliminate into lambda
+    bodies, and the naive form re-ran the whole lower/regex/split chain
+    per gram element (measured ~60x slower at sf0.1)."""
+    return F.get(
+        F.transform(F.array(words_of(text)), lambda ws: _shingles_of(ws, k)), 0
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the content fingerprint: the lowest id per
+    normalized-text group is the keeper.
+
+    One shuffle on the 128-bit fingerprint (not the raw text — at crawl
+    scale the shuffle payload is 16 bytes/row, not kilobytes)."""
+    from pyspark.sql import Window
+
+    fp = md5_fingerprint(F.col(text_col)).alias("fingerprint")
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        df.select(F.col(id_col), fp)
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_kept", F.col("dup_rank") == 1)
+    )
+
+
+def _spread(df: DataFrame, spread: int | None) -> DataFrame:
+    """Fan a narrow input out before per-row-expensive expressions.
+
+    A small parquet table arrives as one split, and everything below an
+    explode would otherwise run on one core. At crawl scale input splits
+    >> cores and this is a no-op (pass spread=0); locally it costs one
+    tiny shuffle of the raw rows and buys full-cluster parallelism."""
+    if spread == 0:
+        return df
+    n = spread or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K,
+    spread: int | None = None,
+) -> DataFrame:
+    """MinHash signature per document: each distinct shingle is hashed
+    once (md5 → 32-bit int), then k independent families are the linear
+    transforms ``mh_j = min((A_j*h + B_j) mod P)``. Docs with fewer
+    than SHINGLE_K words carry no signature.
+
+    Plan: explode(distinct shingles) → one md5 per shingle → hash-agg k
+    integer mins keyed by doc id. Partial aggregation combines mins
+    map-side; the shuffle carries k longs per doc."""
+    sh = _spread(df, spread).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    hashed = sh.select(F.col(id_col), h.alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]))
+                % F.lit(MINHASH_P)
+            ).alias(f"mh{j}")
+            for j in range(k)
+        ]
+    )
+
+
+def lsh_band_signatures(
+    sigs: DataFrame, id_col: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Fold the k minhashes into ``bands`` band signatures
+    (md5 of the '|'-joined row hashes), long form: (id, band, band_sig)."""
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{t * rows + r}").cast("string") for r in range(rows)]
+            )
+        ).alias(f"band{t}")
+        for t in range(bands)
+    ]
+    wide = sigs.select(F.col(id_col), *band_cols)
+    stack_expr = ", ".join(f"{t}, band{t}" for t in range(bands))
+    return wide.selectExpr(
+        id_col, f"stack({bands}, {stack_expr}) AS (band, band_sig)"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    The self-join shuffles on (band, band_sig) — only same-bucket docs
+    ever meet, which is what makes this sublinear in pairs at 10^12
+    docs. distinct() collapses pairs that collide in multiple bands."""
+    long = lsh_band_signatures(
+        minhash_signatures(df, id_col, text_col, bands * rows), id_col, bands, rows
+    )
+    a = long.select(
+        F.col(id_col).alias("id_a"), "band", "band_sig"
+    )
+    b = long.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.0,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard — the
+    standard two-phase near-dup pipeline (candidates are bounded, so the
+    expensive set intersection runs on a tiny fraction of all pairs).
+
+    Joining the shingle arrays back in is broadcast-able when the
+    candidate set is small; at crawl scale both joins shuffle on doc id."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, bands, rows)
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col)).alias("sh")
+    )
+    out = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over word occurrences (count-weighted): bit b is
+    the sign of ``sum over words of (2*bit_b(h(w)) - 1)``.
+
+    h(w) is the 60-bit md5 prefix; explode → one hash agg with 32
+    map-side-combinable sums — same shuffle shape as minhash."""
+    wordled = _spread(df, None).select(
+        F.col(id_col),
+        F.explode(words_of(F.col(text_col))).alias("w"),
+    ).withColumn("h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"))
+    bit_sums = wordled.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b) % 2 * 2 - 1).alias(f"s{b}")
+            for b in range(32)
+        ]
+    )
+    sim = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Candidate generation blocks on the 4 SimHash bytes (a pair within
+    Hamming ≤ 6 of 32 bits shares at least one exact byte by pigeonhole
+    when distance < 4... not guaranteed at 6, so this is the recall-traded
+    variant used for blocking; the exact filter runs inside each block).
+    At this corpus size we verify candidates from all byte-blocks."""
+    sims = simhash32(df, id_col, text_col)
+    blocks = []
+    for byte in range(4):
+        blocks.append(
+            sims.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(byte).alias("blk"),
+                (F.shiftright(F.col("simhash"), byte * 8) % 256).alias("blk_val"),
+            )
+        )
+    long = blocks[0]
+    for extra in blocks[1:]:
+        long = long.unionByName(extra)
+    a = long.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "blk", "blk_val")
+    b = long.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "blk", "blk_val")
+    pairs = (
+        a.join(b, on=["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b") % F.lit(1 << 32).cast("long"))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -55,10 +55,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, Query]:
+    import gush_spark.queries_pipeline  # noqa: F401 — registers its queries
+
     return dict(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
+    import gush_spark.queries_pipeline  # noqa: F401
+
     return dict(_ORACLES)
 
 

@@ -1,0 +1,404 @@
+"""Training-data-pipeline query catalog — dedup / similarity / text
+analysis / multimodal over the ``documents`` and ``embeddings`` tables.
+
+Registered into the same driver-facing catalog as gush_spark.queries
+(this module is imported from there). Every oracle reproduces the Spark
+semantics exactly in DuckDB SQL; the shared primitives that make that
+possible:
+
+- md5() — identical hex in both engines;
+- hex→int via first-N hex digits (Spark ``conv(.,16,10)`` ≡ DuckDB
+  ``('0x'||.)::BIGINT``);
+- sequential left folds (Spark ``aggregate`` ≡ DuckDB ``list_reduce``
+  with a prepended init element) for bit-identical double arithmetic;
+- all Spark ``size``/``row_number`` outputs cast to long (DuckDB's
+  len()/row_number() are BIGINT and the driver hash is dtype-strict).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gush_spark.functions import text_analysis as ta
+from gush_spark.functions.multimodal import with_blob_features
+from gush_spark.operators import dedup, similarity
+from gush_spark.queries import load, query
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+BASE = f"base AS (SELECT doc_id, {NORM} AS norm FROM documents)"
+WORDS = "w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM base)"
+SHINGLE_LIST = (
+    "list_distinct(list_transform(generate_series(1, len(ws)-2), "
+    "i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))"
+)
+SHINGLES = (
+    f"sh AS (SELECT doc_id, unnest({SHINGLE_LIST}) AS s FROM w WHERE len(ws) >= 3)"
+)
+_MINHASH_COLS = ", ".join(
+    f"min(({dedup.MINHASH_A[j]} * h + {dedup.MINHASH_B[j]}) % {dedup.MINHASH_P})"
+    f" AS mh{j}"
+    for j in range(dedup.MINHASH_K)
+)
+HASHED = "hashed AS (SELECT doc_id, ('0x'||substring(md5(s), 1, 8))::BIGINT AS h FROM sh)"
+SIGS = f"sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM hashed GROUP BY doc_id)"
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {t} AS band, md5(concat_ws('|', "
+    + ", ".join(f"mh{t * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS))
+    + ")) AS sig FROM sigs"
+    for t in range(dedup.LSH_BANDS)
+)
+BANDS = f"bands AS ({_BAND_SELECTS})"
+CAND = (
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig "
+    "AND a.doc_id < b.doc_id)"
+)
+
+
+def _dot_sql(a: str, b: str, n: str = "len({a})") -> str:
+    prod = f"list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)"
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {prod}), (x, y) -> x + y)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)}) / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+_BUCKET_SQL = "(" + " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(8)
+) + ")::INTEGER"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH {BASE}, {WORDS}
+    SELECT doc_id,
+           len(ws) AS n_ws_tokens,
+           len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           length(norm) AS n_chars,
+           len(list_distinct(ws)) AS n_distinct_tokens
+    FROM w
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = ta.token_stats(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.cast("long").alias(n) for n, c in stats.items()]
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, feat AS (
+      SELECT doc_id,
+             len(ws) AS n_tokens,
+             CAST(length(norm) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mtl,
+             CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS DOUBLE)
+               / length(norm) AS pr,
+             CAST(len(list_intersect(list_distinct(ws),
+                  ['the','and','of','to','in','is','a','that','for','it'])) AS DOUBLE)
+               / len(list_distinct(ws)) AS sr,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr
+      FROM w)
+    SELECT doc_id, n_tokens,
+           round(mtl, 6) AS mean_token_len,
+           round(pr, 6) AS punct_ratio,
+           round(sr, 6) AS stopword_ratio,
+           round(dr, 6) AS distinct_ratio,
+           round(0.25 * least(mtl / 8.0, 1.0)
+               + 0.25 * (1.0 - least(pr * 4.0, 1.0))
+               + 0.25 * least(sr * 5.0, 1.0)
+               + 0.25 * dr, 6) AS quality_score
+    FROM feat
+    """,
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = ta.quality_features(F.col("text"))
+    cols = [
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        *[
+            feats[n].alias(n)
+            for n in ("mean_token_len", "punct_ratio", "stopword_ratio",
+                      "distinct_ratio", "quality_score")
+        ],
+    ]
+    return docs.select("doc_id", *cols)
+
+
+def _langid_oracle() -> str:
+    langs = sorted(ta.STOPWORDS)
+    score_cols = ", ".join(
+        "round(CAST(len(list_intersect(list_distinct(ws), ["
+        + ", ".join(f"'{s}'" for s in ta.STOPWORDS[lang])
+        + f"])) AS DOUBLE) / len(list_distinct(ws)), 6) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+        )
+        + " END"
+    )
+    return f"""
+    WITH {BASE}, {WORDS}, scored AS (
+      SELECT doc_id, {score_cols} FROM w)
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+           {pred} AS pred_lang
+    FROM scored
+    """
+
+
+@query("text_lang_id", oracle=_langid_oracle())
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scores = ta.lang_scores(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in scores.items()])
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH {BASE}, {WORDS}
+    SELECT doc_id,
+           md5(norm) AS md5_fp,
+           ('0x'||substring(md5(norm), 1, 15))::BIGINT AS fp60,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(ws, x -> ('0x'||substring(md5(x), 1, 7))::BIGINT)),
+             (acc, h) -> (acc * {ta.ROLL_MUL} + h) % {ta.ROLL_MOD}) AS rolling_fp
+    FROM w
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ta.md5_fingerprint(F.col("text")).alias("md5_fp"),
+        ta.md5_fingerprint60(F.col("text")).alias("fp60"),
+        ta.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+@query(
+    "exact_dedup",
+    oracle=f"""
+    WITH {BASE}
+    SELECT doc_id, md5(norm) AS fingerprint,
+           row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS dup_rank,
+           row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1 AS is_kept
+    FROM base
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "fingerprint", F.col("dup_rank").cast("long").alias("dup_rank"),
+        "is_kept",
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}
+    SELECT doc_id, {_MINHASH_COLS} FROM hashed GROUP BY doc_id
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text")
+
+
+@query(
+    "lsh_candidate_pairs",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}, {CAND},
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shs, y.shs))) AS jaccard
+    FROM cand JOIN shl x ON x.doc_id = id_a JOIN shl y ON y.doc_id = id_b
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
+
+
+_SIMHASH_BITS = ", ".join(
+    f"sum(((h>>{b})&1)*2 - 1) AS s{b}" for b in range(32)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+
+
+@query(
+    "simhash",
+    oracle=f"""
+    WITH {BASE},
+    wr AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM base),
+    h AS (SELECT doc_id, ('0x'||substring(md5(word), 1, 15))::BIGINT AS h FROM wr),
+    bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
+    SELECT doc_id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash32(docs, "doc_id", "text")
+
+
+@query(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH {BASE},
+    wr AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM base),
+    h AS (SELECT doc_id, ('0x'||substring(md5(word), 1, 15))::BIGINT AS h FROM wr),
+    bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id),
+    sims AS (SELECT doc_id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits),
+    blocks AS (
+      SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) % 256 AS blk_val
+      FROM sims, (VALUES (0), (1), (2), (3)) AS t(blk)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(generate_series(0, 31),
+               b -> (xor(sim_a, sim_b) >> b) & 1)), (x, y) -> x + y) AS hamming
+    FROM pairs
+    WHERE list_reduce(list_prepend(0::BIGINT,
+            list_transform(generate_series(0, 31),
+              b -> (xor(sim_a, sim_b) >> b) & 1)), (x, y) -> x + y) <= 6
+    """,
+)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=6)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           round({_cos_sql("a.embedding", "bb.embedding")}, 6) AS cos_sim
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE round({_cos_sql("a.embedding", "bb.embedding")}, 6) >= 0.3
+    """,
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(vecs, threshold=0.3)
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_cos_sql("q.q_vec", "v.embedding")}, 6) AS score
+      FROM q JOIN embeddings v ON v.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, score,
+           rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(vecs, queries_df, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "ann_topk_lsh",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM b
+          WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_cos_sql("q.q_vec", "v.embedding")}, 6) AS score
+      FROM q JOIN b v ON v.bucket = q.bucket AND v.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    out = similarity.lsh_topk(vecs, queries_df, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_blob_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS blob_len,
+           md5(text) AS blob_md5
+    FROM documents
+    """,
+)
+def q_multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    out = with_blob_features(docs, "blob", passthrough=["doc_id"])
+    return out.select("doc_id", "blob_len", "blob_md5")

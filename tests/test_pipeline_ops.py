@@ -1,0 +1,163 @@
+"""Unit tests for the training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal plumbing) on tiny hand-built
+inputs with hand-checkable expectations. The DuckDB oracle
+(tools/verify_oracle.py) is the exhaustive gate; these pin the
+semantics on edge cases the synthetic tables don't cover."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gush_spark.functions import text_analysis as ta
+from gush_spark.functions.multimodal import decode_image, with_blob_features
+from gush_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  Quick   Brown fox jumps over the lazy dog"),  # ws+case dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (4, "completely different content here entirely unrelated words"),
+        (5, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_norm_text_collapses_case_and_whitespace(spark):
+    df = spark.range(1).select(ta.norm_text(F.lit("  A \t B\n\nc ")).alias("t"))
+    assert df.first()["t"] == "a b c"
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["is_kept"] and not out[2]["is_kept"]
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[3]["is_kept"] and out[4]["is_kept"] and out[5]["is_kept"]
+
+
+def test_shingles_short_doc_empty(docs):
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", dedup.shingles(F.col("text")).alias("sh")).collect()
+    }
+    assert out[5] == []
+    assert "the quick brown" in out[1]
+    # 9 words -> 7 shingles, 'the' appears twice but shingles distinct
+    assert len(out[1]) == 7
+
+
+def test_minhash_identical_for_normalized_duplicates(docs):
+    sigs = {r["doc_id"]: r for r in dedup.minhash_signatures(docs, "doc_id", "text").collect()}
+    assert 5 not in sigs  # no shingles -> no signature
+    for j in range(dedup.MINHASH_K):
+        assert sigs[1][f"mh{j}"] == sigs[2][f"mh{j}"]
+    # near-dup shares most but not all minhashes
+    same = sum(sigs[1][f"mh{j}"] == sigs[3][f"mh{j}"] for j in range(dedup.MINHASH_K))
+    assert 0 < same < dedup.MINHASH_K
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs  # exact dup: all bands collide
+    # unrelated doc 4 never pairs with anything
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_values(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    assert out[(1, 2)] == 1.0
+    if (1, 3) in out:  # 7+7 shingles, 6 shared -> 6/8
+        assert abs(out[(1, 3)] - 0.75) < 1e-12
+
+
+def test_simhash_duplicate_invariance_and_range(docs):
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(docs, "doc_id", "text").collect()}
+    assert sims[1] == sims[2]
+    assert all(0 <= v < (1 << 32) for v in sims.values())
+    # hamming(1,3) small, hamming(1,4) large
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sims[1], sims[3]) < ham(sims[1], sims[4])
+
+
+def test_cosine_identities(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),
+         (2, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+         (3, [1.0, 2.0, 3.0], [-1.0, -2.0, -3.0])],
+        ["i", "a", "b"],
+    )
+    out = {r["i"]: r["c"] for r in df.select(
+        "i", similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert abs(out[1] - 1.0) < 1e-12
+    assert abs(out[2]) < 1e-12
+    assert abs(out[3] + 1.0) < 1e-12
+
+
+def test_brute_force_topk_ranks_by_similarity(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.brute_force_topk(vecs, vecs.filter("vec_id = 0"), k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [3, 1]  # closest first, orthogonal vector excluded by k
+
+
+def test_sign_bucket_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0])], ["i", "v"]
+    )
+    b = df.select(similarity.sign_bucket(F.col("v"), 8).alias("b")).first()["b"]
+    assert b == 0b01010101
+
+
+def test_token_stats_and_quality_bounds(docs):
+    stats = docs.select(
+        "doc_id", *[c.alias(n) for n, c in ta.quality_features(F.col("text")).items()]
+    ).collect()
+    for r in stats:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], ["i", "t"]
+    )
+    out = {r["i"]: r for r in df.select(
+        "i",
+        ta.md5_fingerprint(F.col("t")).alias("md5fp"),
+        ta.rolling_fingerprint(F.col("t")).alias("roll"),
+    ).collect()}
+    assert out[1]["md5fp"] != out[2]["md5fp"]
+    assert out[1]["roll"] != out[2]["roll"]
+    assert 0 <= out[1]["roll"] < ta.ROLL_MOD
+
+
+def test_multimodal_blob_features_and_error_row(spark):
+    rows = [(1, b"hello"), (2, None)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r for r in with_blob_features(df, "blob", ["id"]).collect()}
+    assert out[1]["blob_len"] == 5
+    assert out[1]["blob_md5"] == hashlib.md5(b"hello").hexdigest()
+    assert out[1]["decode_error"] is None
+    assert out[2]["blob_md5"] is None
+    assert out[2]["decode_error"] == "null blob"
+
+
+def test_multimodal_codec_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
