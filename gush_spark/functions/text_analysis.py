@@ -65,19 +65,29 @@ def token_stats(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def quality_features(
+    text: Column, norm: Column | None = None, ws: Column | None = None
+) -> dict[str, Column]:
     """Quality-scoring features: length, mean token length, punctuation
     ratio, stopword ratio, distinct-token ratio. The composite score is a
     fixed linear blend clamped to [0, 1] — deterministic, unit-tested,
-    and cheap enough to run on every page of a 10^12-page crawl."""
-    w = words_of(text)
-    norm = norm_text(text)
+    and cheap enough to run on every page of a 10^12-page crawl.
+
+    Pass pre-materialized ``norm``/``ws`` columns when calling from a
+    wide projection (featurize) so the lower/regex/split chain isn't
+    re-evaluated per output column."""
+    w = ws if ws is not None else words_of(text)
+    norm = norm if norm is not None else norm_text(text)
     n_tokens = F.size(w)
     n_chars = F.length(norm)
     # single-space joined => chars excluding separators
     mean_token_len = (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens
-    punct_ratio = (
-        F.size(F.regexp_extract_all(norm, F.lit(r"[^a-z0-9 ]"), 0)).cast("double") / n_chars
+    # ANSI mode (Spark 4 default) makes x/0 an error, not NULL: empty
+    # text (n_chars=0, a legal extractor output — P10) must short-circuit
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.size(F.regexp_extract_all(norm, F.lit(r"[^a-z0-9 ]"), 0)).cast("double")
+        / n_chars,
     )
     stop_en = F.array([F.lit(s) for s in STOPWORDS["en"]])
     stopword_ratio = (
@@ -101,29 +111,34 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
+def lang_scores(text: Column, ws: Column | None = None) -> dict[str, Column]:
     """Language-ID by stopword-profile hit ratio; prediction is the
     argmax with lexicographic tie-break (deterministic). An n-gram model
     would be the production upgrade; the operator shape — per-doc scores
     + argmax, all JVM-side — is identical."""
-    distinct = F.array_distinct(words_of(text))
+    distinct = F.array_distinct(ws if ws is not None else words_of(text))
     out: dict[str, Column] = {}
     for lang, stops in sorted(STOPWORDS.items()):
         arr = F.array([F.lit(s) for s in stops])
         out[f"score_{lang}"] = F.round(
             F.size(F.array_intersect(distinct, arr)).cast("double") / F.size(distinct), 6
         )
-    # argmax with lang-ascending tie-break: fold over sorted langs keeps
-    # the first max
-    langs = sorted(STOPWORDS)
-    pred = F.lit(langs[0])
-    best = out[f"score_{langs[0]}"]
-    for lang in langs[1:]:
-        cond = out[f"score_{lang}"] > best
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-        best = F.when(cond, out[f"score_{lang}"]).otherwise(best)
-    out["pred_lang"] = pred
+    out["pred_lang"] = argmax_lang(out)
     return out
+
+
+def argmax_lang(scores: dict[str, Column]) -> Column:
+    """Deterministic argmax with lang-ascending tie-break: greatest() +
+    one linear CASE chain. Hot paths should pass *bound* score columns
+    (featurize materializes them first) — Catalyst inlines expression
+    arguments without CSE, and a when/otherwise fold that re-nests the
+    running max duplicates every score subtree exponentially."""
+    langs = sorted(STOPWORDS)
+    mx = F.greatest(*[scores[f"score_{lang}"] for lang in langs])
+    pred = F.when(scores[f"score_{langs[0]}"] == mx, F.lit(langs[0]))
+    for lang in langs[1:]:
+        pred = pred.when(scores[f"score_{lang}"] == mx, F.lit(lang))
+    return pred
 
 
 def md5_fingerprint(text: Column) -> Column:

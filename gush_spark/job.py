@@ -1,0 +1,97 @@
+"""Cluster job entrypoint — the GushApp analog (reference:
+src/main/scala/gush_example/gush.scala:33-36), packaged for
+``spark-submit --py-files`` (north_rule requirement).
+
+Usage (cluster):
+
+    tools/package.sh                       # builds dist/gush_spark.zip
+    spark-submit \\
+      --py-files dist/gush_spark.zip \\
+      --conf spark.sql.shuffle.partitions=<2-3x total cores> \\
+      dist/job.py \\
+      --pipeline featurize \\
+      --input  s3://bucket/pages/ \\
+      --sink   s3://bucket/rollups/ \\
+      --checkpoint s3://bucket/ckpt/featurize \\
+      [--config gush.yml] [--continuous]
+
+The master, executor sizing, and dynamic allocation come from
+spark-submit; this module only applies the engine's semantic confs
+(state store, Arrow, timezone — session.ENGINE_CONFS). Resume is the
+reference's postRestart analog: re-submit with the same --checkpoint
+and the stream continues from committed offsets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from gush_spark.config import DEFAULT_CONFIG, GushSparkConfig
+from gush_spark.session import ENGINE_CONFS
+from gush_spark.streaming.metrics import LineageListener
+from gush_spark.streaming.pipeline import (
+    cep_pipeline,
+    featurize_pipeline,
+    pages_pipeline,
+)
+
+PIPELINES = {
+    "pages": pages_pipeline,        # extract → windowed counts → sink
+    "featurize": featurize_pipeline,  # extract → featurize → rollup → sink
+    "cep": cep_pipeline,            # events → stateful CEP → sink
+}
+
+
+def build_cluster_session(app_name: str) -> SparkSession:
+    """Session for spark-submit: engine confs only, no master override."""
+    builder = SparkSession.builder.appName(app_name)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="gushspark streaming job")
+    ap.add_argument("--pipeline", choices=sorted(PIPELINES), default="pages")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--sink", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--config", help="YAML job config (GushConfig analog)")
+    ap.add_argument("--lineage", help="per-microbatch lineage JSONL path")
+    ap.add_argument(
+        "--continuous", action="store_true",
+        help="run until stopped (default: AvailableNow — drain and exit)",
+    )
+    args = ap.parse_args(argv)
+
+    config = (
+        GushSparkConfig.from_yaml(args.config) if args.config else DEFAULT_CONFIG
+    )
+    spark = build_cluster_session(f"gushspark_{args.pipeline}")
+    listener = LineageListener(args.lineage) if args.lineage else None
+    if listener:
+        spark.streams.addListener(listener)
+
+    pipeline = PIPELINES[args.pipeline]
+    kwargs = dict(
+        config=config,
+        available_now=not args.continuous,
+    )
+    if args.pipeline in ("pages", "cep") and args.lineage:
+        kwargs["lineage_path"] = args.lineage
+    query, _sink = pipeline(
+        spark,
+        args.input,
+        sink_path=args.sink,
+        checkpoint_path=args.checkpoint,
+        **kwargs,
+    )
+    query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,6 +67,156 @@ def all_oracles() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# F6/A2 — dynamic-field projection + windowed avg (getAsFloat analog:
+# reference BinlogEvent.scala:36 projects fields("revenue").toFloat into the
+# windowed mean, cep/Cep.scala:37-49; here the dynamic field lives in a JSON
+# props string and the cast is JVM-side)
+# ---------------------------------------------------------------------------
+@query(
+    "field_projection_avg",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_s,
+           event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                         AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_k,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_field_projection_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("decimal(18,2)")
+    out = ev.groupBy(windows.tumbling("ts", "10 minutes"), "event_type").agg(
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return out.select(
+        F.col("window.start").cast("timestamp").cast("long").alias("window_start_s"),
+        "event_type", "avg_k", "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort + limit — deterministic top-k (rank by count desc, id asc)
+# ---------------------------------------------------------------------------
+@query(
+    "top_users",
+    oracle="""
+    SELECT user_id, n_events, rnk FROM (
+      SELECT user_id, count(*) AS n_events,
+             row_number() OVER (ORDER BY count(*) DESC, user_id) AS rnk
+      FROM events GROUP BY user_id)
+    WHERE rnk <= 10
+    """,
+)
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops — distinct + union (stream-duplication Broadcast fan-out is stream
+# semantics; batch set coverage is distinct/union, SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_active_days",
+    oracle="""
+    SELECT user_id,
+           count(DISTINCT CAST(ts AS DATE)) AS active_days,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_distinct_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "union_dedup_events",
+    oracle="""
+    SELECT user_id, count(*) AS n_events FROM (
+      SELECT DISTINCT event_id, user_id FROM (
+        SELECT event_id, user_id FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT event_id, user_id FROM events WHERE value > 50.0))
+    GROUP BY user_id
+    """,
+)
+def q_union_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("event_id", "user_id")
+    b = ev.filter(F.col("value") > 50.0).select("event_id", "user_id")
+    return (
+        a.unionByName(b).distinct()
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9 — explode / flatten (mapConcat analog, SqlToBinlog.scala:15): one doc →
+# N word rows, aggregated to corpus word frequencies
+# ---------------------------------------------------------------------------
+@query(
+    "word_frequencies",
+    oracle=r"""
+    SELECT w AS word, count(*) AS freq
+    FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+          FROM documents)
+    GROUP BY w
+    """,
+)
+def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gush_spark.functions.text_analysis import words_of
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words_of(F.col("text"))).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# watermark-drop analog (batch-checkable): rows older than
+# max(ts) - 30 minutes are "late"; per-type kept/dropped counts — the exact
+# accounting the streaming metrics emit per microbatch (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+@query(
+    "late_event_accounting",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CASE WHEN ts >= wm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM events, (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_late_event_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("wm"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") >= F.col("wm"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("ts") < F.col("wm"), 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1 — tumbling windowed count (WindowedInsertCount analog, cep/Cep.scala:29-35)
 # ---------------------------------------------------------------------------
 @query(

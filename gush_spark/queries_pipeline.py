@@ -314,6 +314,62 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+_FEAT_SHS = f"CASE WHEN len(ws) >= 3 THEN {SHINGLE_LIST} ELSE [] END"
+_FEAT_MH = "list_transform({shs}, s -> ('0x'||substring(md5(s), 1, 8))::BIGINT)"
+
+
+def _mh_sql(j: int) -> str:
+    hs = _FEAT_MH.format(shs="shs")
+    return (
+        f"list_aggregate(list_transform({hs}, "
+        f"h -> ({dedup.MINHASH_A[j]} * h + {dedup.MINHASH_B[j]}) % {dedup.MINHASH_P}),"
+        f" 'min')"
+    )
+
+
+@query(
+    "doc_featurize",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    shl2 AS (SELECT doc_id, norm, ws, {_FEAT_SHS} AS shs FROM w),
+    feat AS (
+      SELECT doc_id,
+             CAST(length(norm) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mtl,
+             CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS DOUBLE)
+               / length(norm) AS pr,
+             CAST(len(list_intersect(list_distinct(ws),
+                  ['the','and','of','to','in','is','a','that','for','it'])) AS DOUBLE)
+               / len(list_distinct(ws)) AS sr,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr,
+             ('0x'||substring(md5(norm), 1, 15))::BIGINT AS fp60,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(ws, x -> ('0x'||substring(md5(x), 1, 7))::BIGINT)),
+               (acc, h) -> (acc * {ta.ROLL_MUL} + h) % {ta.ROLL_MOD}) AS rolling_fp,
+             {_mh_sql(0)} AS mh_first,
+             {_mh_sql(dedup.MINHASH_K - 1)} AS mh_last
+      FROM shl2)
+    SELECT doc_id,
+           round(0.25 * least(mtl / 8.0, 1.0)
+               + 0.25 * (1.0 - least(pr * 4.0, 1.0))
+               + 0.25 * least(sr * 5.0, 1.0)
+               + 0.25 * dr, 6) AS quality_score,
+           fp60, rolling_fp, mh_first, mh_last
+    FROM feat
+    """,
+)
+def q_doc_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gush_spark.operators.featurize import featurize
+
+    docs = load(spark, sf_dir, "documents")
+    out = featurize(docs, "text", hash_fn="md5")  # oracle-parity backend
+    return out.select(
+        "doc_id", "quality_score", "fp60", "rolling_fp",
+        F.element_at("minhash", 1).alias("mh_first"),
+        F.element_at("minhash", dedup.MINHASH_K).alias("mh_last"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------

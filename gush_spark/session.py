@@ -18,6 +18,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: engine defaults shared by local test sessions and cluster jobs
+#: (gush_spark.job applies these under spark-submit without forcing a
+#: master; build_session adds local[N] on top)
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # streaming: deterministic state + resumability (SURVEY.md §4.2)
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # changelog checkpointing: per-commit cost is O(delta), not a full
+    # RocksDB snapshot upload — the difference between ~100ms and several
+    # seconds of fixed cost per state partition per microbatch
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    # the default 60s maintenance cadence interleaves RocksDB snapshot
+    # uploads with microbatch commits — measured 60-70s commit stalls when
+    # they collide. With changelog checkpointing on, snapshots only bound
+    # changelog-replay length at recovery, so run them rarely; recovery
+    # cost is the explicit trade.
+    "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "true",
+}
+
 
 def build_session(
     app_name: str = "gush_spark",
@@ -37,22 +62,18 @@ def build_session(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # streaming: deterministic state + resumability (SURVEY.md §4.2)
-        .config("spark.sql.streaming.stateStore.providerClass",
-                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        # changelog checkpointing: per-commit cost is O(delta), not a full
-        # RocksDB snapshot upload — the difference between ~100ms and
-        # several seconds of fixed cost per state partition per microbatch
-        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
+        # without libhadoop, Hadoop's RawLocalFileSystem shells out for
+        # permission/status ops; the JDK's default vfork-based exec from a
+        # multi-GB JVM showed multi-10s stalls under memory pressure
+        # (observed via jstack: stream thread RUNNABLE in forkAndExec).
+        # posix_spawn makes child-process launch O(1) in parent heap size.
+        .config("spark.driver.extraJavaOptions",
+                "-Djdk.lang.Process.launchMechanism=POSIX_SPAWN")
     )
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

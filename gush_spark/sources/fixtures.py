@@ -77,7 +77,11 @@ EDGE_CASES = ("escaped_quotes", "null_token", "multi_segment", "empty_value",
               "comment_tail", "utf8_body", "malformed")
 
 
-def _make_page(rng: random.Random, i: int, n_hosts: int, zipf_a: float) -> dict:
+def _make_page(
+    rng: random.Random, i: int, n_hosts: int, zipf_a: float,
+    plain_segments: tuple[int, int] = (1, 1),
+    plain_words: tuple[int, int] = (5, 40),
+) -> dict:
     host_id = min(int(rng.paretovariate(zipf_a)), n_hosts) - 1
     url = f"https://host{host_id:04d}.example/p/{i}"
     # monotone-with-jitter event time; ~3% late rows far behind (for
@@ -117,9 +121,10 @@ def _make_page(rng: random.Random, i: int, n_hosts: int, zipf_a: float) -> dict:
         html = render_html([_rand_text(rng, 4)], malformed=True)
         golden = None
     else:
-        seg = _rand_text(rng, rng.randint(5, 40))
-        html = render_html([seg])
-        golden = seg
+        n_segs = rng.randint(*plain_segments)
+        segs = [_rand_text(rng, rng.randint(*plain_words)) for _ in range(n_segs)]
+        html = render_html(segs)
+        golden = "\n".join(segs)
 
     if case == "escaped_quotes":
         golden = extract_text(html)[0]  # spec is the oracle for the rewrite
@@ -147,12 +152,17 @@ def generate_pages(
     seed: int = 42,
     zipf_a: float = 1.3,
     rows_per_file: int = 100_000,
+    plain_segments: tuple[int, int] = (1, 1),
+    plain_words: tuple[int, int] = (5, 40),
 ) -> Path:
     """Write a deterministic pages table as one-or-more parquet files.
 
     Chunked writes keep generator memory flat at large sf; multiple
     files give the streaming file source real microbatch boundaries
     (maxFilesPerTrigger) and Spark real split parallelism.
+    ``plain_segments``/``plain_words`` scale the html payload (the
+    scaling bench uses multi-segment pages so per-page CPU dominates
+    fixed microbatch cost).
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -160,7 +170,10 @@ def generate_pages(
     buf: list[dict] = []
     file_idx = 0
     for i in range(n_pages):
-        buf.append(_make_page(rng, i, n_hosts, zipf_a))
+        buf.append(
+            _make_page(rng, i, n_hosts, zipf_a,
+                       plain_segments=plain_segments, plain_words=plain_words)
+        )
         if len(buf) >= rows_per_file:
             _flush_pages(buf, out_dir, file_idx)
             buf, file_idx = [], file_idx + 1

@@ -91,6 +91,66 @@ def pages_pipeline(
     return writer.start(), sink
 
 
+def featurize_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Scaling-bench flagship: pages stream → fused extract+featurize
+    pandas UDF (quality/lang/fingerprints/minhash/simhash in one Arrow
+    stage) → windowed per-host rollup → exactly-once sink.
+
+    The map stage carries ~all the CPU, runs in Python worker processes
+    (which scale with cores — unlike interpreted JVM array lambdas, see
+    functions/page_features.py), and is shuffle-free. This is the job
+    the N-vs-4N efficiency criterion is evidenced on
+    (tools/bench_scaling.py)."""
+    from gush_spark.functions.page_features import with_page_features
+
+    mft = max_files_per_trigger or config.max_files_per_trigger
+    stream = read_pages_stream(spark, pages_path, mft)
+    stream = stream.withColumn("host", host_of(F.col("url")))
+    stream = blacklist_filter(stream, config)  # pushable, below the UDF
+    enriched = with_page_features(stream)
+    agg = (
+        enriched.withWatermark("warc_ts", config.watermark_delay)
+        .groupBy(F.window("warc_ts", config.window_duration), "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.when(F.col("extract_error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            # decimal sum → one double division: deterministic under any
+            # partitioning/accumulation order (double avg() is not — the
+            # N-vs-4N identical-output check would fail on FP order)
+            (
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+                / F.count("quality_score")
+            ).alias("avg_quality"),
+            F.min("fp60").alias("min_fp60"),
+            F.sum(F.element_at("minhash", 1)).alias("mh0_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "host", "n_pages", "n_errors", "avg_quality", "min_fp60", "mh0_sum",
+        )
+    )
+    sink = IdempotentKeyedSink(sink_path, keys=["host", "window_start"])
+    writer = (
+        # rollup output is small (hosts × coarse windows): one output
+        # file per batch keeps the sink's fixed cost off the scaling path
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: sink.write_batch(df.coalesce(1), bid))
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
 def cep_pipeline(
     spark: SparkSession,
     events_path: str,

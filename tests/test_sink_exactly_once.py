@@ -35,6 +35,21 @@ def test_keyed_merge_last_batch_wins(spark, tmp_path):
     assert out == {1: "a", 2: "B", 3: "c"}  # MERGE INTO semantics
 
 
+def test_fan_out_multi_sink(spark, tmp_path):
+    """S7 analog (Broadcast fan-out, GushCEP.scala:15-22): one microbatch
+    delivered to N sinks, each committing independently."""
+    from gush_spark.streaming.sink import fan_out
+
+    s1 = IdempotentKeyedSink(tmp_path / "s1", keys=["k"])
+    s2 = IdempotentKeyedSink(tmp_path / "s2", keys=["k"])
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    fan_out(df, 0, [s1.foreach_batch(), s2.foreach_batch()])
+    for s in (s1, s2):
+        out = s.read(spark).toPandas().sort_values("k")
+        assert out.v.tolist() == ["a", "b"]
+        assert s.committed_batches() == [0]
+
+
 def test_resume_from_checkpoint_equals_uninterrupted(spark, tmp_path):
     events = canonical_event_sequences()
     # uninterrupted reference run over all 10 events
