@@ -151,6 +151,66 @@ def featurize_pipeline(
     return writer.start(), sink
 
 
+def salted_rollup_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    salt_buckets: int | None = None,
+):
+    """Skew-safe streaming rollup (north_rule: salted repartitioning on
+    skewed hosts, in the streaming path).
+
+    A Zipf-hot host concentrates one (window, host) state key on one
+    reducer; salting splits it into ``salt_buckets`` sub-keys
+    (deterministic ``xxhash64(url) mod buckets``), so the stateful
+    aggregation fans the hot key over that many state partitions. The
+    sink stores the PARTIALS keyed (host, window_start, salt) —
+    last-committed-batch-wins per partial — and ``read_salted_rollup``
+    merges them (counts/sums are decomposable; Spark's update-mode
+    semantics are preserved because each partial is itself a complete
+    running aggregate for its sub-key)."""
+    buckets = salt_buckets or config.skew_salt_buckets
+    stream = read_pages_stream(spark, pages_path, config.max_files_per_trigger)
+    extracted = extracted_pages(stream, config)
+    salted = extracted.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(buckets))
+    )
+    agg = (
+        salted.withWatermark("warc_ts", config.watermark_delay)
+        .groupBy(F.window("warc_ts", config.window_duration), "host", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.when(F.col("extract_error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "host", "salt", "n_pages", "n_errors",
+        )
+    )
+    sink = IdempotentKeyedSink(sink_path, keys=["host", "window_start", "salt"])
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: sink.write_batch(df, bid))
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def read_salted_rollup(spark: SparkSession, sink: IdempotentKeyedSink) -> DataFrame:
+    """Merge the salted partials back to per-(host, window) totals."""
+    partials = sink.read(spark)
+    return (
+        partials.groupBy("window_start", "window_end", "host")
+        .agg(F.sum("n_pages").alias("n_pages"), F.sum("n_errors").alias("n_errors"))
+    )
+
+
 def cep_pipeline(
     spark: SparkSession,
     events_path: str,

@@ -63,3 +63,37 @@ def test_late_rows_dropped_with_tight_watermark(spark, pages_dir, tmp_dirs):
     # fixture plants ~3% far-late rows; with a 1-minute watermark and
     # 1-file microbatches they land past the watermark and are dropped
     assert got_total < full_total
+
+
+def test_salted_rollup_equals_unsalted(spark, pages_dir, tmp_dirs):
+    """Skew salting must not change results: the merged salted partials
+    equal the plain batch rollup on the same input (north_rule: skew
+    handled explicitly, provably semantics-preserving)."""
+    from gush_spark.streaming.pipeline import (
+        read_salted_rollup,
+        salted_rollup_pipeline,
+    )
+
+    query, sink = salted_rollup_pipeline(
+        spark, pages_dir, tmp_dirs["sink"] + "_salted",
+        tmp_dirs["checkpoint"] + "_salted", config=CFG, available_now=True,
+        salt_buckets=4,
+    )
+    query.awaitTermination(180)
+
+    partials = sink.read(spark).toPandas()
+    assert partials.salt.nunique() > 1  # the hot key really was split
+
+    got = read_salted_rollup(spark, sink).toPandas()
+    batch = windowed_host_counts(
+        extracted_pages(read_pages_batch(spark, pages_dir), CFG), CFG, streaming=False
+    ).toPandas()
+
+    key = ["window_start", "host"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s[key + ["n_pages", "n_errors"]],
+        exp_s[key + ["n_pages", "n_errors"]],
+        check_dtype=False,
+    )
