@@ -260,15 +260,15 @@ def simhash_hamming_pairs(
         long = long.unionByName(extra)
     a = long.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "blk", "blk_val")
     b = long.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "blk", "blk_val")
-    pairs = (
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    # hamming-filter BEFORE distinct: the cheap per-row popcount prunes
+    # the candidate set ahead of the dedup shuffle, so the exchange
+    # carries only near-pairs instead of every block collision
+    return (
         a.join(b, on=["blk", "blk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.expr("sim_a ^ sim_b") % F.lit(1 << 32).cast("long"))
-    return (
-        pairs.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

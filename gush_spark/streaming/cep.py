@@ -43,27 +43,41 @@ CEP_OUTPUT_SCHEMA = T.StructType(
         T.StructField("event_type", T.StringType()),
         T.StructField("prior_ts_us", T.LongType()),
         T.StructField("crawl_count", T.LongType()),
+        T.StructField("session_id", T.LongType()),
     ]
 )
 
-# state: parallel arrays ≙ dict url → (ts_us, count); arrays because the
-# state encoder wants a flat struct, the python side reconstructs a dict
+# per-url session gap (event time): a quiet period longer than this
+# starts a new session — the session_window gap-merge re-implemented
+# inside the keyed state machine (SURVEY.md §2.6)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+# state: parallel arrays ≙ dict url → (ts_us, count, session_id); arrays
+# because the state encoder wants a flat struct, the python side
+# reconstructs a dict
 CEP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("urls", T.ArrayType(T.StringType())),
         T.StructField("ts_us", T.ArrayType(T.LongType())),
         T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("sessions", T.ArrayType(T.LongType())),
     ]
 )
 
 
-def apply_rules(pdf: pd.DataFrame, state: dict[str, tuple[int, int]]) -> pd.DataFrame:
+def apply_rules(
+    pdf: pd.DataFrame,
+    state: dict[str, tuple[int, int, int]],
+    session_gap_us: int = SESSION_GAP_US,
+) -> pd.DataFrame:
     """Pure rule engine: one host's events (any order) + state dict →
     output rows; mutates ``state`` in place.
 
     The per-event callbacks gush users wrote as Akka Sink lambdas
     (op: Seq[BinlogEvent] ⇒ Unit, cep/Cep.scala:30,38) are pinned here
-    as the crawl/recrawl/drop transitions.
+    as the crawl/recrawl/drop transitions. Per-url sessionization (gap >
+    ``session_gap_us`` of event time starts a new session) is the
+    session-window merge done inside the state machine.
     """
     pdf = pdf.sort_values(["warc_ts_us", "event_id"], kind="stable")
     out: list[dict[str, Any]] = []
@@ -71,17 +85,18 @@ def apply_rules(pdf: pd.DataFrame, state: dict[str, tuple[int, int]]) -> pd.Data
         url = row.url
         prior = state.get(url)
         prior_ts = prior[0] if prior else None
-        if row.event_type == "crawl":
+        prior_sess = prior[2] if prior else 0
+        new_session = prior_ts is None or (row.warc_ts_us - prior_ts) > session_gap_us
+        session = prior_sess + 1 if new_session else prior_sess
+        if row.event_type in ("crawl", "recrawl"):
             count = (prior[1] if prior else 0) + 1
-            state[url] = (row.warc_ts_us, count)
-        elif row.event_type == "recrawl":
-            count = (prior[1] if prior else 0) + 1
-            state[url] = (row.warc_ts_us, count)
+            state[url] = (row.warc_ts_us, count, session)
         elif row.event_type == "drop":
             count = prior[1] if prior else 0
             state.pop(url, None)
         else:  # unknown kind → error channel: pass through, no state change
             count = prior[1] if prior else 0
+            session = prior_sess
         out.append(
             {
                 "host": row.host,
@@ -91,6 +106,7 @@ def apply_rules(pdf: pd.DataFrame, state: dict[str, tuple[int, int]]) -> pd.Data
                 "event_type": row.event_type,
                 "prior_ts_us": prior_ts,
                 "crawl_count": count,
+                "session_id": session,
             }
         )
     return pd.DataFrame(out, columns=[f.name for f in CEP_OUTPUT_SCHEMA.fields])
@@ -104,8 +120,8 @@ def _cep_func(
         state.remove()
         return
     if state.exists:
-        urls, ts_us, counts = state.get
-        sdict = {u: (t, c) for u, t, c in zip(urls, ts_us, counts)}
+        urls, ts_us, counts, sessions = state.get
+        sdict = {u: (t, c, s) for u, t, c, s in zip(urls, ts_us, counts, sessions)}
     else:
         sdict = {}
     for pdf in pdf_iter:
@@ -113,7 +129,8 @@ def _cep_func(
             yield apply_rules(pdf, sdict)
     if sdict:
         state.update((list(sdict), [v[0] for v in sdict.values()],
-                      [v[1] for v in sdict.values()]))
+                      [v[1] for v in sdict.values()],
+                      [v[2] for v in sdict.values()]))
         # TTL: hosts idle for > 1h of event time get evicted on timeout
         if state.getCurrentWatermarkMs() > 0:
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)

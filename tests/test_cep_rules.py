@@ -24,7 +24,7 @@ def test_crawl_then_recrawl_enriches_with_prior_ts():
     assert out.prior_ts_us.tolist()[0] is None or pd.isna(out.prior_ts_us[0])
     assert out.prior_ts_us[1] == 1000
     assert out.crawl_count.tolist() == [1, 2]
-    assert state["u1"] == (2000, 2)
+    assert state["u1"] == (2000, 2, 1)
 
 
 def test_event_time_ordering_within_batch():
@@ -42,7 +42,7 @@ def test_event_time_ordering_within_batch():
 
 
 def test_drop_evicts_state():
-    state = {"u1": (500, 1)}
+    state = {"u1": (500, 1, 1)}
     out = apply_rules(_pdf([("h", 3, "u1", 1000, "drop")]), state)
     assert "u1" not in state
     assert out.prior_ts_us[0] == 500
@@ -57,9 +57,9 @@ def test_state_survives_across_batches():
 
 
 def test_unknown_kind_passes_through_without_state_change():
-    state = {"u1": (500, 1)}
+    state = {"u1": (500, 1, 1)}
     out = apply_rules(_pdf([("h", 4, "u1", 1000, "purge")]), state)
-    assert state["u1"] == (500, 1)
+    assert state["u1"] == (500, 1, 1)
     assert out.event_type[0] == "purge"
 
 
@@ -73,3 +73,28 @@ def test_tie_break_on_event_id():
         state,
     )
     assert out.event_id.tolist() == [1, 2]
+
+
+def test_session_split_on_gap():
+    """Gap > session_gap_us of event time starts a new per-url session
+    (the session_window merge inside the state machine)."""
+    state = {}
+    out = apply_rules(
+        _pdf([
+            ("h", 1, "u1", 0, "crawl"),
+            ("h", 2, "u1", 1_000_000, "recrawl"),        # 1s later: same session
+            ("h", 3, "u1", 5_000_000_000, "recrawl"),    # 83min later: new session
+        ]),
+        state,
+    )
+    assert out.session_id.tolist() == [1, 1, 2]
+    assert state["u1"] == (5_000_000_000, 3, 2)
+
+
+def test_session_custom_gap():
+    state = {}
+    out = apply_rules(
+        _pdf([("h", 1, "u1", 0, "crawl"), ("h", 2, "u1", 10, "recrawl")]),
+        state, session_gap_us=5,
+    )
+    assert out.session_id.tolist() == [1, 2]
