@@ -126,6 +126,80 @@ def lsh_topk(
     )
 
 
+def ivf_representatives(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: one representative vector per
+    cell (the lowest-id member). A trained k-means centroid would be the
+    production upgrade; a fixed representative keeps the structure —
+    probe cells by representative similarity, search only inside them —
+    while staying bit-reproducible for the oracle (float means are
+    accumulation-order-dependent; min-id selection is not)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col).orderBy(F.col(id_col))
+    return (
+        vectors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(label_col).alias("cell"), F.col(vec_col).alias("rep_vec"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: each query probes the ``n_probe`` cells whose
+    representatives score highest, then ranks exact cosine within those
+    cells only.
+
+    Scale shape: representatives are tiny (one row per cell) —
+    broadcast; the corpus is scanned once with a cell-membership
+    semi-join (shuffle keyed by cell id, fan-in = probed fraction of the
+    corpus instead of all of it)."""
+    from pyspark.sql import Window
+
+    reps = ivf_representatives(vectors, id_col, vec_col, label_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("rep_score").desc(), F.col("cell")
+    )
+    probed = (
+        q.join(F.broadcast(reps))
+        .select(
+            "query_id", "q_vec", "cell",
+            F.round(cosine(F.col("q_vec"), F.col("rep_vec")), 6).alias("rep_score"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = (
+        vectors.join(
+            F.broadcast(probed), vectors[label_col] == probed["cell"]
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

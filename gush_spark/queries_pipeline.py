@@ -440,6 +440,46 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_topk_ivf",
+    oracle=f"""
+    WITH reps AS (
+      SELECT label AS cell, embedding AS rep_vec FROM (
+        SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < 8),
+    probed AS (
+      SELECT query_id, q_vec, cell FROM (
+        SELECT q.query_id, q.q_vec, r.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_cos_sql("q.q_vec", "r.rep_vec")}, 6) DESC,
+                          r.cell) AS pr
+        FROM q CROSS JOIN reps r)
+      WHERE pr <= 2),
+    scored AS (
+      SELECT p.query_id, v.vec_id AS neighbor_id,
+             round({_cos_sql("p.q_vec", "v.embedding")}, 6) AS score
+      FROM probed p JOIN embeddings v
+        ON v.label = p.cell AND v.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    out = similarity.ivf_topk(vecs, queries_df, k=5, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -1,0 +1,78 @@
+"""Iceberg adapters — the production source/sink (BASELINE.json names
+Iceberg as the primary table format; the sandbox has no Iceberg runtime,
+so everything here degrades explicitly and the parquet paths in
+sources/ and streaming/sink.py are the tested fallback).
+
+Production layout (SURVEY.md §4.2): pages table partitioned by
+``days(warc_ts)`` + ``bucket(N, host)`` — partition pruning on time
+ranges, co-located host reads for the CEP shuffle. The sink is a real
+``MERGE INTO`` keyed (host, window) inside foreachBatch — the
+table-format snapshot commit plays the role our commit-marker protocol
+plays on plain parquet (same idempotence argument, SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is on the classpath + configured."""
+    try:
+        spark._jvm.org.apache.iceberg.Schema  # noqa: B018 — classpath probe
+    except Exception:
+        return False
+    return any(
+        k.startswith("spark.sql.catalog.") for k in spark.conf.getAll
+    ) if hasattr(spark.conf, "getAll") else True
+
+
+def read_pages_stream_iceberg(
+    spark: SparkSession, table: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Rate-controlled incremental scan of an Iceberg pages table
+    (replaces the parquet-dir file source at production scale; offsets
+    are snapshot ids — replayable, resume-from-checkpoint identical)."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "no Iceberg runtime in this environment — use "
+            "gush_spark.sources.source.read_pages_stream (parquet fallback)"
+        )
+    return (
+        spark.readStream.format("iceberg")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("streaming-skip-delete-snapshots", "true")
+        .load(table)
+    )
+
+
+class IcebergMergeSink:
+    """Exactly-once keyed sink via MERGE INTO (foreachBatch body).
+
+    Replayed batch ids re-merge the same deterministic rows — idempotent
+    by the merge condition, exactly like the parquet commit-marker sink
+    but with the atomicity supplied by Iceberg's snapshot commit."""
+
+    def __init__(self, table: str, keys: list[str]):
+        self.table = table
+        self.keys = keys
+
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not iceberg_available(spark):
+            raise RuntimeError("no Iceberg runtime — use IdempotentKeyedSink")
+        batch_df.createOrReplaceTempView(f"_gush_batch_{batch_id}")
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+        cols = batch_df.columns
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in self.keys)
+        names = ", ".join(cols)
+        vals = ", ".join(f"s.{c}" for c in cols)
+        spark.sql(
+            f"MERGE INTO {self.table} t USING _gush_batch_{batch_id} s "
+            f"ON {cond} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
+        )
+
+    def foreach_batch(self):
+        return lambda df, bid: self.write_batch(df, bid)

@@ -35,6 +35,21 @@ def test_keyed_merge_last_batch_wins(spark, tmp_path):
     assert out == {1: "a", 2: "B", 3: "c"}  # MERGE INTO semantics
 
 
+def test_crash_between_data_write_and_marker(spark, tmp_path):
+    """Failure window: data files written, commit marker NOT yet created
+    (crash between the two). The replayed batch must rewrite and commit
+    without duplicating — readers never saw the uncommitted files."""
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["k"])
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    # simulate the partial failure: data lands, marker does not
+    df.write.mode("overwrite").parquet(str(sink.root / "data" / "batch=0"))
+    assert sink.committed_batches() == []  # invisible to readers
+    sink.write_batch(df, 0)  # replay after restart
+    out = sink.read(spark).toPandas().sort_values("k")
+    assert out.v.tolist() == ["a", "b"]
+    assert sink.committed_batches() == [0]
+
+
 def test_fan_out_multi_sink(spark, tmp_path):
     """S7 analog (Broadcast fan-out, GushCEP.scala:15-22): one microbatch
     delivered to N sinks, each committing independently."""
@@ -98,3 +113,21 @@ def test_resume_from_checkpoint_equals_uninterrupted(spark, tmp_path):
     exp = expected[key].sort_values("event_id").reset_index(drop=True)
     got = resumed[key].sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(exp, got, check_dtype=False)
+
+
+def test_iceberg_adapter_degrades_explicitly(spark, tmp_path):
+    """No Iceberg runtime in this sandbox: the production adapters must
+    detect that and fail with a pointer to the parquet fallback, never
+    silently misbehave."""
+    from gush_spark.sources.iceberg import (
+        IcebergMergeSink,
+        iceberg_available,
+        read_pages_stream_iceberg,
+    )
+
+    assert iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="parquet fallback"):
+        read_pages_stream_iceberg(spark, "db.pages")
+    df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]}))
+    with pytest.raises(RuntimeError, match="IdempotentKeyedSink"):
+        IcebergMergeSink("db.sink", keys=["k"]).write_batch(df, 0)
