@@ -209,6 +209,71 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def near_dup_clusters(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-duplicate graph: every doc
+    gets a ``cluster_id`` = the smallest doc id reachable through
+    jaccard-≥-threshold edges (singletons cluster with themselves).
+
+    Iterative min-label propagation (the Pregel/GraphX pattern expressed
+    in DataFrames): each round joins labels across edges and keeps the
+    per-vertex min; stops when a round changes nothing. Rounds needed =
+    graph diameter — near-dup components are tiny, so this converges in
+    a couple of distributed passes; every pass is one shuffle on the
+    vertex id. The driver loop only orchestrates; no data ever
+    collects."""
+    edges = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    # bidirectional edge list
+    bidir = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            bidir.join(labels, bidir.id_b == labels.id)
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def canonical_per_cluster(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6,
+) -> DataFrame:
+    """Corpus dedup decision: per near-dup cluster keep the lowest-id
+    doc (the canonical), flag the rest as duplicates to drop."""
+    clusters = near_dup_clusters(df, id_col, text_col, threshold)
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash over word occurrences (count-weighted): bit b is
     the sign of ``sum over words of (2*bit_b(h(w)) - 1)``.

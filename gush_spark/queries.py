@@ -217,6 +217,52 @@ def q_late_event_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP sequence pattern, batch-checkable: "A followed by B within T" — the
+# crawl→drop pattern gush's CEP layer watches for, expressed on the events
+# table as view→purchase within 30 minutes (first match per A-event)
+# ---------------------------------------------------------------------------
+@query(
+    "sequence_pattern_within",
+    oracle="""
+    SELECT v.event_id AS view_event_id, v.user_id,
+           epoch_us(v.ts) AS view_ts_us,
+           epoch_us(min(p.ts)) AS purchase_ts_us
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    GROUP BY v.event_id, v.user_id, v.ts
+    """,
+)
+def q_sequence_pattern_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    # range join on the pattern window; shuffles on user, AQE handles skew
+    matched = views.join(
+        purchases,
+        (views.user_id == purchases.p_user)
+        & (purchases.p_ts > views.view_ts)
+        & (purchases.p_ts <= views.view_ts + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return matched.groupBy("view_event_id", "user_id", "view_ts").agg(
+        F.min("p_ts").alias("purchase_ts")
+    ).select(
+        "view_event_id",
+        "user_id",
+        _us("view_ts").alias("view_ts_us"),
+        _us("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1 — tumbling windowed count (WindowedInsertCount analog, cep/Cep.scala:29-35)
 # ---------------------------------------------------------------------------
 @query(

@@ -259,6 +259,35 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
 
 
+_JEDGES = (
+    "jedges AS (SELECT id_a, id_b FROM cand "
+    "JOIN shl x ON x.doc_id = id_a JOIN shl y ON y.doc_id = id_b "
+    "WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) "
+    "/ len(list_distinct(list_concat(x.shs, y.shs))) >= 0.6)"
+)
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}, {CAND},
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3),
+    {_JEDGES},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jedges
+              UNION ALL SELECT id_b, id_a FROM jedges),
+    walk(id, lbl) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT e.dst, w2.lbl FROM walk w2 JOIN edges e ON e.src = w2.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(docs, "doc_id", "text", threshold=0.6)
+
+
 _SIMHASH_BITS = ", ".join(
     f"sum(((h>>{b})&1)*2 - 1) AS s{b}" for b in range(32)
 )
