@@ -274,13 +274,19 @@ def canonical_per_cluster(
     )
 
 
-def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash32(
+    df: DataFrame, id_col: str, text_col: str, spread: int | None = None
+) -> DataFrame:
     """32-bit SimHash over word occurrences (count-weighted): bit b is
     the sign of ``sum over words of (2*bit_b(h(w)) - 1)``.
 
     h(w) is the 60-bit md5 prefix; explode → one hash agg with 32
-    map-side-combinable sums — same shuffle shape as minhash."""
-    wordled = _spread(df, None).select(
+    map-side-combinable sums — same shuffle shape as minhash.
+
+    ``spread`` as in ``minhash_signatures``: pass 0 at crawl scale
+    (input splits >> cores already) to skip the raw-text repartition —
+    the module's "never shuffle raw text" rule."""
+    wordled = _spread(df, spread).select(
         F.col(id_col),
         F.explode(words_of(F.col(text_col))).alias("w"),
     ).withColumn("h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"))
@@ -299,25 +305,47 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return bit_sums.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _simhash_blocks(n_blocks: int, n_bits: int = 32) -> list[tuple[int, int]]:
+    """(shift, width) per block: n_bits split into n_blocks disjoint
+    segments as evenly as possible (wider segments first)."""
+    base, extra = divmod(n_bits, n_blocks)
+    out, shift = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        out.append((shift, width))
+        shift += width
+    return out
+
+
 def simhash_hamming_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6,
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    spread: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
-    Candidate generation blocks on the 4 SimHash bytes (a pair within
-    Hamming ≤ 6 of 32 bits shares at least one exact byte by pigeonhole
-    when distance < 4... not guaranteed at 6, so this is the recall-traded
-    variant used for blocking; the exact filter runs inside each block).
-    At this corpus size we verify candidates from all byte-blocks."""
-    sims = simhash32(df, id_col, text_col)
+    Blocking is pigeonhole-COMPLETE: the 32-bit simhash is split into
+    ``max_hamming + 1`` disjoint bit segments, so any pair within
+    Hamming ≤ max_hamming differs in at most max_hamming segments and
+    must agree exactly on at least one — every qualifying pair is a
+    candidate (the driver oracle checks this against brute-force
+    all-pairs). The exact popcount filter then runs inside each block.
+
+    Scale trade-off: completeness at distance d costs d+1 blocks of
+    32/(d+1) bits each; narrower segments mean fewer distinct bucket
+    values and quadratically bigger buckets. d=3 (the default) blocks
+    on 8-bit segments (256 buckets/segment) — the practical ceiling for
+    a 32-bit sketch; for looser thresholds use a 64-bit simhash or the
+    MinHash/LSH family instead of raising d here."""
+    n_blocks = max_hamming + 1
+    sims = simhash32(df, id_col, text_col, spread=spread)
     blocks = []
-    for byte in range(4):
+    for i, (shift, width) in enumerate(_simhash_blocks(n_blocks)):
         blocks.append(
             sims.select(
                 F.col(id_col),
                 F.col("simhash"),
-                F.lit(byte).alias("blk"),
-                (F.shiftright(F.col("simhash"), byte * 8) % 256).alias("blk_val"),
+                F.lit(i).alias("blk"),
+                (F.shiftright(F.col("simhash"), shift) % (1 << width)).alias("blk_val"),
             )
         )
     long = blocks[0]

@@ -41,7 +41,21 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """One-shot cosine — THREE folds per evaluation. Never use this in a
+    pair join: project ``l2_norm`` per vector BEFORE the join and divide
+    ``dot`` by the norm product instead (``cosine_with_norms``), which
+    is bit-identical (same fold, same sqrt, same multiply order) but
+    amortizes the two norm folds to once per vector instead of once per
+    pair."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a per-pair dot and per-vector precomputed norms.
+    Bit-identical to ``cosine(a, b)`` when norm_x = l2_norm(x): the
+    expression tree below the division is unchanged, only evaluated
+    earlier (in a pre-join projection) and reused across pairs."""
+    return dot(a, b) / (norm_a * norm_b)
 
 
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:

@@ -75,6 +75,30 @@ def session_count(df: DataFrame, ts_col: str, gap: str, *keys: str) -> DataFrame
     return _flatten_window(out, "session_window")
 
 
+def salt_column(
+    df: DataFrame, keys: list[str], salt_buckets: int, salt_on: str | None = None
+) -> Column:
+    """Deterministic salt in [0, salt_buckets): xxhash64 of stable row
+    content, never ``monotonically_increasing_id`` / ``rand``.
+
+    A nondeterministic salt re-buckets rows when a map task is retried
+    after some reducers already fetched its output — rows get counted
+    twice or lost (the classic nondeterministic-expression-before-shuffle
+    bug; local runs never retry, a 1000-executor job does). Hashing row
+    content is retry-stable: a replayed task re-derives the same salt.
+
+    ``salt_on`` names a column that varies *within* a group (e.g. an
+    event id or url); by default all non-key columns are hashed, which
+    spreads a hot key as long as its rows differ anywhere.
+    """
+    if salt_on is not None:
+        src = [F.col(salt_on)]
+    else:
+        non_keys = [c for c in df.columns if c not in keys]
+        src = [F.col(c) for c in (non_keys or keys)]
+    return F.pmod(F.xxhash64(*src), F.lit(salt_buckets))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -90,12 +114,11 @@ def salted_agg(
     sum → sum, min/min, max/max, avg → sum/count recombined.
 
     ``agg_exprs`` maps output column → "fn(col)" with fn in
-    {count,sum,min,max,avg}; col ignored for count.
+    {count,sum,min,max,avg}; col ignored for count. The salt is
+    deterministic row-content hashing (see ``salt_column``) — the same
+    scheme the streaming rollup uses (streaming/pipeline.py).
     """
-    salt_src = salt_on or keys[-1]
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(salt_src), F.monotonically_increasing_id()), F.lit(salt_buckets))
-    )
+    salted = df.withColumn("_salt", salt_column(df, keys, salt_buckets, salt_on))
 
     partial_cols, merge_cols = [], []
     for out_name, spec in agg_exprs.items():

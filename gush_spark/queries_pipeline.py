@@ -311,6 +311,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash32(docs, "doc_id", "text")
 
 
+# the oracle is deliberately brute-force all-pairs: the Spark side's
+# pigeonhole blocking (max_hamming+1 disjoint segments) claims complete
+# recall, so blocked-Spark vs unblocked-DuckDB hash-matching PROVES no
+# qualifying pair was lost to blocking
 @query(
     "simhash_near_dup_pairs",
     oracle=f"""
@@ -318,28 +322,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM base),
     h AS (SELECT doc_id, ('0x'||substring(md5(word), 1, 15))::BIGINT AS h FROM wr),
     bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id),
-    sims AS (SELECT doc_id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits),
-    blocks AS (
-      SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) % 256 AS blk_val
-      FROM sims, (VALUES (0), (1), (2), (3)) AS t(blk)),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.simhash AS sim_a, b.simhash AS sim_b
-      FROM blocks a JOIN blocks b
-        ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
-    SELECT id_a, id_b,
-           list_reduce(list_prepend(0::BIGINT,
-             list_transform(generate_series(0, 31),
-               b -> (xor(sim_a, sim_b) >> b) & 1)), (x, y) -> x + y) AS hamming
-    FROM pairs
-    WHERE list_reduce(list_prepend(0::BIGINT,
-            list_transform(generate_series(0, 31),
-              b -> (xor(sim_a, sim_b) >> b) & 1)), (x, y) -> x + y) <= 6
+    sims AS (SELECT doc_id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    out = dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=6)
+    out = dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 

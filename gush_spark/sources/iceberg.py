@@ -17,14 +17,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is on the classpath + configured."""
+    """True when an Iceberg runtime is on the classpath AND a catalog is
+    configured.
+
+    The classpath probe must force real class resolution: py4j resolves
+    a missing class path to a ``JavaPackage`` placeholder without
+    raising, so a bare ``spark._jvm.org.apache.iceberg.Schema`` attr
+    access always "succeeds". ``Class.forName`` actually loads the class
+    and throws ``ClassNotFoundException`` when the jars are absent. Both
+    legs fail CLOSED (False) — this gate exists so callers degrade to
+    the parquet paths explicitly instead of dying later in an opaque
+    catalog/classpath error."""
     try:
-        spark._jvm.org.apache.iceberg.Schema  # noqa: B018 — classpath probe
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Schema")
     except Exception:
         return False
-    return any(
-        k.startswith("spark.sql.catalog.") for k in spark.conf.getAll
-    ) if hasattr(spark.conf, "getAll") else True
+    try:
+        confs = spark.conf.getAll
+    except Exception:
+        return False
+    return any(k.startswith("spark.sql.catalog.") for k in confs)
 
 
 def read_pages_stream_iceberg(

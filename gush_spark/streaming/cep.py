@@ -86,13 +86,19 @@ def apply_rules(
         prior = state.get(url)
         prior_ts = prior[0] if prior else None
         prior_sess = prior[2] if prior else 0
-        new_session = prior_ts is None or (row.warc_ts_us - prior_ts) > session_gap_us
-        session = prior_sess + 1 if new_session else prior_sess
         if row.event_type in ("crawl", "recrawl"):
+            new_session = (
+                prior_ts is None or (row.warc_ts_us - prior_ts) > session_gap_us
+            )
+            session = prior_sess + 1 if new_session else prior_sess
             count = (prior[1] if prior else 0) + 1
             state[url] = (row.warc_ts_us, count, session)
         elif row.event_type == "drop":
+            # a drop ends the url's life: report the session it closes
+            # (prior_sess, 0 for a never-seen url) — it must not mint a
+            # phantom new session while simultaneously evicting state
             count = prior[1] if prior else 0
+            session = prior_sess
             state.pop(url, None)
         else:  # unknown kind → error channel: pass through, no state change
             count = prior[1] if prior else 0
