@@ -159,15 +159,26 @@ def lsh_band_signatures(
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    max_bucket: int | None = None, capped_stats: dict | None = None,
+    spread: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     The self-join shuffles on (band, band_sig) — only same-bucket docs
     ever meet, which is what makes this sublinear in pairs at 10^12
-    docs. distinct() collapses pairs that collide in multiple bands."""
+    docs. distinct() collapses pairs that collide in multiple bands.
+
+    Hot buckets (boilerplate pages sharing a band signature) make one
+    bucket quadratic; ``max_bucket`` drops oversize buckets before the
+    join with eager accounting in ``capped_stats`` (operators/skew.py).
+    None (default) keeps the exact oracle-checked semantics."""
+    from gush_spark.operators.skew import cap_hot_buckets
+
     long = lsh_band_signatures(
-        minhash_signatures(df, id_col, text_col, bands * rows), id_col, bands, rows
+        minhash_signatures(df, id_col, text_col, bands * rows, spread=spread),
+        id_col, bands, rows,
     )
+    long = cap_hot_buckets(long, ["band", "band_sig"], max_bucket, capped_stats)
     a = long.select(
         F.col(id_col).alias("id_a"), "band", "band_sig"
     )
@@ -183,14 +194,18 @@ def lsh_candidate_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.0,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    max_bucket: int | None = None, capped_stats: dict | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard — the
     standard two-phase near-dup pipeline (candidates are bounded, so the
     expensive set intersection runs on a tiny fraction of all pairs).
 
     Joining the shingle arrays back in is broadcast-able when the
-    candidate set is small; at crawl scale both joins shuffle on doc id."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, bands, rows)
+    candidate set is small; at crawl scale both joins shuffle on doc id.
+    ``max_bucket``/``capped_stats`` forward to ``lsh_candidate_pairs``."""
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, bands, rows, max_bucket, capped_stats
+    )
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col)).alias("sh")
     )
@@ -232,7 +247,7 @@ def near_dup_clusters(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             bidir.join(labels, bidir.id_b == labels.id)
             .groupBy(F.col("id_a").alias("id"))
@@ -244,8 +259,13 @@ def near_dup_clusters(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .persist()
         )
+        # truncate lineage every few rounds: each round nests another
+        # join over the previous plan, and a deep component (high graph
+        # diameter) would otherwise grow an unanalyzable plan tree
+        if it % 4 == 3:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")

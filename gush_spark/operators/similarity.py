@@ -85,15 +85,24 @@ def brute_force_topk(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("v_norm")
     )
     scored = (
-        vectors.alias("v")
-        .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        v.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col(vec_col), F.col("q_norm"), F.col("v_norm")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -117,18 +126,28 @@ def lsh_topk(
     scale path (bucketed self-join instead of corpus × queries)."""
     from pyspark.sql import Window
 
-    bucketed = vectors.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
+    bucketed = vectors.withColumn(
+        "bucket", sign_bucket(F.col(vec_col), n_bits)
+    ).withColumn("v_norm", l2_norm(F.col(vec_col)))
     q = bucketed.join(
         queries.select(F.col(id_col).alias("query_id")),
         bucketed[id_col] == F.col("query_id"),
-    ).select("query_id", F.col(vec_col).alias("q_vec"), "bucket")
+    ).select(
+        "query_id", F.col(vec_col).alias("q_vec"), F.col("v_norm").alias("q_norm"),
+        "bucket",
+    )
     scored = (
         bucketed.join(F.broadcast(q), on="bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col(vec_col), F.col("q_norm"), F.col("v_norm")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -179,30 +198,45 @@ def ivf_topk(
     corpus instead of all of it)."""
     from pyspark.sql import Window
 
-    reps = ivf_representatives(vectors, id_col, vec_col, label_col)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    reps = ivf_representatives(vectors, id_col, vec_col, label_col).withColumn(
+        "rep_norm", l2_norm(F.col("rep_vec"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("rep_score").desc(), F.col("cell")
     )
     probed = (
         q.join(F.broadcast(reps))
         .select(
-            "query_id", "q_vec", "cell",
-            F.round(cosine(F.col("q_vec"), F.col("rep_vec")), 6).alias("rep_score"),
+            "query_id", "q_vec", "q_norm", "cell",
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("rep_vec"), F.col("q_norm"), F.col("rep_norm")
+                ),
+                6,
+            ).alias("rep_score"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", "q_norm", "cell")
     )
+    v = vectors.withColumn("v_norm", l2_norm(F.col(vec_col)))
     scored = (
-        vectors.join(
-            F.broadcast(probed), vectors[label_col] == probed["cell"]
-        )
+        v.join(F.broadcast(probed), v[label_col] == probed["cell"])
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col(vec_col), F.col("q_norm"), F.col("v_norm")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -220,22 +254,35 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.8,
     n_bits: int = 8,
+    max_bucket: int | None = None,
+    capped_stats: dict | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cosine ≥ threshold)
     within the same LSH bucket — the embedding analog of MinHash+verify.
 
     The bucket equi-join is the scale trick: shuffle keys are bucket
-    ids, so the quadratic blowup is per-bucket, not global. Bucket skew
-    (dense regions) is the production concern — cap or sub-split hot
-    buckets with a secondary bit."""
+    ids, so the quadratic blowup is per-bucket, not global. Per-vector
+    norms are projected BEFORE the self-join (one fold per vector, not
+    two extra folds per pair). Bucket skew (dense regions) is handled by
+    ``max_bucket``: oversize buckets are dropped from the join with
+    eager accounting (operators/skew.py) — pass None for the exact
+    oracle-checked form."""
+    from gush_spark.operators.skew import cap_hot_buckets
+
     bucketed = vectors.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), n_bits).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("norm"),
     )
+    bucketed = cap_hot_buckets(bucketed, ["bucket"], max_bucket, capped_stats)
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("norm").alias("norm_a"), "bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("norm").alias("norm_b"), "bucket",
     )
     return (
         a.join(b, on="bucket")
@@ -243,7 +290,12 @@ def cosine_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

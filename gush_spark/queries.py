@@ -116,10 +116,16 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    # scale-safe top-k: orderBy().limit(k) plans as TakeOrderedAndProject
+    # (each partition keeps a local k-heap, the driver merges k*P rows) —
+    # never an unpartitioned Window.orderBy, which funnels EVERY per-user
+    # count through one reducer for a global sort. The row_number window
+    # below runs on the k survivors only (k rows, one partition — free).
     w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        counts.orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
 
 

@@ -26,8 +26,9 @@ Spark (SURVEY.md §7 step 5).
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Any, Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -118,6 +119,100 @@ def apply_rules(
     return pd.DataFrame(out, columns=[f.name for f in CEP_OUTPUT_SCHEMA.fields])
 
 
+def apply_rules_fast(
+    pdf: pd.DataFrame,
+    state: dict[str, tuple[int, int, int]],
+    session_gap_us: int = SESSION_GAP_US,
+) -> pd.DataFrame:
+    """Vectorized rule engine — output-identical to ``apply_rules`` (the
+    semantic spec, asserted in tests/test_cep_vectorized.py) with no
+    per-event Python: a hot host with millions of events per microbatch
+    runs in pandas groupby/cumsum kernels, and the state dict is touched
+    once per url at the group boundary, not once per row.
+
+    Vectorization of the state machine:
+    - ``seg``: per-url segment index = exclusive running count of drop
+      events; a drop stays in the segment it closes, rows after it start
+      the next segment with a clean (evicted) state;
+    - ``prior_ts``: last crawl/recrawl ts strictly before the row within
+      (url, segment) — groupby shift(1) + ffill of the ts-where-updating
+      series; segment-0 NaNs fall back to the incoming state ts;
+    - ``crawl_count``: segment base count + inclusive running count of
+      updating events (the current row counts itself iff it updates);
+    - ``session_id``: segment base session + running count of
+      new-session transitions (gap > session_gap_us or no prior), which
+      only updating events perform — drop/unknown rows report the
+      session they observe.
+    """
+    cols = [f.name for f in CEP_OUTPUT_SCHEMA.fields]
+    if not len(pdf):
+        return pd.DataFrame(columns=cols)
+    pdf = pdf.sort_values(["warc_ts_us", "event_id"], kind="stable").reset_index(drop=True)
+    url = pdf["url"]
+    ts = pdf["warc_ts_us"].astype("int64")
+    ts_np = ts.to_numpy()
+    et = pdf["event_type"]
+    upd = et.isin(("crawl", "recrawl")).to_numpy()
+    drp = (et == "drop").to_numpy()
+
+    drp_s = pd.Series(drp.astype("int64"))
+    seg = drp_s.groupby(url).cumsum() - drp_s
+    grp = [url, seg]
+    seg0 = (seg == 0).to_numpy()
+
+    ts_upd = pd.Series(np.where(upd, ts_np.astype("float64"), np.nan))
+    prior = ts_upd.groupby(grp).shift(1).groupby(grp).ffill().to_numpy()
+    init_ts = url.map({u: float(v[0]) for u, v in state.items()}).to_numpy(dtype="float64")
+    prior = np.where(np.isnan(prior) & seg0, init_ts, prior)
+
+    cum_upd = pd.Series(upd.astype("int64")).groupby(grp).cumsum().to_numpy()
+    base_cnt = np.where(
+        seg0, url.map({u: v[1] for u, v in state.items()}).fillna(0).to_numpy(dtype="int64"), 0
+    )
+    count = base_cnt + cum_upd
+
+    new_sess = np.isnan(prior) | ((ts_np - prior) > session_gap_us)
+    cum_inc = pd.Series((new_sess & upd).astype("int64")).groupby(grp).cumsum().to_numpy()
+    base_sess = np.where(
+        seg0, url.map({u: v[2] for u, v in state.items()}).fillna(0).to_numpy(dtype="int64"), 0
+    )
+    session = base_sess + cum_inc
+
+    # state merge at group boundaries only: urls whose final segment has
+    # updating events take the last one's (ts, count, session); urls with
+    # a drop and nothing updating after it are evicted
+    n_drop = drp_s.groupby(url).transform("sum").to_numpy()
+    upd_final = upd & (seg.to_numpy() == n_drop)
+    if upd_final.any():
+        finals = pd.DataFrame(
+            {"url": url[upd_final], "ts": ts_np[upd_final],
+             "cnt": count[upd_final], "sess": session[upd_final]}
+        ).groupby("url", sort=False).tail(1)
+        updated = dict(
+            zip(finals["url"],
+                zip(finals["ts"].tolist(), finals["cnt"].tolist(),
+                    finals["sess"].tolist()))
+        )
+    else:
+        updated = {}
+    for u in set(url[drp]) - set(updated):
+        state.pop(u, None)
+    state.update(updated)
+
+    return pd.DataFrame(
+        {
+            "host": pdf["host"],
+            "event_id": pdf["event_id"],
+            "url": url,
+            "warc_ts_us": ts,
+            "event_type": et,
+            "prior_ts_us": pd.Series(prior).astype("Int64"),
+            "crawl_count": count,
+            "session_id": session,
+        }
+    )
+
+
 def _cep_func(
     key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -132,7 +227,7 @@ def _cep_func(
         sdict = {}
     for pdf in pdf_iter:
         if len(pdf):
-            yield apply_rules(pdf, sdict)
+            yield apply_rules_fast(pdf, sdict)
     if sdict:
         state.update((list(sdict), [v[0] for v in sdict.values()],
                       [v[1] for v in sdict.values()],

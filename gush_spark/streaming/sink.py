@@ -65,6 +65,14 @@ class IdempotentKeyedSink:
     def is_committed(self, batch_id: int) -> bool:
         return self._marker(batch_id).exists()
 
+    def latest_compaction(self) -> int | None:
+        """Highest batch id folded into a compacted base snapshot."""
+        comp = self.root / "_compaction"
+        if not comp.exists():
+            return None
+        ids = [int(p.name) for p in comp.iterdir() if not p.name.startswith(".")]
+        return max(ids) if ids else None
+
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch body. Safe under replay."""
         if self.is_committed(batch_id):
@@ -90,15 +98,35 @@ class IdempotentKeyedSink:
             if not p.name.startswith(".")
         )
 
+    def _committed_with_batch(self, spark: SparkSession) -> DataFrame:
+        """Every committed row + its ``batch`` id: the compacted base
+        snapshot (standing in for all batches ≤ its marker) unioned with
+        the live batch dirs written after it."""
+        comp = self.latest_compaction()
+        batches = [b for b in self.committed_batches() if comp is None or b > comp]
+        parts = []
+        if comp is not None:
+            parts.append(
+                spark.read.parquet(str(self.root / "compacted" / f"upto={comp}"))
+                .withColumn("batch", F.lit(comp))
+            )
+        if batches:
+            paths = [str(self.root / "data" / f"batch={b}") for b in batches]
+            parts.append(
+                spark.read.option("basePath", str(self.root / "data")).parquet(*paths)
+            )
+        if not parts:
+            raise FileNotFoundError(f"no committed batches under {self.root}")
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        return df
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Current view: latest committed version of each key."""
-        batches = self.committed_batches()
-        if not batches:
-            raise FileNotFoundError(f"no committed batches under {self.root}")
-        paths = [str(self.root / "data" / f"batch={b}") for b in batches]
-        df = spark.read.option("basePath", str(self.root / "data")).parquet(*paths)
+        df = self._committed_with_batch(spark)
         if not self.keys:
-            return df
+            return df.drop("batch")
         w = Window.partitionBy(*self.keys).orderBy(F.col("batch").desc())
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -108,11 +136,63 @@ class IdempotentKeyedSink:
 
     def read_all_appends(self, spark: SparkSession) -> DataFrame:
         """Append-mode view: every committed row exactly once."""
+        return self._committed_with_batch(spark).drop("batch")
+
+    def compact(self, spark: SparkSession) -> int | None:
+        """Fold all committed batch dirs into one base snapshot.
+
+        A long-running update-mode stream otherwise accretes one
+        directory per microbatch and ``read`` pays an ever-growing
+        union + last-writer-wins window. Compaction rewrites the
+        RESOLVED view (update mode) / full row set (append mode) as
+        ``compacted/upto=B`` where B = max committed batch, commits the
+        ``_compaction/B`` marker atomically (tmp + rename), then retires
+        the superseded per-batch dirs. Protocol safety:
+
+        - commit markers are kept forever (tiny files), so a replayed
+          batch id ≤ B still short-circuits in ``write_batch`` —
+          exactly-once survives compaction;
+        - the snapshot carries batch id B in the resolved view, so any
+          batch > B written later still wins last-writer-wins;
+        - crash before the marker rename leaves a stale snapshot dir
+          that readers ignore (marker is the commit point) and the next
+          compact() overwrites;
+        - this is the plain-parquet analog of Iceberg's rewrite-data-
+          files maintenance; the IcebergMergeSink path gets it from the
+          table format.
+
+        Returns B, or None when there is nothing to compact."""
         batches = self.committed_batches()
-        if not batches:
-            raise FileNotFoundError(f"no committed batches under {self.root}")
-        paths = [str(self.root / "data" / f"batch={b}") for b in batches]
-        return spark.read.option("basePath", str(self.root / "data")).parquet(*paths).drop("batch")
+        prev = self.latest_compaction()
+        live = [b for b in batches if prev is None or b > prev]
+        if not live:
+            return prev
+        upto = max(batches)
+        resolved = (
+            self.read(spark) if self.keys else self.read_all_appends(spark)
+        )
+        comp_root = self.root / "compacted"
+        comp_root.mkdir(exist_ok=True)
+        tmp = comp_root / f".tmp-{uuid.uuid4().hex}"
+        resolved.write.mode("overwrite").parquet(str(tmp))
+        target = comp_root / f"upto={upto}"
+        if target.exists():  # stale crash leftover: marker was never written
+            import shutil
+
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+        mtmp = self.root / "_compaction" / f".tmp-{uuid.uuid4().hex}"
+        mtmp.parent.mkdir(exist_ok=True)
+        mtmp.write_text(json.dumps({"upto": upto, "batches": live}))
+        os.rename(mtmp, self.root / "_compaction" / str(upto))  # commit point
+        # retire superseded inputs (post-commit cleanup; best-effort)
+        import shutil
+
+        for b in live:
+            shutil.rmtree(self.root / "data" / f"batch={b}", ignore_errors=True)
+        if prev is not None:
+            shutil.rmtree(comp_root / f"upto={prev}", ignore_errors=True)
+        return upto
 
 
 def fan_out(batch_df: DataFrame, batch_id: int, sinks: list) -> None:

@@ -1,0 +1,79 @@
+"""Sink compaction: folding committed batch dirs into a base snapshot
+must not change the resolved view, must keep replayed batch ids no-ops
+(exactly-once survives), and later batches must still win
+last-writer-wins over compacted rows."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from gush_spark.streaming.sink import IdempotentKeyedSink
+
+
+def _write(spark, sink, batch_id, rows):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    sink.write_batch(df, batch_id)
+
+
+def _view(spark, sink):
+    return {r["k"]: r["v"] for r in sink.read(spark).collect()}
+
+
+def test_compaction_preserves_resolved_view_and_retires_dirs(spark, tmp_path):
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["k"])
+    _write(spark, sink, 0, [("a", 1), ("b", 1)])
+    _write(spark, sink, 1, [("a", 2)])
+    _write(spark, sink, 2, [("c", 5)])
+    before = _view(spark, sink)
+    assert before == {"a": 2, "b": 1, "c": 5}
+
+    assert sink.compact(spark) == 2
+    assert sink.latest_compaction() == 2
+    assert _view(spark, sink) == before
+    # superseded per-batch dirs are gone; commit markers are kept
+    assert not any(Path(tmp_path / "s" / "data").glob("batch=*"))
+    assert sink.committed_batches() == [0, 1, 2]
+
+
+def test_replay_of_compacted_batch_is_noop(spark, tmp_path):
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["k"])
+    _write(spark, sink, 0, [("a", 1)])
+    _write(spark, sink, 1, [("a", 2)])
+    sink.compact(spark)
+    # a replayed (even corrupted-upstream) batch 1 must not re-apply
+    _write(spark, sink, 1, [("a", 999)])
+    assert _view(spark, sink) == {"a": 2}
+
+
+def test_batches_after_compaction_win_last_writer(spark, tmp_path):
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["k"])
+    _write(spark, sink, 0, [("a", 1), ("b", 1)])
+    sink.compact(spark)
+    _write(spark, sink, 3, [("a", 7)])
+    assert _view(spark, sink) == {"a": 7, "b": 1}
+    # second compaction folds snapshot + new batch
+    assert sink.compact(spark) == 3
+    assert _view(spark, sink) == {"a": 7, "b": 1}
+    assert sink.latest_compaction() == 3
+
+
+def test_compact_append_mode_keeps_every_row(spark, tmp_path):
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=[])
+    _write(spark, sink, 0, [("a", 1), ("a", 1)])
+    _write(spark, sink, 1, [("b", 2)])
+    before = sorted(
+        (r["k"], r["v"]) for r in sink.read_all_appends(spark).collect()
+    )
+    sink.compact(spark)
+    after = sorted(
+        (r["k"], r["v"]) for r in sink.read_all_appends(spark).collect()
+    )
+    assert before == after == [("a", 1), ("a", 1), ("b", 2)]
+
+
+def test_compact_nothing_new_is_noop(spark, tmp_path):
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["k"])
+    _write(spark, sink, 0, [("a", 1)])
+    assert sink.compact(spark) == 0
+    assert sink.compact(spark) == 0  # nothing new → returns prev marker
+    assert _view(spark, sink) == {"a": 1}

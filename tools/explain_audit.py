@@ -136,6 +136,19 @@ def main() -> int:
     p = plan_of(salted)
     check("skew.salted_two_stage", p.count("HashAggregate") >= 3)  # partial+final x2 stages
 
+    # 7. top-k is distributed partial top-k (TakeOrderedAndProject), not a
+    # global sort through one reducer; the only Sort/Window allowed is the
+    # k-row re-rank ABOVE the limit
+    from gush_spark.queries import all_queries
+
+    topk = all_queries()["top_users"](spark, sf_dir)
+    p = plan_of(topk)
+    check("topk.take_ordered_and_project", "TakeOrderedAndProject" in p, p[-400:])
+    check("topk.no_global_sort",
+          re.search(r"\(\d+\) Sort\b", p) is None
+          and "Exchange SinglePartition" not in p,
+          "a full sort / single-partition exchange feeds the limit")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
