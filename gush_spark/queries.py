@@ -99,6 +99,41 @@ def q_field_projection_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F6/F7 — typed MapType field access (getField/getAsFloat analogs,
+# reference BinlogEvent.scala:34-36): the dynamic props become a real
+# map<string,string> column and the accessors project/cast from it —
+# the map-column path gush's windowed avg consumes (cep/Cep.scala:41)
+# ---------------------------------------------------------------------------
+@query(
+    "map_field_projection",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                         AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_k,
+           max(CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                    AS BIGINT)) AS max_k,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_map_field_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gush_spark.operators.events import get_as_float, get_field
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "fields", F.from_json(F.col("props"), "map<string,string>")
+    )
+    k_f = get_as_float("k")  # map access + float cast, NULL on bad/missing
+    return ev.groupBy("event_type").agg(
+        (F.sum(k_f.cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_k"
+        ),
+        F.max(get_field(ev, "k").cast("long")).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sort + limit — deterministic top-k (rank by count desc, id asc)
 # ---------------------------------------------------------------------------
 @query(

@@ -58,6 +58,28 @@ def read_pages_stream_iceberg(
     )
 
 
+def merge_sql(table: str, keys: list[str], cols: list[str], source_view: str) -> str:
+    """The MERGE INTO statement the sink issues per microbatch — pure
+    string builder so the contract is test-pinned even where no Iceberg
+    runtime exists (tests/test_iceberg_contract.py). Keyed upsert:
+    matched rows update every non-key column, unmatched insert all."""
+    if not keys:
+        raise ValueError("MERGE sink requires at least one key column")
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"key columns absent from batch: {missing}")
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in keys)
+    names = ", ".join(cols)
+    vals = ", ".join(f"s.{c}" for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {source_view} s "
+        f"ON {cond} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
+    )
+
+
 class IcebergMergeSink:
     """Exactly-once keyed sink via MERGE INTO (foreachBatch body).
 
@@ -73,18 +95,9 @@ class IcebergMergeSink:
         spark = batch_df.sparkSession
         if not iceberg_available(spark):
             raise RuntimeError("no Iceberg runtime — use IdempotentKeyedSink")
-        batch_df.createOrReplaceTempView(f"_gush_batch_{batch_id}")
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
-        cols = batch_df.columns
-        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in self.keys)
-        names = ", ".join(cols)
-        vals = ", ".join(f"s.{c}" for c in cols)
-        spark.sql(
-            f"MERGE INTO {self.table} t USING _gush_batch_{batch_id} s "
-            f"ON {cond} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
-        )
+        view = f"_gush_batch_{batch_id}"
+        batch_df.createOrReplaceTempView(view)
+        spark.sql(merge_sql(self.table, self.keys, batch_df.columns, view))
 
     def foreach_batch(self):
         return lambda df, bid: self.write_batch(df, bid)

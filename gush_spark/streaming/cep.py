@@ -239,9 +239,100 @@ def _cep_func(
         state.remove()
 
 
-def cep_enrich(events: DataFrame, watermark_delay: str | None = "10 minutes") -> DataFrame:
-    """Run the CEP state machine over a (streaming or batch-test) events
+# user-pluggable rule: (event-time-sorted per-host pandas batch, JSON-able
+# state dict) → output pandas batch; mutate the state dict in place
+CepRule = Callable[[pd.DataFrame, dict], pd.DataFrame]
+
+# custom-rule state codec: one JSON string column — the rule owns the
+# shape (gush's user surface is arbitrary Flow/Sink lambdas,
+# cep/Cep.scala:30,38; ours is an arbitrary python state dict)
+GENERIC_STATE_SCHEMA = T.StructType([T.StructField("js", T.StringType())])
+
+
+def _make_custom_func(rule: CepRule, ttl_ms: int, has_watermark: bool):
+    import json
+
+    def func(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        sdict = json.loads(state.get[0]) if state.exists else {}
+        for pdf in pdf_iter:
+            if len(pdf):
+                out = rule(
+                    pdf.sort_values(
+                        ["warc_ts_us", "event_id"], kind="stable"
+                    ).reset_index(drop=True),
+                    sdict,
+                )
+                if out is not None and len(out):
+                    yield out
+        if sdict:
+            state.update((json.dumps(sdict),))
+            # getCurrentWatermarkMs raises without a watermark — only
+            # arm the event-time TTL when the plan carries one
+            if ttl_ms and has_watermark and state.getCurrentWatermarkMs() > 0:
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        else:
+            state.remove()
+
+    return func
+
+
+# --- example plug-in rule: gush's windowed count flow -----------------------
+# (GushCEP.scala:40-42 bookingsWindowCount re-expressed as a CepRule; the
+# canonical demonstration that a user flow plugs into the same stateful
+# machinery — tests/test_cep_custom_rule.py runs it through a stream)
+WINDOWED_COUNT_WIN_US = 600 * 1_000_000  # 10-minute tumbling windows
+
+WINDOWED_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("window_start_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def windowed_count_rule(pdf: pd.DataFrame, state: dict) -> pd.DataFrame:
+    """Running per-(host, window) event count; state maps
+    window_start_us (as str — JSON keys) → running total."""
+    wins = (pdf["warc_ts_us"] // WINDOWED_COUNT_WIN_US) * WINDOWED_COUNT_WIN_US
+    out = []
+    for w, n in sorted(wins.value_counts().items()):
+        key = str(int(w))
+        state[key] = state.get(key, 0) + int(n)
+        out.append(
+            {
+                "host": pdf["host"].iloc[0],
+                "window_start_us": int(w),
+                "n_events": state[key],
+            }
+        )
+    return pd.DataFrame(out, columns=[f.name for f in WINDOWED_COUNT_SCHEMA.fields])
+
+
+def cep_enrich(
+    events: DataFrame,
+    watermark_delay: str | None = "10 minutes",
+    rule: CepRule | None = None,
+    output_schema: T.StructType | None = None,
+    ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Run a CEP state machine over a (streaming or batch-test) events
     DataFrame with columns (event_id, url, host, warc_ts, event_type).
+
+    Default (rule=None): the crawl/recrawl/drop machine
+    (``apply_rules_fast``) with the typed parallel-array state codec.
+
+    Plug-in point (SURVEY.md §2.10): pass ``rule`` — a python function
+    ``(pdf, state_dict) -> pdf`` over the event-time-sorted per-host
+    batch — plus the matching ``output_schema``. State is any JSON-able
+    dict, persisted per host as one JSON string; an empty dict after the
+    batch clears the key's state. Idle hosts are evicted ``ttl_ms``
+    past the watermark (event-time TTL), same as the default machine.
 
     One shuffle on host (the state key). Skewed hosts: state per key is
     O(live urls per host); hot hosts should be pre-salted upstream only
@@ -264,10 +355,22 @@ def cep_enrich(events: DataFrame, watermark_delay: str | None = "10 minutes") ->
         if (watermark_delay and events.isStreaming)
         else GroupStateTimeout.NoTimeout
     )
+    if rule is None:
+        func, out_schema, state_schema = _cep_func, CEP_OUTPUT_SCHEMA, CEP_STATE_SCHEMA
+    else:
+        if output_schema is None:
+            raise ValueError("a custom rule needs its output_schema")
+        func, out_schema, state_schema = (
+            _make_custom_func(
+                rule, ttl_ms, bool(watermark_delay and events.isStreaming)
+            ),
+            output_schema,
+            GENERIC_STATE_SCHEMA,
+        )
     return ev.groupBy("host").applyInPandasWithState(
-        _cep_func,
-        outputStructType=CEP_OUTPUT_SCHEMA,
-        stateStructType=CEP_STATE_SCHEMA,
+        func,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=timeout,
     )

@@ -211,6 +211,44 @@ def read_salted_rollup(spark: SparkSession, sink: IdempotentKeyedSink) -> DataFr
     )
 
 
+def start_independent_queries(
+    spark: SparkSession,
+    events_path: str,
+    specs: dict,
+    checkpoint_root: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """S7 variant (b): N fully independent StreamingQueries over ONE
+    replayable source — gush's ``Sink.combine(...5 sinks...)`` fan-out
+    (GushCEP.scala:15-22) when the sinks must not share fate.
+
+    Each spec is ``name -> (transform, sink, output_mode)`` where
+    ``transform(stream_df) -> df`` and ``sink`` is an
+    ``IdempotentKeyedSink``. Every query re-reads the source with its
+    OWN offsets + checkpoint (``checkpoint_root/name``), so the sinks
+    progress, restart and backpressure independently — one slow or
+    crashing consumer cannot stall the others. The cost vs the shared
+    ``fan_out`` foreachBatch (streaming/sink.py) is N source scans; the
+    source being a replayable table (Iceberg/parquet) is exactly what
+    makes this safe. Returns name -> (query, sink)."""
+    from gush_spark.streaming.source import read_page_events_stream
+
+    out = {}
+    for name, (transform, sink, mode) in specs.items():
+        stream = read_page_events_stream(spark, events_path, max_files_per_trigger)
+        df = transform(stream)
+        writer = (
+            df.writeStream.outputMode(mode)
+            .foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", f"{checkpoint_root}/{name}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        out[name] = (writer.start(), sink)
+    return out
+
+
 def cep_pipeline(
     spark: SparkSession,
     events_path: str,

@@ -1,0 +1,80 @@
+"""Contract tests for the Iceberg production path, runnable without an
+Iceberg runtime: the MERGE statement text is pinned, the availability
+gate fails closed, and write_batch wiring issues exactly the pinned SQL
+(mocked session) — guarding the string builder the sandbox can never
+execute (ADVICE.md: the production source/sink path was unexercised)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gush_spark.sources.iceberg import IcebergMergeSink, iceberg_available, merge_sql
+
+
+def test_merge_sql_pinned():
+    got = merge_sql(
+        "warehouse.page_rollup",
+        keys=["host", "window_start"],
+        cols=["host", "window_start", "n_pages", "n_errors"],
+        source_view="_gush_batch_7",
+    )
+    assert got == (
+        "MERGE INTO warehouse.page_rollup t USING _gush_batch_7 s "
+        "ON t.host = s.host AND t.window_start = s.window_start "
+        "WHEN MATCHED THEN UPDATE SET t.n_pages = s.n_pages, t.n_errors = s.n_errors "
+        "WHEN NOT MATCHED THEN INSERT (host, window_start, n_pages, n_errors) "
+        "VALUES (s.host, s.window_start, s.n_pages, s.n_errors)"
+    )
+
+
+def test_merge_sql_rejects_bad_keys():
+    with pytest.raises(ValueError):
+        merge_sql("t", keys=[], cols=["a"], source_view="v")
+    with pytest.raises(ValueError):
+        merge_sql("t", keys=["missing"], cols=["a"], source_view="v")
+
+
+class _FakeSession:
+    def __init__(self):
+        self.issued: list[str] = []
+
+    def sql(self, text):
+        self.issued.append(text)
+
+
+class _FakeBatchDF:
+    columns = ["host", "window_start", "n_pages"]
+
+    def __init__(self, session):
+        self.sparkSession = session
+        self.views: list[str] = []
+
+    def createOrReplaceTempView(self, name):
+        self.views.append(name)
+
+
+def test_write_batch_issues_pinned_merge(monkeypatch):
+    import gush_spark.sources.iceberg as ice
+
+    monkeypatch.setattr(ice, "iceberg_available", lambda spark: True)
+    session = _FakeSession()
+    df = _FakeBatchDF(session)
+    IcebergMergeSink("cat.db.rollup", keys=["host", "window_start"]).write_batch(df, 42)
+    assert df.views == ["_gush_batch_42"]
+    assert session.issued == [
+        merge_sql(
+            "cat.db.rollup",
+            ["host", "window_start"],
+            ["host", "window_start", "n_pages"],
+            "_gush_batch_42",
+        )
+    ]
+
+
+def test_write_batch_fails_closed_without_runtime(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(host="h", window_start=1, n=1)])
+    with pytest.raises(RuntimeError, match="no Iceberg runtime"):
+        IcebergMergeSink("t", keys=["host"]).write_batch(df, 0)
+    assert iceberg_available(spark) is False

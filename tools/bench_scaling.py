@@ -218,9 +218,14 @@ def orchestrate() -> None:
                 raise RuntimeError(f"run failed at local[{cores}]")
             runs.append(json.loads(lines[-1]))
             print(lines[-1], file=sys.stderr)
-        # best-of-N: this shared VM shows random multi-10s stalls that
-        # only ever slow a run down; the best run is the honest capability
+        # PRIMARY statistic: the median run. best-of is kept as a
+        # clearly-labeled secondary (this shared VM shows random
+        # multi-10s stalls that only ever slow a run down, so best-of
+        # estimates unthrottled capability — but it is the optimistic
+        # pick, and the headline number must not be)
         best = max(runs, key=lambda r: r["steady_pages_per_sec"] or 0)
+        steadies = sorted(r["steady_pages_per_sec"] or 0 for r in runs)
+        best["median_steady"] = steadies[len(steadies) // 2]
         best["all_runs_steady"] = [r["steady_pages_per_sec"] for r in runs]
         results[cores] = best
         all_hashes.extend(r["sink_hash"] for r in runs)
@@ -229,16 +234,24 @@ def orchestrate() -> None:
     n, n4 = LEVELS
     r_n, r_n4 = results[n], results[n4]
     factor = n4 / n
-    eff_steady = r_n4["steady_pages_per_sec"] / (factor * r_n["steady_pages_per_sec"])
+    # PRIMARY: raw median-of-runs N→4N efficiency — no best-of
+    # selection, no hardware-ceiling normalization baked in
+    eff_median = r_n4["median_steady"] / (factor * r_n["median_steady"])
+    eff_best = r_n4["steady_pages_per_sec"] / (factor * r_n["steady_pages_per_sec"])
     eff_wall = r_n4["pages_per_sec_wall"] / (factor * r_n["pages_per_sec_wall"])
     identical = len(set(all_hashes)) == 1 and r_n["sink_rows"] == r_n4["sink_rows"]
 
     summary = {
-        "metric": "scaling_efficiency_steady",
-        "value": round(eff_steady, 3),
-        "eff_wall": round(eff_wall, 3),
+        "metric": "scaling_efficiency_median_raw",
+        "value": round(eff_median, 3),
+        "secondary": {
+            "eff_best_of": round(eff_best, 3),
+            "eff_wall": round(eff_wall, 3),
+            "eff_best_normalized_to_ceiling": round(
+                eff_best / ceiling["ceiling_efficiency"], 3
+            ),
+        },
         "host_ceiling": ceiling,
-        "eff_normalized": round(eff_steady / ceiling["ceiling_efficiency"], 3),
         "levels": results,
         "identical_output": identical,
         "pages": N_PAGES,
@@ -297,15 +310,23 @@ all runs.
 | trigger | AvailableNow, {FILES_PER_TRIGGER} files/microbatch |
 | process launch | POSIX_SPAWN (vfork from a multi-GB JVM stalls; see session.py) |
 
-## Results (best of {REPEATS} runs per level; all runs shown)
+## Results ({REPEATS} runs per level; every run shown)
 
-| parallelism | wall (s) | pages/s (wall) | pages/s (steady-state) | all runs (steady) | sink rows | sink hash |
-|---|---|---|---|---|---|---|
-| local[{n}] (N) | {rn["wall_sec"]} | {rn["pages_per_sec_wall"]} | {rn["steady_pages_per_sec"]} | {rn["all_runs_steady"]} | {rn["sink_rows"]} | `{rn["sink_hash"]}` |
-| local[{n4}] (4N) | {rn4["wall_sec"]} | {rn4["pages_per_sec_wall"]} | {rn4["steady_pages_per_sec"]} | {rn4["all_runs_steady"]} | {rn4["sink_rows"]} | `{rn4["sink_hash"]}` |
+| parallelism | wall (s, best) | pages/s (wall, best) | pages/s (steady, MEDIAN of runs) | pages/s (steady, best run) | all runs (steady) | sink rows | sink hash |
+|---|---|---|---|---|---|---|---|
+| local[{n}] (N) | {rn["wall_sec"]} | {rn["pages_per_sec_wall"]} | {rn["median_steady"]} | {rn["steady_pages_per_sec"]} | {rn["all_runs_steady"]} | {rn["sink_rows"]} | `{rn["sink_hash"]}` |
+| local[{n4}] (4N) | {rn4["wall_sec"]} | {rn4["pages_per_sec_wall"]} | {rn4["median_steady"]} | {rn4["steady_pages_per_sec"]} | {rn4["all_runs_steady"]} | {rn4["sink_rows"]} | `{rn4["sink_hash"]}` |
 
-**Scaling efficiency (steady-state): {s["value"]:.3f}** — raw, vs the
-ideal {int(n4 / n)}x. Wall-clock incl. cold start: {s["eff_wall"]:.3f}.
+**PRIMARY — scaling efficiency (median-of-runs, raw): {s["value"]:.3f}**
+vs the ideal {int(n4 / n)}x. No best-of selection, no ceiling
+normalization — the median run at each level, divided.
+
+Secondary views (each biased optimistic in a disclosed way):
+- best-of-{REPEATS} raw: {s["secondary"]["eff_best_of"]:.3f} (stall-free
+  capability — sandbox stalls only ever slow runs down);
+- wall-clock incl. cold start (best runs): {s["secondary"]["eff_wall"]:.3f};
+- best-of normalized to the measured host ceiling:
+  {s["secondary"]["eff_best_normalized_to_ceiling"]:.3f}.
 
 **Why N={n}, 4N={n4}:** the workload-matched ceiling microbench
 (below) shows this VM cannot scale ANY process-parallel workload 4x
@@ -318,18 +339,13 @@ job-added serialization is actually observable.
 **Host parallel ceiling: {s["host_ceiling"]["ceiling_efficiency"]:.3f}** —
 aggregate throughput of {n} vs {n4} *independent python processes
 running the job's own `featurize_text`* (no Spark, no Arrow, best of
-3). The job cannot out-scale its hardware, so the meaningful number is
-
-**hardware-normalized efficiency: {s["eff_normalized"]:.3f}**
-(= raw / ceiling) — the job introduces ~no serialization beyond what
-the host itself imposes on any {n4}-way parallel workload.
+3). The job cannot out-scale its hardware; the ceiling is published so
+the job-added serialization is separable from host throttling.
 
 Methodology: steady-state is the MEDIAN per-batch rate excluding
 batch 0 (JIT, python-worker spawn, RocksDB open — one-time costs a
-long-running stream amortizes) and the empty AvailableNow tail; median
-+ best-of-{REPEATS} because this shared host shows rare multi-10-second
-stalls unrelated to the job (only ever slowing runs down; all per-run
-and per-batch numbers reported verbatim below).
+long-running stream amortizes) and the empty AvailableNow tail; all
+per-run and per-batch numbers reported verbatim below.
 
 **Identical exactly-once output: {"YES" if s["identical_output"] else "NO"}**
 (order-insensitive sha256 over the final keyed sink view across ALL
