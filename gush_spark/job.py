@@ -36,12 +36,15 @@ from gush_spark.streaming.pipeline import (
     cep_pipeline,
     featurize_pipeline,
     pages_pipeline,
+    salted_rollup_pipeline,
 )
+from gush_spark.streaming.supervisor import run_supervised
 
 PIPELINES = {
     "pages": pages_pipeline,        # extract → windowed counts → sink
     "featurize": featurize_pipeline,  # extract → featurize → rollup → sink
     "cep": cep_pipeline,            # events → stateful CEP → sink
+    "salted": salted_rollup_pipeline,  # skew-salted rollup (hot hosts)
 }
 
 
@@ -65,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
         "--continuous", action="store_true",
         help="run until stopped (default: AvailableNow — drain and exit)",
     )
+    ap.add_argument(
+        "--max-restarts", type=int, default=0,
+        help="supervised mode: restart a failed query from its checkpoint "
+             "up to N times (the reference's actor-supervision analog; "
+             "0 = fail fast)",
+    )
     args = ap.parse_args(argv)
 
     config = (
@@ -82,14 +91,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.pipeline in ("pages", "cep") and args.lineage:
         kwargs["lineage_path"] = args.lineage
-    query, _sink = pipeline(
-        spark,
-        args.input,
-        sink_path=args.sink,
-        checkpoint_path=args.checkpoint,
-        **kwargs,
-    )
-    query.awaitTermination()
+    def start():
+        return pipeline(
+            spark,
+            args.input,
+            sink_path=args.sink,
+            checkpoint_path=args.checkpoint,
+            **kwargs,
+        )
+
+    if args.max_restarts > 0:
+        run_supervised(
+            start, max_restarts=args.max_restarts, lineage_path=args.lineage
+        )
+    else:
+        query, _sink = start()
+        query.awaitTermination()
     return 0
 
 

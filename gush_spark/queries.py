@@ -477,6 +477,110 @@ def q_filter_classify_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP batch replay — the crawl/recrawl/drop state machine
+# (streaming/cep.py) re-expressed as pure window functions, so the
+# machine's semantics are oracle-checked end to end: segment = count of
+# preceding drops (state eviction), prior_ts = last updating event
+# before the row within its segment, crawl_count = running updates,
+# session_id = running new-session transitions (gap > 30 min).
+# tests/test_cep_batch_replay.py additionally asserts this equals
+# apply_rules_fast replayed over the same rows — the SQL ⇄ stateful
+# consistency triangle.
+# Scale shape: two exchanges (user) then (user, segment) — the second
+# re-sorts only within already-grouped data; everything else is
+# window-function pipelining, no Python.
+# ---------------------------------------------------------------------------
+_CEP_GAP_US = 30 * 60 * 1_000_000
+
+@query(
+    "cep_replay_batch",
+    oracle=f"""
+    WITH mapped AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE event_type WHEN 'view' THEN 'crawl'
+                             WHEN 'click' THEN 'recrawl'
+                             WHEN 'purchase' THEN 'drop'
+                             ELSE 'unknown' END AS page_event_type
+      FROM events),
+    seg AS (
+      SELECT *,
+             COALESCE(sum(CASE WHEN page_event_type = 'drop' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS seg
+      FROM mapped),
+    l2 AS (
+      SELECT *,
+             max(CASE WHEN page_event_type IN ('crawl', 'recrawl')
+                      THEN ts_us END)
+               OVER (PARTITION BY user_id, seg ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_ts_us,
+             CAST(sum(CASE WHEN page_event_type IN ('crawl', 'recrawl')
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, seg ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS crawl_count
+      FROM seg)
+    SELECT event_id, user_id, ts_us, page_event_type, prior_ts_us, crawl_count,
+           CAST(sum(CASE WHEN page_event_type IN ('crawl', 'recrawl')
+                         AND (prior_ts_us IS NULL
+                              OR ts_us - prior_ts_us > {_CEP_GAP_US})
+                         THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, seg ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM l2
+    """,
+)
+def q_cep_replay_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "view", "crawl")
+        .when(F.col("event_type") == "click", "recrawl")
+        .when(F.col("event_type") == "purchase", "drop")
+        .otherwise("unknown")
+        .alias("page_event_type"),
+    )
+    upd = F.col("page_event_type").isin("crawl", "recrawl").cast("long")
+    drp = (F.col("page_event_type") == "drop").cast("long")
+    w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = ev.withColumn(
+        "seg",
+        F.coalesce(
+            F.sum(drp).over(w_user.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    w_seg = Window.partitionBy("user_id", "seg").orderBy("ts_us", "event_id")
+    ev = ev.withColumn(
+        "prior_ts_us",
+        F.max(F.when(upd == 1, F.col("ts_us"))).over(
+            w_seg.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn(
+        "crawl_count",
+        F.sum(upd).over(w_seg.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    inc = (
+        (upd == 1)
+        & (
+            F.col("prior_ts_us").isNull()
+            | ((F.col("ts_us") - F.col("prior_ts_us")) > _CEP_GAP_US)
+        )
+    ).cast("long")
+    ev = ev.withColumn(
+        "session_id", F.sum(inc).over(w_seg.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return ev.select(
+        "event_id", "user_id", "ts_us", "page_event_type",
+        "prior_ts_us", "crawl_count", "session_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # A3 + skew salting — two-stage salted aggregate == plain GROUP BY
 # ---------------------------------------------------------------------------
 @query(
