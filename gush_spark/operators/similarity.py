@@ -159,6 +159,67 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multiprobe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Multi-probe ANN: score against the query's own sign bucket PLUS
+    every bucket at Hamming distance 1 (one flipped hyperplane) — the
+    standard recall fix for sign-bit LSH. A true near neighbor that sits
+    just across one hyperplane lands in a bucket differing by exactly
+    that bit; probing the n_bits one-flip neighbors recovers it without
+    coarsening the buckets themselves.
+
+    Scale shape: identical to ``lsh_topk`` — the corpus is bucketed
+    once and never re-shuffled; only the (tiny, broadcast) query side
+    fans out ×(n_bits+1). Each corpus vector lives in exactly one
+    bucket and probe buckets are distinct, so no pair is scored twice."""
+    from pyspark.sql import Window
+
+    bucketed = vectors.withColumn(
+        "bucket", sign_bucket(F.col(vec_col), n_bits)
+    ).withColumn("v_norm", l2_norm(F.col(vec_col)))
+    q0 = bucketed.join(
+        queries.select(F.col(id_col).alias("query_id")),
+        bucketed[id_col] == F.col("query_id"),
+    ).select(
+        "query_id", F.col(vec_col).alias("q_vec"), F.col("v_norm").alias("q_norm"),
+        F.col("bucket").alias("home_bucket"),
+    )
+    probes = F.array(
+        F.col("home_bucket"),
+        *[F.col("home_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+    )
+    q = q0.select(
+        "query_id", "q_vec", "q_norm", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), on="bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col(vec_col), F.col("q_norm"), F.col("v_norm")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_representatives(
     vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     label_col: str = "label",

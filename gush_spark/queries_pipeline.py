@@ -392,6 +392,101 @@ def q_doc_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# end-to-end corpus curation — the flagship composite: near-dup
+# clustering (keep the canonical per cluster), quality gate and
+# language gate in ONE query, i.e. exactly the selection pass a
+# training-data build runs over a crawl. Composes the already-verified
+# operators; the oracle re-assembles the same pipeline from the shared
+# SQL fragments (clusters are the recursive-CTE connected components).
+# Scale shape: clustering dominates (LSH candidates + label
+# propagation); quality/lang are pure column expressions fused into the
+# final projection — no extra shuffle beyond the doc_id join.
+# ---------------------------------------------------------------------------
+def _quality_feat_cte() -> str:
+    return """qfeat AS (
+      SELECT doc_id,
+             len(ws) AS n_tokens,
+             CAST(length(norm) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mtl,
+             CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS DOUBLE)
+               / length(norm) AS pr,
+             CAST(len(list_intersect(list_distinct(ws),
+                  ['the','and','of','to','in','is','a','that','for','it'])) AS DOUBLE)
+               / len(list_distinct(ws)) AS sr,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr
+      FROM w),
+    quality AS (
+      SELECT doc_id, n_tokens,
+             round(0.25 * least(mtl / 8.0, 1.0)
+                 + 0.25 * (1.0 - least(pr * 4.0, 1.0))
+                 + 0.25 * least(sr * 5.0, 1.0)
+                 + 0.25 * dr, 6) AS quality_score
+      FROM qfeat)"""
+
+
+def _lang_pred_cte() -> str:
+    langs = sorted(ta.STOPWORDS)
+    score_cols = ", ".join(
+        "round(CAST(len(list_intersect(list_distinct(ws), ["
+        + ", ".join(f"'{s}'" for s in ta.STOPWORDS[lang])
+        + f"])) AS DOUBLE) / len(list_distinct(ws)), 6) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return (
+        f"langscored AS (SELECT doc_id, {score_cols} FROM w), "
+        f"langs AS (SELECT doc_id, {pred} AS pred_lang FROM langscored)"
+    )
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}, {CAND},
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3),
+    {_JEDGES},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jedges
+              UNION ALL SELECT id_b, id_a FROM jedges),
+    walk(id, lbl) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT e.dst, w2.lbl FROM walk w2 JOIN edges e ON e.src = w2.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+    {_quality_feat_cte()},
+    {_lang_pred_cte()}
+    SELECT q.doc_id, q.n_tokens, q.quality_score, l.pred_lang
+    FROM quality q
+    JOIN langs l ON l.doc_id = q.doc_id
+    JOIN clusters c ON c.doc_id = q.doc_id
+    WHERE c.cluster_id = q.doc_id
+      AND q.quality_score >= 0.5
+      AND l.pred_lang = 'en'
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    canon = dedup.canonical_per_cluster(docs, "doc_id", "text", threshold=0.6)
+    feats = ta.quality_features(F.col("text"))
+    lang = ta.lang_scores(F.col("text"))
+    curated = (
+        docs.join(canon.filter(F.col("is_canonical")).select("doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            feats["n_tokens"].cast("long").alias("n_tokens"),
+            feats["quality_score"].alias("quality_score"),
+            lang["pred_lang"].alias("pred_lang"),
+        )
+        .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+    )
+    return curated
+
+
+# ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
 @query(
@@ -456,6 +551,36 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load(spark, sf_dir, "embeddings")
     queries_df = vecs.filter(F.col("vec_id") < 8)
     out = similarity.lsh_topk(vecs, queries_df, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_PROBE_LIST = "[bucket, " + ", ".join(f"xor(bucket, {1 << i})" for i in range(8)) + "]"
+
+
+@query(
+    "ann_topk_lsh_multiprobe",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM b
+           WHERE vec_id < 8),
+    q AS (SELECT query_id, q_vec, unnest({_PROBE_LIST}) AS bucket FROM q0),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_cos_sql("q.q_vec", "v.embedding")}, 6) AS score
+      FROM q JOIN b v ON v.bucket = q.bucket AND v.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    out = similarity.lsh_topk_multiprobe(vecs, queries_df, k=5)
     return out.select(
         "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
     )

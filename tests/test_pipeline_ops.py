@@ -161,3 +161,22 @@ def test_multimodal_blob_features_and_error_row(spark):
 def test_multimodal_codec_stubs_raise():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multiprobe_recovers_cross_hyperplane_neighbor(spark):
+    """A near neighbor one sign-flip away lives in an adjacent bucket:
+    single-bucket LSH misses it, one-flip multi-probe finds it."""
+    rows = [
+        (0, [0.05] + [1.0] * 7 + [0.0]),   # query: coord0 barely positive
+        (1, [-0.05] + [1.0] * 7 + [0.0]),  # near-dup across hyperplane 0
+        (2, [1.0] * 8 + [5.0]),            # same bucket as query, less similar
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = vecs.filter("vec_id = 0")
+    single = {r["neighbor_id"] for r in similarity.lsh_topk(vecs, q, k=2).collect()}
+    multi = {
+        r["neighbor_id"]
+        for r in similarity.lsh_topk_multiprobe(vecs, q, k=2).collect()
+    }
+    assert 1 not in single  # adjacent-bucket neighbor invisible
+    assert multi == {1, 2}  # multiprobe sees both, ranked by cosine
