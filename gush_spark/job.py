@@ -34,6 +34,7 @@ from gush_spark.session import ENGINE_CONFS
 from gush_spark.streaming.metrics import LineageListener
 from gush_spark.streaming.pipeline import (
     cep_pipeline,
+    curation_stream_pipeline,
     featurize_pipeline,
     pages_pipeline,
     salted_rollup_pipeline,
@@ -45,6 +46,7 @@ PIPELINES = {
     "featurize": featurize_pipeline,  # extract → featurize → rollup → sink
     "cep": cep_pipeline,            # events → stateful CEP → sink
     "salted": salted_rollup_pipeline,  # skew-salted rollup (hot hosts)
+    "curation": curation_stream_pipeline,  # extract → dedup → quality/lang gates
 }
 
 

@@ -213,30 +213,60 @@ def apply_rules_fast(
     )
 
 
-def _cep_func(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        # idle host past watermark: evict everything (bounded state)
-        state.remove()
-        return
-    if state.exists:
-        urls, ts_us, counts, sessions = state.get
-        sdict = {u: (t, c, s) for u, t, c, s in zip(urls, ts_us, counts, sessions)}
-    else:
-        sdict = {}
-    for pdf in pdf_iter:
-        if len(pdf):
-            yield apply_rules_fast(pdf, sdict)
-    if sdict:
-        state.update((list(sdict), [v[0] for v in sdict.values()],
-                      [v[1] for v in sdict.values()],
-                      [v[2] for v in sdict.values()]))
-        # TTL: hosts idle for > 1h of event time get evicted on timeout
-        if state.getCurrentWatermarkMs() > 0:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
-    else:
-        state.remove()
+def _make_cep_func(ttl_ms: int = 3_600_000, emit_closures: bool = False, key_host: str | None = None):
+    """Factory for the default-machine stateful function.
+
+    ``emit_closures=True`` turns the TTL eviction into an observable
+    event: when a host's state times out (idle past watermark + ttl),
+    one ``session_closed`` row per live url is emitted carrying the
+    final (prior_ts_us = last event ts, crawl_count, session_id) before
+    the state is removed — the CEP session-end record. event_id is -1
+    (synthetic; no input row produced it)."""
+
+    def func(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle host past watermark: evict everything (bounded state)
+            if emit_closures and state.exists:
+                urls, ts_us, counts, sessions = state.get
+                yield pd.DataFrame(
+                    {
+                        "host": key[0],
+                        "event_id": -1,
+                        "url": list(urls),
+                        "warc_ts_us": list(ts_us),
+                        "event_type": "session_closed",
+                        "prior_ts_us": pd.Series(list(ts_us), dtype="Int64"),
+                        "crawl_count": list(counts),
+                        "session_id": list(sessions),
+                    }
+                )
+            state.remove()
+            return
+        if state.exists:
+            urls, ts_us, counts, sessions = state.get
+            sdict = {u: (t, c, s) for u, t, c, s in zip(urls, ts_us, counts, sessions)}
+        else:
+            sdict = {}
+        for pdf in pdf_iter:
+            if len(pdf):
+                yield apply_rules_fast(pdf, sdict)
+        if sdict:
+            state.update((list(sdict), [v[0] for v in sdict.values()],
+                          [v[1] for v in sdict.values()],
+                          [v[2] for v in sdict.values()]))
+            # TTL: hosts idle past the watermark get evicted on timeout
+            if state.getCurrentWatermarkMs() > 0:
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        else:
+            state.remove()
+
+    return func
+
+
+# kept as the stable name tests/pipelines reference (1h TTL, silent eviction)
+_cep_func = _make_cep_func()
 
 
 # user-pluggable rule: (event-time-sorted per-host pandas batch, JSON-able
@@ -320,12 +350,17 @@ def cep_enrich(
     rule: CepRule | None = None,
     output_schema: T.StructType | None = None,
     ttl_ms: int = 3_600_000,
+    emit_closures: bool = False,
 ) -> DataFrame:
     """Run a CEP state machine over a (streaming or batch-test) events
     DataFrame with columns (event_id, url, host, warc_ts, event_type).
 
     Default (rule=None): the crawl/recrawl/drop machine
     (``apply_rules_fast``) with the typed parallel-array state codec.
+
+    ``emit_closures=True`` emits one ``session_closed`` summary row per
+    live url when a host's state is TTL-evicted (event-time idle past
+    the watermark) — session-end records instead of silent eviction.
 
     Plug-in point (SURVEY.md §2.10): pass ``rule`` — a python function
     ``(pdf, state_dict) -> pdf`` over the event-time-sorted per-host
@@ -356,7 +391,11 @@ def cep_enrich(
         else GroupStateTimeout.NoTimeout
     )
     if rule is None:
-        func, out_schema, state_schema = _cep_func, CEP_OUTPUT_SCHEMA, CEP_STATE_SCHEMA
+        func, out_schema, state_schema = (
+            _make_cep_func(ttl_ms, emit_closures),
+            CEP_OUTPUT_SCHEMA,
+            CEP_STATE_SCHEMA,
+        )
     else:
         if output_schema is None:
             raise ValueError("a custom rule needs its output_schema")

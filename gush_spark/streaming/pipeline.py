@@ -211,6 +211,62 @@ def read_salted_rollup(spark: SparkSession, sink: IdempotentKeyedSink) -> DataFr
     )
 
 
+def curation_stream_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    quality_threshold: float = 0.5,
+    lang: str = "en",
+):
+    """Crawl-time corpus curation: pages stream → blacklist filters →
+    vectorized extraction → streaming exact dedup (watermark-bounded
+    state, first occurrence wins) → quality + language gates (pure
+    column expressions) → exactly-once append sink of curated docs.
+
+    The streaming twin of the batch ``curation_pipeline`` catalog query:
+    the batch pass sweeps the corpus (including near-dup clustering,
+    which needs global connectivity); this stage keeps exact duplicates
+    and junk from ever landing. Stateful footprint: one dedup entry per
+    distinct fingerprint inside the watermark horizon — the only
+    shuffle is on the 16-byte fingerprint."""
+    from gush_spark.functions import text_analysis as ta
+    from gush_spark.streaming.dedup import dedup_pages_stream
+
+    stream = read_pages_stream(spark, pages_path, config.max_files_per_trigger)
+    extracted = extracted_pages(stream, config)
+    deduped = dedup_pages_stream(
+        extracted.filter(F.col("extract_error").isNull()),
+        watermark_delay=config.watermark_delay,
+        text_col="extracted_text",
+    )
+    feats = ta.quality_features(F.col("extracted_text"))
+    scores = ta.lang_scores(F.col("extracted_text"))
+    curated = (
+        deduped.select(
+            "url", "host", "warc_ts", "fingerprint", "extracted_text",
+            feats["n_tokens"].cast("long").alias("n_tokens"),
+            feats["quality_score"].alias("quality_score"),
+            scores["pred_lang"].alias("pred_lang"),
+        )
+        .filter(
+            (F.col("quality_score") >= quality_threshold)
+            & (F.col("pred_lang") == lang)
+        )
+    )
+    sink = IdempotentKeyedSink(sink_path, keys=[])  # append: curated rows
+    writer = (
+        curated.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: sink.write_batch(df, bid))
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
 def start_independent_queries(
     spark: SparkSession,
     events_path: str,

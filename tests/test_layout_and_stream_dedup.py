@@ -108,9 +108,17 @@ def test_stream_dedup_first_occurrence_wins(spark, tmp_path):
     # flatten: file stream wants files, not dirs — move parquet files up
     import shutil
 
+    import os
+    import time
+
     files = sorted(src.rglob("*.parquet"))
+    now = time.time()
     for i, f in enumerate(files):
-        shutil.copy(f, src / f"part-{i}.parquet")
+        dst = src / f"part-{i}.parquet"
+        shutil.copy(f, dst)
+        # the file source orders new files by mtime: pin strictly
+        # ascending mtimes so chunk replay order is deterministic
+        os.utime(dst, (now + i, now + i))
         shutil.rmtree(f.parent)
 
     stream = read_pages_stream(spark, str(src), max_files_per_trigger=1)

@@ -149,6 +149,18 @@ def main() -> int:
           and "Exchange SinglePartition" not in p,
           "a full sort / single-partition exchange feeds the limit")
 
+    # 8. multi-probe ANN: the probe fan-out stays on the (broadcast)
+    # query side — the corpus bucket join must be a broadcast hash join,
+    # and the only explode feeds the query side, never the corpus
+    from gush_spark.operators.similarity import lsh_topk_multiprobe
+
+    mp = lsh_topk_multiprobe(vecs, vecs.filter(F.col("vec_id") < 8), k=5)
+    p = plan_of(mp)
+    check("ann.multiprobe_broadcast_join",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p)
+    check("ann.multiprobe_single_generate", p.count("Generate") <= 2,
+          f"explode nodes: {p.count('Generate')}")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
