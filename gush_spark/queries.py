@@ -609,8 +609,110 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J2 — broadcast dimension join (revenue per nation)
+# exact percentiles per group — Spark `percentile` (exact, linear
+# interpolation) ≡ DuckDB quantile_cont; p95 batch latency is the
+# BASELINE metric vocabulary, here applied to event values.
+# Scale note: exact percentile sorts within each group's partial
+# buffers — fine for bounded groups; at unbounded cardinality the scale
+# path is approx_percentile (sketch-mergeable), which trades the
+# cross-engine bit-exactness this oracle requires.
 # ---------------------------------------------------------------------------
+@query(
+    "percentile_summary",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical totals (nation → ALL) in one pass: Spark plans
+# one Expand + single hash-agg shuffle, not one scan per level
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT coalesce(n.n_name, 'ALL') AS nation,
+           coalesce(CAST(year(o.o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", F.year("o_orderdate").alias("oy"), "o_totalprice")
+    )
+    out = joined.rollup("n_name", "oy").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+    return out.select(
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        F.coalesce(F.col("oy").cast("string"), F.lit("ALL")).alias("order_year"),
+        "n_orders",
+        "revenue",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot — events long → wide (one column per kind); Spark pivot plans
+# the same single-pass conditional aggregation the oracle spells out
+# ---------------------------------------------------------------------------
+_PIVOT_KINDS = ("view", "click", "purchase")
+
+
+@query(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(sum(CASE WHEN event_type = '{k}' THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS n_{k}" for k in _PIVOT_KINDS
+           )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_KINDS))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in _PIVOT_KINDS],
+    )
 @query(
     "dim_join_revenue",
     oracle="""
