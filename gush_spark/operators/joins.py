@@ -50,3 +50,72 @@ def with_prior_event(
 def enrich_with_dim(fact: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
     """J2: broadcast hash join against a small dimension table."""
     return fact.join(F.broadcast(dim), on=on, how="left")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    carry: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """AS-OF join: each left row gets the ``carry`` columns of the right
+    row with the greatest ``right_ts`` ≤ its ``left_ts`` (same key);
+    NULLs when no right row precedes it. Ties (equal timestamps) match —
+    the ASOF inequality is inclusive, same as DuckDB's ``ASOF LEFT JOIN
+    … ON l.ts >= r.ts`` that the oracle uses.
+
+    Spark has no ASOF join operator; the naive range-join + per-left-row
+    "latest" window is quadratic in dense keys. This is the scale-safe
+    union-merge form: tag both sides, union, and run ONE window over
+    (key, ts) with a last-non-null carry-forward — a single shuffle on
+    the key, linear work, no join at all (the same trick as J1's lag).
+    Right rows sort BEFORE left rows at equal ts so ties are inclusive.
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate if not
+    (otherwise "the" matching row is undefined in any engine).
+
+    The carried columns travel as ONE struct: the matched right row's
+    struct is non-null even when its fields are null, so the
+    last-non-null carry-forward matches the right ROW, never skipping
+    over legitimately-null carry values to an older row.
+    """
+    carry_type = (
+        "struct<"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in carry)
+        + ">"
+    )
+    row_type = (
+        "struct<"
+        + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields)
+        + ">"
+    )
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_l"),
+        F.struct(*left.columns).alias("_row"),
+        F.lit(None).cast(carry_type).alias("_c"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_l"),
+        F.lit(None).cast(row_type).alias("_row"),
+        F.struct(*[F.col(c) for c in carry]).alias("_c"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_l")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "_is_l", "_row", F.last(F.col("_c"), ignorenulls=True).over(w).alias("_f")
+    ).filter(F.col("_is_l") == 1)
+    return filled.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_f.{c}").alias(f"{prefix}{c}") for c in carry],
+    )

@@ -447,6 +447,60 @@ def q_prior_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AS-OF join — every event enriched with the latest purchase at-or-
+# before its timestamp (per user). Spark lacks an ASOF operator; ours is
+# the union-merge form (operators/joins.py as_of_join — ONE shuffle on
+# the key, linear, no join node at all); the oracle uses DuckDB's
+# native ASOF LEFT JOIN, so the hash match proves the re-derivation.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_last_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+           epoch_us(p.ts) AS asof_purchase_ts_us,
+           p.purchase_value AS asof_purchase_value
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # unique per (key, ts): ASOF precondition
+        .agg(
+            F.max(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("purchase_value")
+        )
+        .select("user_id", F.col("ts").alias("p_ts"), "purchase_value")
+    )
+    out = joins.as_of_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        carry=["p_ts", "purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("ts_us"),
+        "event_type",
+        F.unix_micros(F.col("asof_p_ts").cast("timestamp")).alias(
+            "asof_purchase_ts_us"
+        ),
+        F.col("asof_purchase_value").alias("asof_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F1-F5 + P3 — kind filter + crawl/recrawl/drop classification
 # ---------------------------------------------------------------------------
 @query(

@@ -180,3 +180,27 @@ def test_multiprobe_recovers_cross_hyperplane_neighbor(spark):
     }
     assert 1 not in single  # adjacent-bucket neighbor invisible
     assert multi == {1, 2}  # multiprobe sees both, ranked by cosine
+
+
+def test_as_of_join_semantics(spark):
+    """Inclusive ties, no-match nulls, and null carry-field fidelity
+    (the matched row's null must not be skipped for an older value)."""
+    from gush_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 20), (2, 7)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 4, 40.0), (1, 10, None), (1, 15, 150.0)],
+        "k long, rts long, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["asof_rts"], r["asof_v"])
+        for r in as_of_join(
+            left, right, key="k", left_ts="ts", right_ts="rts", carry=["rts", "v"]
+        ).collect()
+    }
+    assert out[(1, 5)] == (4, 40.0)
+    assert out[(1, 10)] == (10, None)   # tie matches; its null v is kept
+    assert out[(1, 20)] == (15, 150.0)
+    assert out[(2, 7)] == (None, None)  # key with no right rows
