@@ -161,6 +161,25 @@ def main() -> int:
     check("ann.multiprobe_single_generate", p.count("Generate") <= 2,
           f"explode nodes: {p.count('Generate')}")
 
+    # 9. as-of join is the union-merge form: exactly one key Exchange
+    # feeding one Window, and NO join node anywhere in the plan
+    from gush_spark.operators.joins import as_of_join
+
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("v"))
+        .select("user_id", F.col("ts").alias("p_ts"), "v")
+    )
+    asof = as_of_join(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        key="user_id", left_ts="ts", right_ts="p_ts", carry=["p_ts", "v"],
+    )
+    p = plan_of(asof)
+    check("asof.no_join_node", "Join" not in p, "a join node appeared")
+    n_win_ex = len(re.findall(r"hashpartitioning\(_k", p))
+    check("asof.single_key_exchange", n_win_ex == 1,
+          f"key exchanges: {n_win_ex}")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
