@@ -186,6 +186,32 @@ def q_distinct_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_set_ops",
+    oracle="""
+    SELECT user_id, 'no_purchase' AS cohort FROM (
+      SELECT DISTINCT user_id FROM events
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT user_id, 'purchaser' AS cohort FROM (
+      SELECT DISTINCT user_id FROM events
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def q_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT (Catalyst plans both as hash anti-/semi-joins
+    on the already-distinct sides — one shuffle each, broadcast when a
+    side is small; never a sort-based set difference)."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    no_p = users.exceptAll(purchasers).withColumn("cohort", F.lit("no_purchase"))
+    with_p = users.intersect(purchasers).withColumn("cohort", F.lit("purchaser"))
+    return no_p.unionByName(with_p)
+
+
+@query(
     "union_dedup_events",
     oracle="""
     SELECT user_id, count(*) AS n_events FROM (
@@ -415,6 +441,44 @@ def q_session_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _us("window_start").alias("session_start_us"),
         _us("window_end").alias("session_end_us"),
         "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame trailing window — per-event running stats over the last
+# 30 minutes of EVENT TIME (not row count): the windows family's third
+# frame kind after tumbling/sliding groupings and ROWS frames. One
+# shuffle on the key; the frame is evaluated in a single sorted pass.
+# ---------------------------------------------------------------------------
+@query(
+    "trailing_window_stats",
+    oracle="""
+    SELECT event_id, user_id, ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_30m,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30m
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", _us("ts").alias("ts_us"),
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+        F.sum("value_dec").over(w).cast("double").alias("sum_30m"),
     )
 
 
