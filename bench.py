@@ -60,9 +60,16 @@ def bench_queries(spark) -> dict[str, float]:
     for name, fn in entrypoint.queries().items():
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()  # warm (scan cache, JIT)
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of 2 timed runs, disclosed in the output ("timing" field):
+        # this shared VM randomly throttles 2-5x for multi-second windows,
+        # and a single sample inside one would read as a phantom
+        # regression; the min of two warm runs is the quiet-host figure
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     return timings
 
 
@@ -132,6 +139,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "timing": "min_of_2_warm_runs",
         "queries": timings,
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
