@@ -489,14 +489,26 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), norm=F.col("_norm"), ws=F.col("_ws")
     )
     pred = ta.argmax_lang({f"score_{lg}": F.col(f"_sc_{lg}") for lg in langs})
-    return (
-        staged.select(
-            "doc_id",
-            feats["n_tokens"].cast("long").alias("n_tokens"),
-            feats["quality_score"].alias("quality_score"),
-            pred.alias("pred_lang"),
-        )
-        .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+    scored = staged.select(
+        "doc_id",
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+        pred.alias("pred_lang"),
+    )
+    # materialization barrier: the gate filter would otherwise be pushed
+    # into a Filter node that re-evaluates every feature expression
+    # (Filter + Project each inline the full interpreted-lambda trees —
+    # measured ~2x the feature cost). doc_id is unique and the canon
+    # join already hash-partitioned on it, so this aggregate adds NO
+    # exchange; its outputs are computed once and the filter above
+    # cannot be pushed below an aggregate result.
+    barrier = scored.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("quality_score").alias("quality_score"),
+        F.first("pred_lang").alias("pred_lang"),
+    )
+    return barrier.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en")
     )
 
 
