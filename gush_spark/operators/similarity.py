@@ -69,6 +69,22 @@ def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     return bucket.cast("int")
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k: rank by (score desc, neighbor_id)
+    and keep k. Shared tail of every ANN variant — the per-query
+    partition is bounded by that query's candidate set, never the
+    corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -105,13 +121,7 @@ def brute_force_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -121,65 +131,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_bits: int = 8,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k restricted to the query's sign-bit LSH bucket — the
-    scale path (bucketed self-join instead of corpus × queries)."""
-    from pyspark.sql import Window
+    scale path (bucketed self-join instead of corpus × queries).
 
-    bucketed = vectors.withColumn(
-        "bucket", sign_bucket(F.col(vec_col), n_bits)
-    ).withColumn("v_norm", l2_norm(F.col(vec_col)))
-    q = bucketed.join(
-        queries.select(F.col(id_col).alias("query_id")),
-        bucketed[id_col] == F.col("query_id"),
-    ).select(
-        "query_id", F.col(vec_col).alias("q_vec"), F.col("v_norm").alias("q_norm"),
-        "bucket",
-    )
-    scored = (
-        bucketed.join(F.broadcast(q), on="bucket")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                cosine_with_norms(
-                    F.col("q_vec"), F.col(vec_col), F.col("q_norm"), F.col("v_norm")
-                ),
-                6,
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-
-
-def lsh_topk_multiprobe(
-    vectors: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_bits: int = 8,
-) -> DataFrame:
-    """Multi-probe ANN: score against the query's own sign bucket PLUS
-    every bucket at Hamming distance 1 (one flipped hyperplane) — the
-    standard recall fix for sign-bit LSH. A true near neighbor that sits
-    just across one hyperplane lands in a bucket differing by exactly
-    that bit; probing the n_bits one-flip neighbors recovers it without
-    coarsening the buckets themselves.
-
-    Scale shape: identical to ``lsh_topk`` — the corpus is bucketed
-    once and never re-shuffled; only the (tiny, broadcast) query side
-    fans out ×(n_bits+1). Each corpus vector lives in exactly one
-    bucket and probe buckets are distinct, so no pair is scored twice."""
-    from pyspark.sql import Window
-
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 (one flipped hyperplane) — the standard recall fix: a
+    true near neighbor just across one hyperplane lands in a bucket
+    differing by exactly that bit. The corpus is bucketed once and
+    never re-shuffled; only the (tiny, broadcast) query side fans out
+    ×(n_bits+1). Each corpus vector lives in exactly one bucket and
+    probe buckets are distinct, so no pair is scored twice."""
     bucketed = vectors.withColumn(
         "bucket", sign_bucket(F.col(vec_col), n_bits)
     ).withColumn("v_norm", l2_norm(F.col(vec_col)))
@@ -190,13 +153,16 @@ def lsh_topk_multiprobe(
         "query_id", F.col(vec_col).alias("q_vec"), F.col("v_norm").alias("q_norm"),
         F.col("bucket").alias("home_bucket"),
     )
-    probes = F.array(
-        F.col("home_bucket"),
-        *[F.col("home_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
-    )
-    q = q0.select(
-        "query_id", "q_vec", "q_norm", F.explode(probes).alias("bucket")
-    )
+    if multiprobe:
+        probes = F.array(
+            F.col("home_bucket"),
+            *[F.col("home_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+        )
+        q = q0.select(
+            "query_id", "q_vec", "q_norm", F.explode(probes).alias("bucket")
+        )
+    else:
+        q = q0.withColumnRenamed("home_bucket", "bucket")
     scored = (
         bucketed.join(F.broadcast(q), on="bucket")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -211,13 +177,19 @@ def lsh_topk_multiprobe(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
+
+
+def lsh_topk_multiprobe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 8,
+) -> DataFrame:
+    """One-flip multi-probe ANN — ``lsh_topk(multiprobe=True)``."""
+    return lsh_topk(vectors, queries, id_col, vec_col, k, n_bits, multiprobe=True)
 
 
 def ivf_representatives(
@@ -300,13 +272,7 @@ def ivf_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_near_dup_pairs(

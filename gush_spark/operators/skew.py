@@ -52,13 +52,19 @@ def cap_hot_buckets(
         return df
     hot = hot_buckets(df, bucket_cols, max_bucket)
     if capped_stats is not None:
-        agg = hot.agg(
-            F.count(F.lit(1)).alias("nb"),
-            F.coalesce(F.sum("_bucket_size"), F.lit(0)).alias("nr"),
-        ).first()
+        # pay the bucket-count aggregation ONCE: collect the (small)
+        # hot-bucket list for the stats, then anti-join against it as a
+        # broadcast literal instead of re-running the aggregation inside
+        # the anti-join on every downstream action
+        rows = hot.collect()
         capped_stats.update(
-            n_capped_buckets=agg["nb"],
-            n_capped_rows=int(agg["nr"]),
+            n_capped_buckets=len(rows),
+            n_capped_rows=int(sum(r["_bucket_size"] for r in rows)),
             max_bucket=max_bucket,
+        )
+        if not rows:
+            return df
+        hot = F.broadcast(
+            df.sparkSession.createDataFrame(rows, schema=hot.schema)
         )
     return df.join(hot.select(*bucket_cols), on=bucket_cols, how="left_anti")

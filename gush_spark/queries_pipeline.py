@@ -76,6 +76,43 @@ _BUCKET_SQL = "(" + " + ".join(
 ) + ")::INTEGER"
 
 
+
+# quality-feature fragments shared by text_quality_score, doc_featurize
+# (inline variant) and curation_pipeline — ONE copy of the ratio math
+# and the 0.25-blend so the oracles cannot drift apart
+QUALITY_RATIOS = """len(ws) AS n_tokens,
+             CAST(length(norm) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mtl,
+             CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS DOUBLE)
+               / length(norm) AS pr,
+             CAST(len(list_intersect(list_distinct(ws),
+                  ['the','and','of','to','in','is','a','that','for','it'])) AS DOUBLE)
+               / len(list_distinct(ws)) AS sr,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr"""
+QUALITY_SCORE = """round(0.25 * least(mtl / 8.0, 1.0)
+               + 0.25 * (1.0 - least(pr * 4.0, 1.0))
+               + 0.25 * least(sr * 5.0, 1.0)
+               + 0.25 * dr, 6)"""
+
+
+def _lang_score_cols() -> str:
+    return ", ".join(
+        "round(CAST(len(list_intersect(list_distinct(ws), ["
+        + ", ".join(f"'{w}'" for w in ta.STOPWORDS[lang])
+        + f"])) AS DOUBLE) / len(list_distinct(ws)), 6) AS score_{lang}"
+        for lang in sorted(ta.STOPWORDS)
+    )
+
+
+def _lang_pred_expr() -> str:
+    langs = sorted(ta.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    return (
+        "CASE "
+        + " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -102,28 +139,19 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_quality_score",
     oracle=f"""
-    WITH {BASE}, {WORDS}, feat AS (
+    WITH {{BASE}}, {{WORDS}}, feat AS (
       SELECT doc_id,
-             len(ws) AS n_tokens,
-             CAST(length(norm) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mtl,
-             CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS DOUBLE)
-               / length(norm) AS pr,
-             CAST(len(list_intersect(list_distinct(ws),
-                  ['the','and','of','to','in','is','a','that','for','it'])) AS DOUBLE)
-               / len(list_distinct(ws)) AS sr,
-             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr
+             {{QUALITY_RATIOS}}
       FROM w)
     SELECT doc_id, n_tokens,
            round(mtl, 6) AS mean_token_len,
            round(pr, 6) AS punct_ratio,
            round(sr, 6) AS stopword_ratio,
            round(dr, 6) AS distinct_ratio,
-           round(0.25 * least(mtl / 8.0, 1.0)
-               + 0.25 * (1.0 - least(pr * 4.0, 1.0))
-               + 0.25 * least(sr * 5.0, 1.0)
-               + 0.25 * dr, 6) AS quality_score
+           {{QUALITY_SCORE}} AS quality_score
     FROM feat
-    """,
+    """.format(BASE=BASE, WORDS=WORDS, QUALITY_RATIOS=QUALITY_RATIOS,
+               QUALITY_SCORE=QUALITY_SCORE),
 )
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -141,25 +169,11 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _langid_oracle() -> str:
     langs = sorted(ta.STOPWORDS)
-    score_cols = ", ".join(
-        "round(CAST(len(list_intersect(list_distinct(ws), ["
-        + ", ".join(f"'{s}'" for s in ta.STOPWORDS[lang])
-        + f"])) AS DOUBLE) / len(list_distinct(ws)), 6) AS score_{lang}"
-        for lang in langs
-    )
-    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
-    pred = (
-        "CASE "
-        + " ".join(
-            f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
-        )
-        + " END"
-    )
     return f"""
     WITH {BASE}, {WORDS}, scored AS (
-      SELECT doc_id, {score_cols} FROM w)
+      SELECT doc_id, {_lang_score_cols()} FROM w)
     SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
-           {pred} AS pred_lang
+           {_lang_pred_expr()} AS pred_lang
     FROM scored
     """
 
@@ -403,43 +417,21 @@ def q_doc_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final projection — no extra shuffle beyond the doc_id join.
 # ---------------------------------------------------------------------------
 def _quality_feat_cte() -> str:
-    return """qfeat AS (
+    return f"""qfeat AS (
       SELECT doc_id,
-             len(ws) AS n_tokens,
-             CAST(length(norm) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mtl,
-             CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS DOUBLE)
-               / length(norm) AS pr,
-             CAST(len(list_intersect(list_distinct(ws),
-                  ['the','and','of','to','in','is','a','that','for','it'])) AS DOUBLE)
-               / len(list_distinct(ws)) AS sr,
-             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr
+             {QUALITY_RATIOS}
       FROM w),
     quality AS (
       SELECT doc_id, n_tokens,
-             round(0.25 * least(mtl / 8.0, 1.0)
-                 + 0.25 * (1.0 - least(pr * 4.0, 1.0))
-                 + 0.25 * least(sr * 5.0, 1.0)
-                 + 0.25 * dr, 6) AS quality_score
+             {QUALITY_SCORE} AS quality_score
       FROM qfeat)"""
 
 
 def _lang_pred_cte() -> str:
-    langs = sorted(ta.STOPWORDS)
-    score_cols = ", ".join(
-        "round(CAST(len(list_intersect(list_distinct(ws), ["
-        + ", ".join(f"'{s}'" for s in ta.STOPWORDS[lang])
-        + f"])) AS DOUBLE) / len(list_distinct(ws)), 6) AS score_{lang}"
-        for lang in langs
-    )
-    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
-    pred = (
-        "CASE "
-        + " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
-        + " END"
-    )
     return (
-        f"langscored AS (SELECT doc_id, {score_cols} FROM w), "
-        f"langs AS (SELECT doc_id, {pred} AS pred_lang FROM langscored)"
+        f"langscored AS (SELECT doc_id, {_lang_score_cols()} FROM w), "
+        f"langs AS (SELECT doc_id, {_lang_pred_expr()} AS pred_lang "
+        f"FROM langscored)"
     )
 
 

@@ -72,10 +72,13 @@ def merge_sql(table: str, keys: list[str], cols: list[str], source_view: str) ->
     sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in keys)
     names = ", ".join(cols)
     vals = ", ".join(f"s.{c}" for c in cols)
+    # all columns are keys → nothing to update on match; emitting an
+    # empty UPDATE SET would be a ParseException at microbatch time
+    matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
     return (
         f"MERGE INTO {table} t USING {source_view} s "
         f"ON {cond} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
     )
 

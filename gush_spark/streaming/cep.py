@@ -213,7 +213,11 @@ def apply_rules_fast(
     )
 
 
-def _make_cep_func(ttl_ms: int = 3_600_000, emit_closures: bool = False, key_host: str | None = None):
+def _make_cep_func(
+    ttl_ms: int = 3_600_000,
+    emit_closures: bool = False,
+    has_watermark: bool = True,
+):
     """Factory for the default-machine stateful function.
 
     ``emit_closures=True`` turns the TTL eviction into an observable
@@ -257,7 +261,9 @@ def _make_cep_func(ttl_ms: int = 3_600_000, emit_closures: bool = False, key_hos
                           [v[1] for v in sdict.values()],
                           [v[2] for v in sdict.values()]))
             # TTL: hosts idle past the watermark get evicted on timeout
-            if state.getCurrentWatermarkMs() > 0:
+            # (getCurrentWatermarkMs raises when the plan carries no
+            # watermark — same guard as the custom-rule path)
+            if has_watermark and state.getCurrentWatermarkMs() > 0:
                 state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         else:
             state.remove()
@@ -392,7 +398,9 @@ def cep_enrich(
     )
     if rule is None:
         func, out_schema, state_schema = (
-            _make_cep_func(ttl_ms, emit_closures),
+            _make_cep_func(
+                ttl_ms, emit_closures, bool(watermark_delay and events.isStreaming)
+            ),
             CEP_OUTPUT_SCHEMA,
             CEP_STATE_SCHEMA,
         )

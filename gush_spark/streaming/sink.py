@@ -104,6 +104,15 @@ class IdempotentKeyedSink:
         the live batch dirs written after it."""
         comp = self.latest_compaction()
         batches = [b for b in self.committed_batches() if comp is None or b > comp]
+        return self._assemble(spark, comp, batches)
+
+    def _assemble(
+        self, spark: SparkSession, comp: int | None, batches: list[int]
+    ) -> DataFrame:
+        """Rows+batch for an EXPLICIT (snapshot, batch-list) pair —
+        compact() pins the pair it listed so a batch committed by the
+        live stream mid-compaction can never be both folded into the
+        snapshot and left on disk (double-counted)."""
         parts = []
         if comp is not None:
             parts.append(
@@ -162,15 +171,22 @@ class IdempotentKeyedSink:
           table format.
 
         Returns B, or None when there is nothing to compact."""
-        batches = self.committed_batches()
         prev = self.latest_compaction()
-        live = [b for b in batches if prev is None or b > prev]
+        live = [b for b in self.committed_batches() if prev is None or b > prev]
         if not live:
             return prev
-        upto = max(batches)
-        resolved = (
-            self.read(spark) if self.keys else self.read_all_appends(spark)
-        )
+        upto = max(live)
+        # resolve over the PINNED (prev, live) pair — never re-list
+        df = self._assemble(spark, prev, live)
+        if self.keys:
+            w = Window.partitionBy(*self.keys).orderBy(F.col("batch").desc())
+            resolved = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "batch")
+            )
+        else:
+            resolved = df.drop("batch")
         comp_root = self.root / "compacted"
         comp_root.mkdir(exist_ok=True)
         tmp = comp_root / f".tmp-{uuid.uuid4().hex}"

@@ -78,3 +78,12 @@ def test_write_batch_fails_closed_without_runtime(spark):
     with pytest.raises(RuntimeError, match="no Iceberg runtime"):
         IcebergMergeSink("t", keys=["host"]).write_batch(df, 0)
     assert iceberg_available(spark) is False
+
+
+def test_merge_sql_all_key_columns_omits_matched_clause():
+    got = merge_sql("t", keys=["k1", "k2"], cols=["k1", "k2"], source_view="v")
+    assert "WHEN MATCHED" not in got
+    assert got == (
+        "MERGE INTO t t USING v s ON t.k1 = s.k1 AND t.k2 = s.k2 "
+        "WHEN NOT MATCHED THEN INSERT (k1, k2) VALUES (s.k1, s.k2)"
+    )
