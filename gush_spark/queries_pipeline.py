@@ -645,6 +645,47 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic dataset splitting — reproducible train/val/test
+# assignment by CONTENT-INDEPENDENT id hash (md5 bucket), never by
+# rand(): the split of a document is a pure function of its id, so it
+# is stable across runs, engines, cluster sizes and task retries, and
+# a re-crawled corpus keeps every doc in its original split (no
+# train/test leakage from resampling). 80/10/10 by md5 bucket.
+# ---------------------------------------------------------------------------
+@query(
+    "hash_split_sample",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           bucket
+    FROM assigned
+    """,
+)
+def q_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        bucket.alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 @query(
