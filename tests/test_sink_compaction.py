@@ -77,3 +77,21 @@ def test_compact_nothing_new_is_noop(spark, tmp_path):
     assert sink.compact(spark) == 0
     assert sink.compact(spark) == 0  # nothing new → returns prev marker
     assert _view(spark, sink) == {"a": 1}
+
+
+def test_assemble_pins_listing_against_concurrent_commits(spark, tmp_path):
+    """The compaction race fix: resolution runs over the (snapshot,
+    batch-list) pair listed ONCE — a batch committed by a live stream
+    after the listing is excluded from the snapshot rather than folded
+    in while its dir survives (which would double its rows)."""
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=[])
+    _write(spark, sink, 0, [("a", 1)])
+    _write(spark, sink, 1, [("b", 2)])
+    pinned = [0, 1]
+    # a concurrent stream commits batch 2 between listing and resolve
+    _write(spark, sink, 2, [("c", 3)])
+    rows = {r["k"] for r in sink._assemble(spark, None, pinned).collect()}
+    assert rows == {"a", "b"}  # pinned view excludes the late batch
+    # and the normal read still sees everything exactly once
+    all_rows = sorted(r["k"] for r in sink.read_all_appends(spark).collect())
+    assert all_rows == ["a", "b", "c"]
