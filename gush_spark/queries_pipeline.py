@@ -397,7 +397,10 @@ def q_doc_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.featurize import featurize
 
     docs = load(spark, sf_dir, "documents")
-    out = featurize(docs, "text", hash_fn="md5")  # oracle-parity backend
+    # md5_arrow: identical md5 values, computed Arrow-side — avoids the
+    # JVM MessageDigest convoy (operators/featurize.py) while keeping
+    # DuckDB parity; pinned equal to the all-JVM "md5" backend in tests
+    out = featurize(docs, "text", hash_fn="md5_arrow")
     return out.select(
         "doc_id", "quality_score", "fp60", "rolling_fp",
         F.element_at("minhash", 1).alias("mh_first"),

@@ -69,3 +69,24 @@ def test_frame_error_channel():
         "text", "n_segments", "extract_error", "quality_score", "pred_lang",
         "fp60", "rolling_fp", "minhash", "simhash",
     ]
+
+
+def test_featurize_md5_arrow_backend_matches_jvm_md5(spark):
+    """The Arrow md5 backend must be value-identical to the all-JVM md5
+    expressions on every output column (incl. null-text error rows)."""
+    from gush_spark.operators.featurize import featurize
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog again and again"),
+        (2, "Short one"),
+        (3, ""),
+        (4, None),
+        (5, "Unicode héllo wörld çafé text with accents répeated wörld"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = ["doc_id", "quality_score", "pred_lang", "fp60", "rolling_fp", "minhash"]
+    jvm = {r["doc_id"]: r for r in featurize(docs, "text", hash_fn="md5").select(cols).collect()}
+    arrow = {r["doc_id"]: r for r in featurize(docs, "text", hash_fn="md5_arrow").select(cols).collect()}
+    assert set(jvm) == set(arrow)
+    for k in jvm:
+        assert jvm[k] == arrow[k], f"doc {k}: {jvm[k]} != {arrow[k]}"
