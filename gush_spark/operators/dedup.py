@@ -224,6 +224,62 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.0,
+    min_shared: int = 2,
+    max_bucket: int | None = None, capped_stats: dict | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment: |A∩B|/|A| and |A∩B|/|B|
+    alongside Jaccard. Jaccard under-scores a short document quoted
+    inside a long one (the union is huge); the containment of the short
+    side is ~1.0 — the boilerplate / quotation / page-within-feed
+    signal a curation pass deduplicates on.
+
+    Candidate generation CANNOT reuse MinHash-LSH here: band collision
+    probability tracks JACCARD, so a contained-but-small doc (low
+    jaccard, high containment) never meets its container. Candidates
+    are instead the inverted-index join — docs sharing ≥ ``min_shared``
+    distinct shingles — the classic containment blocking. Shuffle keys
+    are shingles; a boilerplate shingle shared by millions of docs is
+    the hot bucket, handled by ``max_bucket`` exactly like the LSH
+    joins (a shingle that common carries no pair information). At crawl
+    scale the join key would be the shingle's md5 (16 bytes, collision-
+    verified by the exact set stage); the oracle-pinned form joins the
+    strings so candidate sets match DuckDB exactly."""
+    from gush_spark.operators.skew import cap_hot_buckets
+
+    sh_long = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s")
+    )
+    sh_long = cap_hot_buckets(sh_long, ["s"], max_bucket, capped_stats)
+    a = sh_long.select(F.col(id_col).alias("id_a"), "s")
+    b = sh_long.select(F.col(id_col).alias("id_b"), "s")
+    cands = (
+        a.join(b, on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+        .select("id_a", "id_b")
+    )
+    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    out = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.size("sh_a")).alias("containment_a"),
+            (inter / F.size("sh_b")).alias("containment_b"),
+            (inter / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+    )
+
+
 def near_dup_clusters(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6,
     max_iterations: int = 20,

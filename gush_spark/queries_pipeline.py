@@ -282,6 +282,31 @@ _JEDGES = (
 
 
 @query(
+    "containment_pairs",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES},
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3),
+    cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / len(x.shs) AS containment_a,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / len(y.shs) AS containment_b,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shs, y.shs))) AS jaccard
+    FROM cand JOIN shl x ON x.doc_id = id_a JOIN shl y ON y.doc_id = id_b
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", threshold=0.0)
+
+
+@query(
     "near_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}, {CAND},

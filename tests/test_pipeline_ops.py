@@ -204,3 +204,17 @@ def test_as_of_join_semantics(spark):
     assert out[(1, 10)] == (10, None)   # tie matches; its null v is kept
     assert out[(1, 20)] == (15, 150.0)
     assert out[(2, 7)] == (None, None)  # key with no right rows
+
+
+def test_containment_detects_subset_doc(spark):
+    """A short doc fully quoted inside a long one: its containment is
+    1.0 while jaccard stays low — the asymmetric signal jaccard misses."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(12))
+    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    rows = dedup.containment_pairs(df, "doc_id", "text").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a"] == 1.0   # the short doc is fully contained
+    assert r["jaccard"] < 0.2          # jaccard alone would not flag it
