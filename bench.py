@@ -53,24 +53,32 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]], list[str]]:
     import __spark_entry__ as entrypoint
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    suspect: list[str] = []
     for name, fn in entrypoint.queries().items():
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()  # warm (scan cache, JIT)
-        # min of 2 timed runs, disclosed in the output ("timing" field):
-        # this shared VM randomly throttles 2-5x for multi-second windows,
-        # and a single sample inside one would read as a phantom
-        # regression; the min of two warm runs is the quiet-host figure
-        best = float("inf")
+        # min of 2 timed runs, with BOTH runs disclosed ("query_runs")
+        # and a throttle-suspect flag: this shared VM randomly throttles
+        # 2-5x for multi-second windows, and a single sample inside one
+        # would read as a phantom regression; the min of two warm runs is
+        # the quiet-host figure, and a >2x spread between the two runs
+        # marks the query so a reader can separate regressions from host
+        # noise without re-running
+        pair = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-    return timings
+            pair.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(pair)
+        runs[name] = pair
+        if max(pair) > 2 * min(pair):
+            suspect.append(name)
+    return timings, runs, suspect
 
 
 def bench_streaming(spark) -> dict:
@@ -132,7 +140,7 @@ def main() -> None:
     from gush_spark.session import build_session
 
     spark = build_session("gush_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
-    timings = bench_queries(spark)
+    timings, runs, suspect = bench_queries(spark)
     streaming = None if SKIP_STREAMING else bench_streaming(spark)
     total = round(sum(timings.values()), 3)
     out = {
@@ -141,6 +149,8 @@ def main() -> None:
         "unit": "sec",
         "timing": "min_of_2_warm_runs",
         "queries": timings,
+        "query_runs": runs,
+        "throttle_suspect": suspect,
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
     }

@@ -99,9 +99,14 @@ def _spread(df: DataFrame, spread: int | None) -> DataFrame:
     """Fan a narrow input out before per-row-expensive expressions.
 
     A small parquet table arrives as one split, and everything below an
-    explode would otherwise run on one core. At crawl scale input splits
-    >> cores and this is a no-op (pass spread=0); locally it costs one
-    tiny shuffle of the raw rows and buys full-cluster parallelism."""
+    explode would otherwise run on one core. The DEFAULT is 0 (no-op):
+    at crawl scale input splits >> cores and repartitioning the raw-text
+    DataFrame would violate the module's "never shuffle raw text" rule —
+    a caller must opt in. Locally (single parquet split), pass
+    ``spread=None`` for auto (defaultParallelism) or an explicit count;
+    it costs one tiny shuffle of the raw rows and buys full parallelism.
+    tools/explain_audit.py asserts the spread=0 plans contain no
+    raw-text Exchange."""
     if spread == 0:
         return df
     n = spread or df.sparkSession.sparkContext.defaultParallelism
@@ -110,7 +115,7 @@ def _spread(df: DataFrame, spread: int | None) -> DataFrame:
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K,
-    spread: int | None = None,
+    spread: int | None = 0,
 ) -> DataFrame:
     """MinHash signature per document: each distinct shingle is hashed
     once (md5 → 32-bit int), then k independent families are the linear
@@ -160,7 +165,7 @@ def lsh_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
     max_bucket: int | None = None, capped_stats: dict | None = None,
-    spread: int | None = None,
+    spread: int | None = 0,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -195,6 +200,7 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.0,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
     max_bucket: int | None = None, capped_stats: dict | None = None,
+    spread: int | None = 0,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard — the
     standard two-phase near-dup pipeline (candidates are bounded, so the
@@ -204,7 +210,7 @@ def ngram_jaccard_pairs(
     candidate set is small; at crawl scale both joins shuffle on doc id.
     ``max_bucket``/``capped_stats`` forward to ``lsh_candidate_pairs``."""
     cands = lsh_candidate_pairs(
-        df, id_col, text_col, bands, rows, max_bucket, capped_stats
+        df, id_col, text_col, bands, rows, max_bucket, capped_stats, spread=spread
     )
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col)).alias("sh")
@@ -228,6 +234,7 @@ def containment_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.0,
     min_shared: int = 2,
     max_bucket: int | None = None, capped_stats: dict | None = None,
+    spread: int | None = 0, hash_keys: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC shingle containment: |A∩B|/|A| and |A∩B|/|B|
     alongside Jaccard. Jaccard under-scores a short document quoted
@@ -242,15 +249,28 @@ def containment_pairs(
     distinct shingles — the classic containment blocking. Shuffle keys
     are shingles; a boilerplate shingle shared by millions of docs is
     the hot bucket, handled by ``max_bucket`` exactly like the LSH
-    joins (a shingle that common carries no pair information). At crawl
-    scale the join key would be the shingle's md5 (16 bytes, collision-
-    verified by the exact set stage); the oracle-pinned form joins the
-    strings so candidate sets match DuckDB exactly."""
+    joins (a shingle that common carries no pair information).
+
+    ``hash_keys=True`` is the crawl-scale form: the inverted-index join
+    key is the shingle's 60-bit md5 prefix as a LONG (8 bytes on the
+    wire) instead of the raw n-gram string (tens of bytes, unbounded).
+    The exact set-intersection verify stage absorbs any hash collision —
+    a collision only ever ADDS a candidate pair, whose true containment
+    is then computed from the full shingle arrays — so the emitted pair
+    set is identical except under an astronomically unlikely 60-bit
+    collision that also clears ``min_shared``; test_pipeline_ops pins
+    set-equality of both forms on the fixtures. The string-keyed default
+    stays oracle-pinned so candidate sets match DuckDB exactly."""
     from gush_spark.operators.skew import cap_hot_buckets
 
-    sh_long = df.select(
+    sh_long = _spread(df, spread).select(
         F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s")
     )
+    if hash_keys:
+        sh_long = sh_long.select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s"),
+        )
     sh_long = cap_hot_buckets(sh_long, ["s"], max_bucket, capped_stats)
     a = sh_long.select(F.col(id_col).alias("id_a"), "s")
     b = sh_long.select(F.col(id_col).alias("id_b"), "s")
@@ -282,7 +302,7 @@ def containment_pairs(
 
 def near_dup_clusters(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6,
-    max_iterations: int = 20,
+    max_iterations: int = 20, spread: int | None = 0,
 ) -> DataFrame:
     """Connected components over the near-duplicate graph: every doc
     gets a ``cluster_id`` = the smallest doc id reachable through
@@ -293,16 +313,24 @@ def near_dup_clusters(
     per-vertex min; stops when a round changes nothing. Rounds needed =
     graph diameter — near-dup components are tiny, so this converges in
     a couple of distributed passes; every pass is one shuffle on the
-    vertex id. The driver loop only orchestrates; no data ever
-    collects."""
-    edges = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold).select(
-        "id_a", "id_b"
-    )
+    vertex id. The driver loop only orchestrates; no data ever collects.
+
+    Convergence rides the SAME action as propagation: each round carries
+    the previous label as ``old_label`` and the changed-count is a sum
+    aggregate over the round's own (cached) result — one distributed job
+    per round, not a separate join+count probe (which at round 2 doubled
+    every round's cost and regressed the sf0.1 bench 3.2x). Lineage is
+    truncated every few rounds with an EAGER localCheckpoint so no later
+    action can re-execute the untruncated plan tree."""
+    edges = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold=threshold, spread=spread
+    ).select("id_a", "id_b")
     # bidirectional edge list
     bidir = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    materialized = labels
     for it in range(max_iterations):
         neighbor_min = (
             bidir.join(labels, bidir.id_b == labels.id)
@@ -314,23 +342,26 @@ def near_dup_clusters(
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("label").alias("old_label"),
             )
         )
         # truncate lineage every few rounds: each round nests another
         # join over the previous plan, and a deep component (high graph
-        # diameter) would otherwise grow an unanalyzable plan tree
+        # diameter) would otherwise grow an unanalyzable plan tree.
+        # EAGER: a lazy checkpoint would let the very next action
+        # re-execute the full untruncated lineage once more.
         if it % 4 == 3:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
+        changed = new_labels.agg(
+            F.coalesce(
+                F.sum((F.col("label") != F.col("old_label")).cast("long")), F.lit(0)
+            ).alias("changed")
+        ).first()["changed"]
+        materialized.unpersist()
+        materialized = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     bidir.unpersist()
@@ -339,10 +370,11 @@ def near_dup_clusters(
 
 def canonical_per_cluster(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6,
+    spread: int | None = 0,
 ) -> DataFrame:
     """Corpus dedup decision: per near-dup cluster keep the lowest-id
     doc (the canonical), flag the rest as duplicates to drop."""
-    clusters = near_dup_clusters(df, id_col, text_col, threshold)
+    clusters = near_dup_clusters(df, id_col, text_col, threshold, spread=spread)
     return clusters.select(
         id_col,
         "cluster_id",
@@ -351,7 +383,7 @@ def canonical_per_cluster(
 
 
 def simhash32(
-    df: DataFrame, id_col: str, text_col: str, spread: int | None = None
+    df: DataFrame, id_col: str, text_col: str, spread: int | None = 0
 ) -> DataFrame:
     """32-bit SimHash over word occurrences (count-weighted): bit b is
     the sign of ``sum over words of (2*bit_b(h(w)) - 1)``.
@@ -359,9 +391,10 @@ def simhash32(
     h(w) is the 60-bit md5 prefix; explode → one hash agg with 32
     map-side-combinable sums — same shuffle shape as minhash.
 
-    ``spread`` as in ``minhash_signatures``: pass 0 at crawl scale
-    (input splits >> cores already) to skip the raw-text repartition —
-    the module's "never shuffle raw text" rule."""
+    ``spread`` as in ``minhash_signatures``: the default 0 skips the
+    raw-text repartition (the module's "never shuffle raw text" rule —
+    at crawl scale input splits >> cores already); local single-split
+    callers pass ``spread=None`` to opt into the fan-out."""
     wordled = _spread(df, spread).select(
         F.col(id_col),
         F.explode(words_of(F.col(text_col))).alias("w"),
@@ -395,7 +428,7 @@ def _simhash_blocks(n_blocks: int, n_bits: int = 32) -> list[tuple[int, int]]:
 
 def simhash_hamming_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    spread: int | None = None,
+    spread: int | None = 0,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 

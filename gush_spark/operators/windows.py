@@ -87,13 +87,24 @@ def salt_column(
     bug; local runs never retry, a 1000-executor job does). Hashing row
     content is retry-stable: a replayed task re-derives the same salt.
 
-    ``salt_on`` names a column that varies *within* a group (e.g. an
-    event id or url); by default all non-key columns are hashed, which
-    spreads a hot key as long as its rows differ anywhere.
+    ``salt_on`` should name a column that varies *within* a group (e.g.
+    an event id or url). Without it all non-key columns are hashed —
+    which silently DEGENERATES to a single bucket when a hot key's rows
+    are byte-identical (exact duplicate events, common in crawl
+    replays), so omitting ``salt_on`` emits a warning.
     """
     if salt_on is not None:
         src = [F.col(salt_on)]
     else:
+        import warnings
+
+        warnings.warn(
+            "salt_column without salt_on hashes all non-key columns: "
+            "byte-identical duplicate rows of a hot key collapse into one "
+            "salt bucket and the skew mitigation does nothing. Pass "
+            "salt_on=<within-group-unique column> (e.g. an event id).",
+            stacklevel=2,
+        )
         non_keys = [c for c in df.columns if c not in keys]
         src = [F.col(c) for c in (non_keys or keys)]
     return F.pmod(F.xxhash64(*src), F.lit(salt_buckets))
@@ -114,9 +125,11 @@ def salted_agg(
     sum → sum, min/min, max/max, avg → sum/count recombined.
 
     ``agg_exprs`` maps output column → "fn(col)" with fn in
-    {count,sum,min,max,avg}; col ignored for count. The salt is
-    deterministic row-content hashing (see ``salt_column``) — the same
-    scheme the streaming rollup uses (streaming/pipeline.py).
+    {count,sum,min,max,avg}; ``count(*)`` counts rows, ``count(col)``
+    counts non-null values of col (SQL semantics — partial non-null
+    counts merge by sum). The salt is deterministic row-content hashing
+    (see ``salt_column``) — the same scheme the streaming rollup uses
+    (streaming/pipeline.py).
     """
     salted = df.withColumn("_salt", salt_column(df, keys, salt_buckets, salt_on))
 
@@ -126,7 +139,8 @@ def salted_agg(
         col = col.rstrip(")")
         fn = fn.strip().lower()
         if fn == "count":
-            partial_cols.append(F.count(F.lit(1)).alias(f"_p_{out_name}"))
+            src = F.lit(1) if col.strip() == "*" else F.col(col.strip())
+            partial_cols.append(F.count(src).alias(f"_p_{out_name}"))
             merge_cols.append(F.sum(f"_p_{out_name}").alias(out_name))
         elif fn in ("sum", "min", "max"):
             partial_cols.append(getattr(F, fn)(col).alias(f"_p_{out_name}"))

@@ -720,6 +720,7 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         agg_exprs={"n_events": "count(*)", "total_value_dec": "sum(value_dec)"},
         salt_buckets=8,
+        salt_on="event_id",  # within-group-unique: salt never degenerates
     )
     return out.select(
         "user_id", "n_events", F.col("total_value_dec").cast("double").alias("total_value")

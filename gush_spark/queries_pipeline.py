@@ -240,7 +240,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(docs, "doc_id", "text")
+    return dedup.minhash_signatures(docs, "doc_id", "text", spread=None)
 
 
 @query(
@@ -254,7 +254,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+    return dedup.lsh_candidate_pairs(docs, "doc_id", "text", spread=None)
 
 
 @query(
@@ -270,7 +270,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0, spread=None)
 
 
 _JEDGES = (
@@ -303,7 +303,7 @@ _JEDGES = (
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.containment_pairs(docs, "doc_id", "text", threshold=0.0)
+    return dedup.containment_pairs(docs, "doc_id", "text", threshold=0.0, spread=None)
 
 
 @query(
@@ -324,7 +324,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.near_dup_clusters(docs, "doc_id", "text", threshold=0.6)
+    return dedup.near_dup_clusters(docs, "doc_id", "text", threshold=0.6, spread=None)
 
 
 _SIMHASH_BITS = ", ".join(
@@ -347,7 +347,7 @@ _SIMHASH_COMBINE = " + ".join(
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.simhash32(docs, "doc_id", "text")
+    return dedup.simhash32(docs, "doc_id", "text", spread=None)
 
 
 # the oracle is deliberately brute-force all-pairs: the Spark side's
@@ -370,7 +370,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    out = dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3)
+    out = dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3, spread=None)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -490,7 +490,7 @@ def _lang_pred_cte() -> str:
 )
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    canon = dedup.canonical_per_cluster(docs, "doc_id", "text", threshold=0.6)
+    canon = dedup.canonical_per_cluster(docs, "doc_id", "text", threshold=0.6, spread=None)
     # stage the norm/words arrays and per-language scores as bound
     # columns (featurize.py pattern): argmax_lang references each score
     # several times, and Catalyst inlines projection expressions without

@@ -322,6 +322,10 @@ def _make_custom_func(rule: CepRule, ttl_ms: int, has_watermark: bool):
 # canonical demonstration that a user flow plugs into the same stateful
 # machinery — tests/test_cep_custom_rule.py runs it through a stream)
 WINDOWED_COUNT_WIN_US = 600 * 1_000_000  # 10-minute tumbling windows
+# late-data horizon, in windows, kept per host: a watermarked stream never
+# delivers events older than the watermark delay (≤ 1 window at the default
+# "10 minutes"), so anything further back is dead weight
+WINDOWED_COUNT_RETENTION_WINDOWS = 3
 
 WINDOWED_COUNT_SCHEMA = T.StructType(
     [
@@ -334,7 +338,14 @@ WINDOWED_COUNT_SCHEMA = T.StructType(
 
 def windowed_count_rule(pdf: pd.DataFrame, state: dict) -> pd.DataFrame:
     """Running per-(host, window) event count; state maps
-    window_start_us (as str — JSON keys) → running total."""
+    window_start_us (as str — JSON keys) → running total.
+
+    State is BOUNDED: windows older than the late-data horizon
+    (``WINDOWED_COUNT_RETENTION_WINDOWS`` behind the batch's max event
+    time) are pruned every batch. Without this an always-active host —
+    which host-level TTL never evicts — would accumulate one state entry
+    per window forever, growing its state row until JSON encode cost
+    dominates the microbatch."""
     wins = (pdf["warc_ts_us"] // WINDOWED_COUNT_WIN_US) * WINDOWED_COUNT_WIN_US
     out = []
     for w, n in sorted(wins.value_counts().items()):
@@ -347,6 +358,9 @@ def windowed_count_rule(pdf: pd.DataFrame, state: dict) -> pd.DataFrame:
                 "n_events": state[key],
             }
         )
+    horizon = int(wins.max()) - WINDOWED_COUNT_RETENTION_WINDOWS * WINDOWED_COUNT_WIN_US
+    for key in [k for k in state if int(k) < horizon]:
+        del state[key]
     return pd.DataFrame(out, columns=[f.name for f in WINDOWED_COUNT_SCHEMA.fields])
 
 

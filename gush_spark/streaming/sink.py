@@ -98,13 +98,34 @@ class IdempotentKeyedSink:
             if not p.name.startswith(".")
         )
 
-    def _committed_with_batch(self, spark: SparkSession) -> DataFrame:
+    @staticmethod
+    def _is_missing_path(e: Exception) -> bool:
+        msg = str(e)
+        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+    def _committed_with_batch(self, spark: SparkSession, _retries: int = 1) -> DataFrame:
         """Every committed row + its ``batch`` id: the compacted base
         snapshot (standing in for all batches ≤ its marker) unioned with
-        the live batch dirs written after it."""
+        the live batch dirs written after it.
+
+        Readers race a concurrent ``compact()``: a listing taken just
+        before the compaction marker commits references batch dirs the
+        compactor retires right after. Analysis is forced here (schema
+        touch) so the missing-path error surfaces immediately, and one
+        retry re-reads the marker — the fresh listing sees the committed
+        snapshot instead of the retired dirs. For a maintenance compactor
+        running beside long read jobs, use ``compact(retire=False)`` +
+        ``retire_superseded()`` after a grace period instead."""
         comp = self.latest_compaction()
         batches = [b for b in self.committed_batches() if comp is None or b > comp]
-        return self._assemble(spark, comp, batches)
+        try:
+            df = self._assemble(spark, comp, batches)
+            df.schema  # force analysis: missing retired dirs fail HERE
+            return df
+        except Exception as e:
+            if _retries > 0 and self._is_missing_path(e):
+                return self._committed_with_batch(spark, _retries - 1)
+            raise
 
     def _assemble(
         self, spark: SparkSession, comp: int | None, batches: list[int]
@@ -147,7 +168,7 @@ class IdempotentKeyedSink:
         """Append-mode view: every committed row exactly once."""
         return self._committed_with_batch(spark).drop("batch")
 
-    def compact(self, spark: SparkSession) -> int | None:
+    def compact(self, spark: SparkSession, retire: bool = True) -> int | None:
         """Fold all committed batch dirs into one base snapshot.
 
         A long-running update-mode stream otherwise accretes one
@@ -169,6 +190,11 @@ class IdempotentKeyedSink:
         - this is the plain-parquet analog of Iceberg's rewrite-data-
           files maintenance; the IcebergMergeSink path gets it from the
           table format.
+
+        ``retire=False`` commits the snapshot but leaves the superseded
+        per-batch dirs on disk; call ``retire_superseded()`` after a
+        grace period so readers that listed before the marker commit can
+        finish against the old dirs (reader-vs-compactor race).
 
         Returns B, or None when there is nothing to compact."""
         prev = self.latest_compaction()
@@ -201,14 +227,29 @@ class IdempotentKeyedSink:
         mtmp.parent.mkdir(exist_ok=True)
         mtmp.write_text(json.dumps({"upto": upto, "batches": live}))
         os.rename(mtmp, self.root / "_compaction" / str(upto))  # commit point
-        # retire superseded inputs (post-commit cleanup; best-effort)
+        if retire:  # post-commit cleanup; best-effort
+            self.retire_superseded()
+        return upto
+
+    def retire_superseded(self) -> list[int]:
+        """Remove batch dirs and old snapshots already folded into the
+        committed compaction snapshot. Safe whenever no reader still
+        holds a listing taken before that snapshot's marker committed —
+        the grace-period half of ``compact(retire=False)``."""
         import shutil
 
-        for b in live:
-            shutil.rmtree(self.root / "data" / f"batch={b}", ignore_errors=True)
-        if prev is not None:
-            shutil.rmtree(comp_root / f"upto={prev}", ignore_errors=True)
-        return upto
+        comp = self.latest_compaction()
+        if comp is None:
+            return []
+        retired = []
+        for b in self.committed_batches():
+            if b <= comp and (self.root / "data" / f"batch={b}").exists():
+                shutil.rmtree(self.root / "data" / f"batch={b}", ignore_errors=True)
+                retired.append(b)
+        for p in (self.root / "compacted").glob("upto=*"):
+            if int(p.name.split("=", 1)[1]) < comp:
+                shutil.rmtree(p, ignore_errors=True)
+        return retired
 
 
 def fan_out(batch_df: DataFrame, batch_id: int, sinks: list) -> None:

@@ -39,6 +39,32 @@ def test_rule_is_pure_and_accumulates():
     assert state == {"0": 4, str(WIN_US): 2}
 
 
+def test_rule_state_is_bounded_for_always_active_host():
+    """An always-active host is never TTL-evicted, so the rule itself
+    must prune window keys behind the late-data horizon — state size
+    stays constant as windows keep arriving, instead of growing one
+    entry per window forever."""
+    from gush_spark.streaming.cep import WINDOWED_COUNT_RETENTION_WINDOWS
+
+    state: dict = {}
+    sizes = []
+    for w in range(50):  # 50 consecutive windows of activity
+        pdf = pd.DataFrame(
+            {
+                "host": ["hot"] * 2,
+                "event_id": [2 * w, 2 * w + 1],
+                "url": ["u"] * 2,
+                "warc_ts_us": [w * WIN_US, w * WIN_US + 5],
+                "event_type": ["crawl"] * 2,
+            }
+        )
+        out = windowed_count_rule(pdf, state)
+        assert out["n_events"].tolist() == [2]  # counts unaffected by pruning
+        sizes.append(len(state))
+    assert max(sizes) <= WINDOWED_COUNT_RETENTION_WINDOWS + 1
+    assert sizes[-1] == sizes[10]  # constant once past the horizon
+
+
 @pytest.fixture()
 def events_dir(tmp_path):
     d = tmp_path / "events"

@@ -218,3 +218,28 @@ def test_containment_detects_subset_doc(spark):
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["containment_a"] == 1.0   # the short doc is fully contained
     assert r["jaccard"] < 0.2          # jaccard alone would not flag it
+
+
+def test_containment_hash_keys_equals_string_keys(spark, docs):
+    """The crawl-scale hashed-shingle inverted index (hash_keys=True —
+    8-byte longs on the shuffle wire) must emit the SAME pair set and
+    scores as the oracle-pinned string-keyed form: the exact set-verify
+    stage absorbs hash collisions."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(12))
+    mixed = docs.unionByName(
+        spark.createDataFrame([(6, short), (7, long_)], ["doc_id", "text"])
+    )
+    key = lambda r: (r["id_a"], r["id_b"])
+    by_string = {
+        key(r): (r["containment_a"], r["containment_b"], r["jaccard"])
+        for r in dedup.containment_pairs(mixed, "doc_id", "text").collect()
+    }
+    by_hash = {
+        key(r): (r["containment_a"], r["containment_b"], r["jaccard"])
+        for r in dedup.containment_pairs(
+            mixed, "doc_id", "text", hash_keys=True
+        ).collect()
+    }
+    assert by_string == by_hash
+    assert len(by_string) >= 2  # non-trivial: 1-2-3 cluster + 6⊂7

@@ -78,3 +78,35 @@ def test_salt_on_named_column(spark):
         .count()
     )
     assert n_buckets > 1
+
+
+def test_count_col_counts_non_nulls(spark):
+    """count(col) must be the SQL non-null count, not a silent count(*)."""
+    df = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, None), (1, 12, 3.0), (2, 13, None)],
+        "user_id long, event_id long, value double",
+    )
+    got = {
+        r["user_id"]: r
+        for r in salted_agg(
+            df,
+            keys=["user_id"],
+            agg_exprs={"n_rows": "count(*)", "n_vals": "count(value)"},
+            salt_buckets=4,
+            salt_on="event_id",
+        ).collect()
+    }
+    assert (got[1]["n_rows"], got[1]["n_vals"]) == (3, 2)
+    assert (got[2]["n_rows"], got[2]["n_vals"]) == (1, 0)
+
+
+def test_default_salt_warns_about_degenerate_duplicates(spark):
+    """Omitting salt_on must warn: byte-identical duplicate rows of a
+    hot key all hash to one bucket and the mitigation silently no-ops."""
+    import warnings
+
+    df = _skewed(spark)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        salt_column(df, ["user_id"], 8)
+    assert any("salt_on" in str(x.message) for x in w)

@@ -95,3 +95,48 @@ def test_assemble_pins_listing_against_concurrent_commits(spark, tmp_path):
     # and the normal read still sees everything exactly once
     all_rows = sorted(r["k"] for r in sink.read_all_appends(spark).collect())
     assert all_rows == ["a", "b", "c"]
+
+
+def test_reader_retries_when_compactor_retires_its_listing(spark, tmp_path):
+    """Reader-vs-compactor race: a reader whose (marker, batch-list)
+    listing went stale because compact() retired those dirs right after
+    committing must retry with a fresh listing instead of crashing."""
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["k"])
+    _write(spark, sink, 0, [("a", 1), ("b", 1)])
+    _write(spark, sink, 1, [("a", 2)])
+
+    class StaleFirstListing(IdempotentKeyedSink):
+        """Simulates the race: first marker read returns the pre-compaction
+        state (None) while the dirs are already retired."""
+        calls = 0
+
+        def latest_compaction(self):
+            StaleFirstListing.calls += 1
+            if StaleFirstListing.calls == 1:
+                return None  # stale: read before the marker committed
+            return super().latest_compaction()
+
+    reader = StaleFirstListing(tmp_path / "s", keys=["k"])
+    assert sink.compact(spark) == 1  # retires batch dirs immediately
+    assert {r["k"]: r["v"] for r in reader.read(spark).collect()} == {"a": 2, "b": 1}
+    assert StaleFirstListing.calls >= 2  # the retry actually happened
+
+
+def test_compact_retire_false_defers_cleanup(spark, tmp_path):
+    """compact(retire=False) leaves superseded dirs for in-flight readers;
+    retire_superseded() removes exactly those afterwards."""
+    from pathlib import Path
+
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["k"])
+    _write(spark, sink, 0, [("a", 1)])
+    _write(spark, sink, 1, [("a", 2), ("b", 5)])
+    assert sink.compact(spark, retire=False) == 1
+    # old dirs still present: a reader holding a stale listing can finish
+    assert sorted(p.name for p in Path(tmp_path / "s" / "data").glob("batch=*")) == [
+        "batch=0", "batch=1",
+    ]
+    assert sink._assemble(spark, None, [0, 1]).count() == 3  # stale view works
+    assert _view(spark, sink) == {"a": 2, "b": 5}
+    assert sink.retire_superseded() == [0, 1]
+    assert not any(Path(tmp_path / "s" / "data").glob("batch=*"))
+    assert _view(spark, sink) == {"a": 2, "b": 5}

@@ -132,6 +132,7 @@ def main() -> int:
     salted = windows.salted_agg(
         ev.withColumn("value_dec", F.col("value").cast("decimal(18,2)")),
         keys=["user_id"], agg_exprs={"n": "count(*)", "s": "sum(value_dec)"},
+        salt_on="event_id",
     )
     p = plan_of(salted)
     check("skew.salted_two_stage", p.count("HashAggregate") >= 3)  # partial+final x2 stages
@@ -179,6 +180,30 @@ def main() -> int:
     n_win_ex = len(re.findall(r"hashpartitioning\(_k", p))
     check("asof.single_key_exchange", n_win_ex == 1,
           f"key exchanges: {n_win_ex}")
+
+    # 10. dedup sketches at scale defaults (spread=0): the ONLY exchange
+    # is the hash-agg shuffle keyed on doc id carrying sketch partials —
+    # no RoundRobin repartition of the raw-text DataFrame, and no
+    # Exchange whose input rows still contain the text column
+    from gush_spark.operators import dedup as dedup_ops
+
+    docs = load(spark, sf_dir, "documents")
+
+    def rawtext_exchange(p: str) -> str | None:
+        if "RoundRobinPartitioning" in p:
+            return "RoundRobinPartitioning (raw repartition) in plan"
+        for m in re.finditer(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p):
+            if "text#" in m.group(1):
+                return f"text column crosses an Exchange: {m.group(1)[:120]}"
+        return None
+
+    for qname, q in (
+        ("minhash", dedup_ops.minhash_signatures(docs, "doc_id", "text")),
+        ("simhash", dedup_ops.simhash32(docs, "doc_id", "text")),
+    ):
+        p = plan_of(q)
+        bad = rawtext_exchange(p)
+        check(f"dedup.{qname}_spread0_no_rawtext_exchange", bad is None, bad or "")
 
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
