@@ -251,26 +251,29 @@ def containment_pairs(
     the hot bucket, handled by ``max_bucket`` exactly like the LSH
     joins (a shingle that common carries no pair information).
 
-    ``hash_keys=True`` is the crawl-scale form: the inverted-index join
-    key is the shingle's 60-bit md5 prefix as a LONG (8 bytes on the
-    wire) instead of the raw n-gram string (tens of bytes, unbounded).
-    The exact set-intersection verify stage absorbs any hash collision —
-    a collision only ever ADDS a candidate pair, whose true containment
-    is then computed from the full shingle arrays — so the emitted pair
-    set is identical except under an astronomically unlikely 60-bit
-    collision that also clears ``min_shared``; test_pipeline_ops pins
-    set-equality of both forms on the fixtures. The string-keyed default
-    stays oracle-pinned so candidate sets match DuckDB exactly."""
+    ``hash_keys=True`` is the crawl-scale form: the shingle's 60-bit md5
+    prefix as a LONG (8 bytes on the wire) replaces the raw n-gram
+    string (tens of bytes, unbounded) BOTH as the inverted-index join
+    key and in the verify-stage shingle arrays — the verify join's
+    payload is two long arrays per pair instead of two string arrays.
+    Set sizes (intersection/union/each side) are unchanged absent a
+    60-bit collision, so containment/jaccard values are identical — a
+    collision could only ADD a candidate or merge two set elements,
+    both astronomically unlikely; the oracle query
+    ``containment_pairs_hashed`` pins hash-equality with the
+    string-keyed SQL and test_pipeline_ops pins set-equality of both
+    forms. The string-keyed default stays oracle-pinned so candidate
+    sets match DuckDB exactly."""
     from gush_spark.operators.skew import cap_hot_buckets
+
+    def _h(col: Column) -> Column:
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
     sh_long = _spread(df, spread).select(
         F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s")
     )
     if hash_keys:
-        sh_long = sh_long.select(
-            F.col(id_col),
-            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s"),
-        )
+        sh_long = sh_long.select(F.col(id_col), _h(F.col("s")).alias("s"))
     sh_long = cap_hot_buckets(sh_long, ["s"], max_bucket, capped_stats)
     a = sh_long.select(F.col(id_col).alias("id_a"), "s")
     b = sh_long.select(F.col(id_col).alias("id_b"), "s")
@@ -282,7 +285,10 @@ def containment_pairs(
         .filter(F.col("_shared") >= min_shared)
         .select("id_a", "id_b")
     )
-    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    sh_arr = shingles(F.col(text_col))
+    if hash_keys:
+        sh_arr = F.transform(sh_arr, _h)
+    sh = df.select(F.col(id_col), sh_arr.alias("sh"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     out = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

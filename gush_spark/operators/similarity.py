@@ -212,28 +212,24 @@ def ivf_representatives(
     )
 
 
-def ivf_topk(
-    vectors: DataFrame,
+def _ivf_search(
+    labeled: DataFrame,
+    reps: DataFrame,
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    label_col: str = "label",
-    k: int = 5,
-    n_probe: int = 2,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    n_probe: int,
 ) -> DataFrame:
-    """IVF-style ANN: each query probes the ``n_probe`` cells whose
-    representatives score highest, then ranks exact cosine within those
-    cells only.
-
-    Scale shape: representatives are tiny (one row per cell) —
-    broadcast; the corpus is scanned once with a cell-membership
-    semi-join (shuffle keyed by cell id, fan-in = probed fraction of the
-    corpus instead of all of it)."""
+    """Shared IVF probe + in-cell exact search: queries score the (tiny,
+    broadcast) representatives, keep their best ``n_probe`` cells, then
+    rank exact cosine against only those cells' members (one
+    cell-membership semi-join — fan-in is the probed fraction of the
+    corpus, never all of it)."""
     from pyspark.sql import Window
 
-    reps = ivf_representatives(vectors, id_col, vec_col, label_col).withColumn(
-        "rep_norm", l2_norm(F.col("rep_vec"))
-    )
+    reps = reps.withColumn("rep_norm", l2_norm(F.col("rep_vec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -257,7 +253,7 @@ def ivf_topk(
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "q_vec", "q_norm", "cell")
     )
-    v = vectors.withColumn("v_norm", l2_norm(F.col(vec_col)))
+    v = labeled.withColumn("v_norm", l2_norm(F.col(vec_col)))
     scored = (
         v.join(F.broadcast(probed), v[label_col] == probed["cell"])
         .filter(F.col(id_col) != F.col("query_id"))
@@ -273,6 +269,134 @@ def ivf_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN over PRE-LABELED cells (min-id representatives):
+    each query probes the ``n_probe`` cells whose representatives score
+    highest, then ranks exact cosine within those cells only. The
+    TRAINED-quantizer upgrade is ``kmeans_ivf_topk``."""
+    reps = ivf_representatives(vectors, id_col, vec_col, label_col)
+    return _ivf_search(
+        vectors, reps, queries, id_col, vec_col, label_col, k, n_probe
+    )
+
+
+# centroid coordinates are quantized to integers for the k-means update:
+# integer addition is exactly associative/commutative, so the per-cell
+# sums — and therefore the trained centroids — are bit-identical under
+# ANY partitioning / execution order (and to the DuckDB oracle). Floats
+# summed in shuffle order would make the quantizer nondeterministic.
+KMEANS_QUANT = 1 << 20
+
+
+def kmeans_cells(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 10,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means coarse quantizer → (assignments
+    ``(id, cell)``, centroids ``(cell, rep_vec)``).
+
+    Reproducibility contract (the reason this isn't MLlib KMeans):
+    - init: the ``n_cells`` lowest-id vectors (fixed "seed"), cell id =
+      the init vector's id;
+    - assignment: exact cosine, ties broken by cell id — pure function
+      of the centroids;
+    - update: coordinates are quantized (``floor(x * KMEANS_QUANT)`` as
+      long) and the new centroid is ``(sum_long / count) / KMEANS_QUANT``
+      — the long sum is order-independent, so repeated runs, different
+      partitionings, and the DuckDB oracle all produce the same
+      centroids bit-for-bit;
+    - fixed ``iters`` (no convergence test → no data-dependent plan).
+
+    Scale shape per iteration: one broadcast join (corpus × n_cells
+    reps) + one posexplode/groupBy(cell, dim) agg — shuffle rows =
+    n_cells × dim, map-side combined. Train on a sample at crawl scale;
+    assignment of the full corpus is the same broadcast join."""
+    from pyspark.sql import Window
+
+    qvec = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * KMEANS_QUANT).cast("long")
+    )
+    base = vectors.select(
+        F.col(id_col), F.col(vec_col), qvec.alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_vnorm"),
+    ).persist()
+    cents = (
+        base.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+    )
+    assign_w = Window.partitionBy(id_col).orderBy(
+        F.col("_score").desc(), F.col("cell")
+    )
+    assigned = None
+    for _ in range(iters):
+        c = cents.withColumn("c_norm", l2_norm(F.col("c_vec")))
+        assigned = (
+            base.join(F.broadcast(c))
+            .select(
+                F.col(id_col), "_qvec", "cell",
+                cosine_with_norms(
+                    F.col(vec_col), F.col("c_vec"), F.col("_vnorm"), F.col("c_norm")
+                ).alias("_score"),
+            )
+            .withColumn("_rn", F.row_number().over(assign_w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(id_col), "_qvec", "cell")
+        )
+        dim_sums = (
+            assigned.select("cell", F.posexplode("_qvec").alias("pos", "qv"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents = dim_sums.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda t: (t["s"].cast("double") / t["n"]) / F.lit(KMEANS_QUANT),
+            ).alias("c_vec")
+        )
+    assignments = assigned.select(F.col(id_col), F.col("cell"))
+    centroids = cents.select("cell", F.col("c_vec").alias("rep_vec"))
+    return assignments, centroids
+
+
+def kmeans_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    n_cells: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: cells and their centroid
+    representatives come from deterministic k-means (``kmeans_cells``)
+    instead of a pre-existing label column — the production form of
+    ``ivf_topk`` (centroids track the data's density, so probing the
+    best ``n_probe`` cells recovers more true neighbors than arbitrary
+    labels with min-id representatives; the recall comparison is pinned
+    in tests/test_ann.py)."""
+    assignments, centroids = kmeans_cells(vectors, id_col, vec_col, n_cells, iters)
+    labeled = vectors.join(assignments.withColumnRenamed("cell", "_cell"), on=id_col)
+    return _ivf_search(
+        labeled, centroids, queries, id_col, vec_col, "_cell", k, n_probe
+    )
 
 
 def cosine_near_dup_pairs(

@@ -306,6 +306,38 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(docs, "doc_id", "text", threshold=0.0, spread=None)
 
 
+# the crawl-scale variant: inverted-index join keyed by the shingle's
+# 60-bit md5 prefix (8-byte longs on the shuffle wire instead of raw
+# n-gram strings). Oracle = the SAME string-keyed SQL: the exact
+# set-verify stage absorbs hash collisions, so hash-equality here PROVES
+# the hashed blocking loses/adds nothing on this corpus.
+@query(
+    "containment_pairs_hashed",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES},
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3),
+    cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / len(x.shs) AS containment_a,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / len(y.shs) AS containment_b,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shs, y.shs))) AS jaccard
+    FROM cand JOIN shl x ON x.doc_id = id_a JOIN shl y ON y.doc_id = id_b
+    """,
+)
+def q_containment_pairs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", threshold=0.0, spread=None, hash_keys=True
+    )
+
+
 @query(
     "near_dup_clusters",
     oracle=f"""
@@ -667,6 +699,83 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load(spark, sf_dir, "embeddings")
     queries_df = vecs.filter(F.col("vec_id") < 8)
     out = similarity.ivf_topk(vecs, queries_df, k=5, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _kmeans_ivf_sql(n_cells: int, iters: int, n_probe: int, k: int) -> str:
+    """DuckDB replica of similarity.kmeans_cells + _ivf_search, one CTE
+    pair per unrolled Lloyd's iteration. Bit-equality hinges on the
+    quantized-long centroid update: integer sums are order-independent,
+    so both engines train the SAME centroids (similarity.KMEANS_QUANT)."""
+    q = similarity.KMEANS_QUANT
+    parts = [
+        f"qv AS (SELECT vec_id, embedding, list_transform(embedding,"
+        f" x -> floor(x::DOUBLE * {q})::BIGINT) AS qvec FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell,"
+        f" list_transform(embedding, x -> x::DOUBLE) AS c_vec"
+        f" FROM embeddings ORDER BY vec_id LIMIT {n_cells})",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i + 1} AS (SELECT vec_id, qvec, cell FROM ("
+            f"SELECT v.vec_id, v.qvec, c.cell,"
+            f" row_number() OVER (PARTITION BY v.vec_id"
+            f" ORDER BY {_cos_sql('v.embedding', 'c.c_vec')} DESC, c.cell) AS rn"
+            f" FROM qv v CROSS JOIN c{i} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{i + 1} AS (SELECT cell, pos, sum(val) AS s, count(*) AS n FROM ("
+            f"SELECT cell, unnest(qvec) AS val,"
+            f" generate_subscripts(qvec, 1) AS pos FROM a{i + 1})"
+            f" GROUP BY cell, pos)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cell,"
+            f" list((s::DOUBLE / n) / {q} ORDER BY pos) AS c_vec"
+            f" FROM s{i + 1} GROUP BY cell)"
+        )
+    parts.append(f"reps AS (SELECT cell, c_vec AS rep_vec FROM c{iters})")
+    parts.append(
+        f"lab AS (SELECT v.vec_id, v.embedding, a.cell"
+        f" FROM embeddings v JOIN a{iters} a USING (vec_id))"
+    )
+    parts.append(
+        "qq AS (SELECT vec_id AS query_id, embedding AS q_vec"
+        " FROM embeddings WHERE vec_id < 8)"
+    )
+    parts.append(
+        f"probed AS (SELECT query_id, q_vec, cell FROM ("
+        f"SELECT q.query_id, q.q_vec, r.cell,"
+        f" row_number() OVER (PARTITION BY q.query_id"
+        f" ORDER BY round({_cos_sql('q.q_vec', 'r.rep_vec')}, 6) DESC, r.cell) AS pr"
+        f" FROM qq q CROSS JOIN reps r) WHERE pr <= {n_probe})"
+    )
+    parts.append(
+        f"scored AS (SELECT p.query_id, v.vec_id AS neighbor_id,"
+        f" round({_cos_sql('p.q_vec', 'v.embedding')}, 6) AS score"
+        f" FROM probed p JOIN lab v"
+        f" ON v.cell = p.cell AND v.vec_id != p.query_id)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+    )
+
+
+@query("ann_topk_ivf_kmeans", oracle=_kmeans_ivf_sql(10, 2, 2, 5))
+def q_ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    out = similarity.kmeans_ivf_topk(
+        vecs, queries_df, k=5, n_probe=2, n_cells=10, iters=2
+    )
     return out.select(
         "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
     )

@@ -58,20 +58,34 @@ def read_pages_stream_iceberg(
     )
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column identifier for Spark SQL, escaping
+    embedded backticks by doubling — reserved words (``order``,
+    ``timestamp``), spaces, and hostile names all round-trip. Every
+    identifier interpolated into the MERGE text goes through this; a
+    name that still injects after doubling is not representable as a
+    Spark column at all."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def merge_sql(table: str, keys: list[str], cols: list[str], source_view: str) -> str:
     """The MERGE INTO statement the sink issues per microbatch — pure
     string builder so the contract is test-pinned even where no Iceberg
     runtime exists (tests/test_iceberg_contract.py). Keyed upsert:
-    matched rows update every non-key column, unmatched insert all."""
+    matched rows update every non-key column, unmatched insert all.
+    Column identifiers are always quoted (``quote_ident``); the table
+    and view names are multipart / generated internally and passed
+    through."""
     if not keys:
         raise ValueError("MERGE sink requires at least one key column")
     missing = [k for k in keys if k not in cols]
     if missing:
         raise ValueError(f"key columns absent from batch: {missing}")
-    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in keys)
-    names = ", ".join(cols)
-    vals = ", ".join(f"s.{c}" for c in cols)
+    qk = {c: quote_ident(c) for c in cols}
+    cond = " AND ".join(f"t.{qk[k]} = s.{qk[k]}" for k in keys)
+    sets = ", ".join(f"t.{qk[c]} = s.{qk[c]}" for c in cols if c not in keys)
+    names = ", ".join(qk[c] for c in cols)
+    vals = ", ".join(f"s.{qk[c]}" for c in cols)
     # all columns are keys → nothing to update on match; emitting an
     # empty UPDATE SET would be a ParseException at microbatch time
     matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""

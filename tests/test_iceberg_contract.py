@@ -8,7 +8,12 @@ from __future__ import annotations
 
 import pytest
 
-from gush_spark.sources.iceberg import IcebergMergeSink, iceberg_available, merge_sql
+from gush_spark.sources.iceberg import (
+    IcebergMergeSink,
+    iceberg_available,
+    merge_sql,
+    quote_ident,
+)
 
 
 def test_merge_sql_pinned():
@@ -20,11 +25,43 @@ def test_merge_sql_pinned():
     )
     assert got == (
         "MERGE INTO warehouse.page_rollup t USING _gush_batch_7 s "
-        "ON t.host = s.host AND t.window_start = s.window_start "
-        "WHEN MATCHED THEN UPDATE SET t.n_pages = s.n_pages, t.n_errors = s.n_errors "
-        "WHEN NOT MATCHED THEN INSERT (host, window_start, n_pages, n_errors) "
-        "VALUES (s.host, s.window_start, s.n_pages, s.n_errors)"
+        "ON t.`host` = s.`host` AND t.`window_start` = s.`window_start` "
+        "WHEN MATCHED THEN UPDATE SET t.`n_pages` = s.`n_pages`, "
+        "t.`n_errors` = s.`n_errors` "
+        "WHEN NOT MATCHED THEN INSERT (`host`, `window_start`, `n_pages`, `n_errors`) "
+        "VALUES (s.`host`, s.`window_start`, s.`n_pages`, s.`n_errors`)"
     )
+
+
+def test_merge_sql_quotes_reserved_and_hostile_identifiers():
+    """Reserved words, spaces, and embedded backticks must all arrive
+    quoted — a crawl schema with a `timestamp` or `order` column cannot
+    break the microbatch MERGE."""
+    got = merge_sql(
+        "cat.db.t",
+        keys=["order"],
+        cols=["order", "timestamp", "page rank", "evil`col"],
+        source_view="v",
+    )
+    assert "ON t.`order` = s.`order`" in got
+    assert "t.`timestamp` = s.`timestamp`" in got
+    assert "t.`page rank` = s.`page rank`" in got
+    assert "t.`evil``col` = s.`evil``col`" in got  # backtick doubled
+    assert quote_ident("a`b") == "`a``b`"
+
+
+def test_quoted_merge_parses_in_spark(spark):
+    """The generated text must be valid Spark SQL: parse it with the
+    real parser (no Iceberg runtime needed for parsing) — reserved-word
+    and spaced identifiers included."""
+    sql = merge_sql(
+        "some_table",
+        keys=["order"],
+        cols=["order", "timestamp", "page rank"],
+        source_view="some_view",
+    )
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert "MergeIntoTable" in plan.toString()
 
 
 def test_merge_sql_rejects_bad_keys():
@@ -84,6 +121,6 @@ def test_merge_sql_all_key_columns_omits_matched_clause():
     got = merge_sql("t", keys=["k1", "k2"], cols=["k1", "k2"], source_view="v")
     assert "WHEN MATCHED" not in got
     assert got == (
-        "MERGE INTO t t USING v s ON t.k1 = s.k1 AND t.k2 = s.k2 "
-        "WHEN NOT MATCHED THEN INSERT (k1, k2) VALUES (s.k1, s.k2)"
+        "MERGE INTO t t USING v s ON t.`k1` = s.`k1` AND t.`k2` = s.`k2` "
+        "WHEN NOT MATCHED THEN INSERT (`k1`, `k2`) VALUES (s.`k1`, s.`k2`)"
     )

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""10x scale smoke probe (VERDICT r2 item 10) — the cheapest way to
+catch quadratic surprises before they burn a cluster.
+
+Builds a one-off ~10x documents fixture (NOT committed, written under
+/tmp): each sf0.1 document spawns 10 deterministic variants — variant 0
+is the original text, variant j>0 suffixes every word of length ≥ 4
+with ``j`` — so variant families share (almost) no shingles with each
+other and the corpus is ~10 independent copies of the original near-dup
+structure, while short stopwords survive and the quality/language
+curation gates behave the same at both scales. A LINEAR operator should
+therefore scale close to 10x in work (pair counts ~10x); superlinear
+growth in candidates, propagation rounds, or wall time is the quadratic
+surprise this probe exists to surface.
+
+Runs the heaviest catalog queries once at 1x (sf0.1) and once at 10x
+(after a discarded 1x warm-up pass so JIT/scan-cache effects don't
+masquerade as scaling), printing a markdown table (pair/row counts +
+wall) for README.
+
+Usage: python tools/smoke_10x.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+HEAVY = [
+    "near_dup_clusters",
+    "containment_pairs",
+    "containment_pairs_hashed",
+    "curation_pipeline",
+    "simhash_near_dup_pairs",
+    "doc_featurize",
+]
+
+N_VARIANTS = 10
+
+
+def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    variants = []
+    for j in range(N_VARIANTS):
+        v = docs
+        if j > 0:
+            # suffix content words (≥4 chars): shingles containing any
+            # content word become family-disjoint, while short stopwords
+            # survive so lang-ID / quality gates pass like the original
+            v = v.withColumn(
+                "text", F.regexp_replace("text", r"(\S{4,})", f"$1{j}")
+            )
+        variants.append(
+            v.withColumn("doc_id", F.col("doc_id") + F.lit(j * n))
+        )
+    big = variants[0]
+    for v in variants[1:]:
+        big = big.unionByName(v)
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    """Per query: min of 2 timed runs (same rationale as bench.py — this
+    host throttles 2-5x in multi-second windows; the min is the
+    quiet-host figure)."""
+    from gush_spark.queries import all_queries
+
+    qs = all_queries()
+    out = {}
+    for name in HEAVY:
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = qs[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = (round(best, 1), rows)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/smoke10x"
+    from gush_spark.session import build_session
+
+    spark = build_session("smoke_10x", cores=32, shuffle_partitions=64)
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    build_fixture(spark, sf_dir, out_dir)
+    run_suite(spark, sf_dir)  # discarded warm-up: JIT + scan cache
+    base = run_suite(spark, sf_dir)
+    big = run_suite(spark, out_dir)
+    print("| query | 1x rows | 10x rows | rows ratio | 1x wall s | 10x wall s | wall ratio |")
+    print("|---|---|---|---|---|---|---|")
+    for name in HEAVY:
+        (bt, br), (gt, gr) = base[name], big[name]
+        print(
+            f"| {name} | {br} | {gr} | {gr / max(br, 1):.2f}x "
+            f"| {bt} | {gt} | {gt / max(bt, 0.1):.2f}x |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
