@@ -74,9 +74,20 @@ class IdempotentKeyedSink:
         return max(ids) if ids else None
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """The foreachBatch body. Safe under replay."""
+        """The foreachBatch body. Safe under replay.
+
+        A replayed batch skips the sink write BUT must still consume
+        every partition: a stateful upstream (windowed agg, dedup, CEP)
+        commits its state stores task-side during batch execution, and
+        Spark's BatchCommitTracker fails the query when foreachBatch
+        returns without processing all partitions ("Expected N commits
+        but got 0") — the noop-format write materializes the full plan
+        (state commits included) without touching the sink. Found by the
+        spark-submit packaging smoke: restarting the featurize pipeline
+        against an already-committed sink killed the query on batch 0."""
         if self.is_committed(batch_id):
-            return  # replayed batch: already visible, skip
+            batch_df.write.format("noop").mode("overwrite").save()
+            return  # replayed batch: already visible, nothing rewritten
         out = str(self.root / "data" / f"batch={batch_id}")
         # one computation only: write the files, then take the committed row
         # count from the parquet footers (metadata-only read — no recompute

@@ -131,3 +131,54 @@ def test_iceberg_adapter_degrades_explicitly(spark, tmp_path):
     df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]}))
     with pytest.raises(RuntimeError, match="IdempotentKeyedSink"):
         IcebergMergeSink("db.sink", keys=["k"]).write_batch(df, 0)
+
+
+def test_replayed_batch_still_commits_upstream_state(spark, tmp_path):
+    """Spark 4's BatchCommitTracker fails a query whose foreachBatch
+    returns without processing every partition ("Expected N commits but
+    got 0"): when a replayed batch hits the sink's already-committed
+    short-circuit, the STATEFUL upstream (windowed agg) must still be
+    materialized so its state stores commit. Repro = fresh checkpoint
+    against a sink that already committed batch 0 (exactly what a
+    restarted spark-submit job with a recreated checkpoint dir does);
+    before the fix the second query died on batch 0."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(f"u{i}", base + dt.timedelta(seconds=i), float(i)) for i in range(20)]
+    src = tmp_path / "ev"
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, v double").coalesce(
+        1
+    ).write.parquet(str(src))
+
+    def q(ckpt):
+        stream = (
+            spark.readStream.schema("url string, warc_ts timestamp, v double")
+            .parquet(str(src))
+            .withWatermark("warc_ts", "10 minutes")
+            .groupBy(F.window("warc_ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"), "n")
+        )
+        return (
+            stream.writeStream.foreachBatch(sink.foreach_batch())
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sink = IdempotentKeyedSink(tmp_path / "s", keys=["window_start"])
+    q1 = q("ckpt1")
+    q1.awaitTermination(120)
+    first = {r["window_start"]: r["n"] for r in sink.read(spark).collect()}
+    committed = sink.committed_batches()  # data batch + watermark-advance batch
+    assert first and 0 in committed
+
+    q2 = q("ckpt2")  # fresh checkpoint, same sink: batch 0 replays
+    q2.awaitTermination(120)
+    assert q2.exception() is None  # previously: BatchCommitTracker kill
+    assert {r["window_start"]: r["n"] for r in sink.read(spark).collect()} == first
+    assert sink.committed_batches() == committed  # nothing rewritten
