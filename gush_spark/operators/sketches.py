@@ -1,0 +1,300 @@
+"""Mergeable sketch aggregates — fixed-size state, map-side combinable.
+
+At 100 TB, ``COUNT(DISTINCT key)`` shuffles every distinct key and an
+exact percentile sorts (or full-shuffles) every row. Both are replaced
+here by sketches whose partial state is a small fixed-size vector that
+Spark's partial/final hash aggregation merges map-side, so the shuffle
+carries O(sketch) bytes per group instead of O(rows):
+
+- :func:`approx_distinct_hll` — HyperLogLog (Flajolet et al., AofA
+  2007) with ``m = 2^b`` registers. Per row we derive ``(bucket,
+  rho)`` from ``md5(key)``; the register is ``max(rho)`` per bucket —
+  an associative/commutative aggregate, so the shuffle after the
+  map-side combine carries at most ``m`` rows per group no matter how
+  many billions of input rows there are.
+- :func:`approx_quantiles_hist` — fixed-width histogram quantiles:
+  one ``groupBy(bin)`` count (bounded key space, partial+final agg),
+  then the cumulative walk runs over *bins*, never over rows. No
+  global sort of the data ever happens.
+
+Everything is **deterministic and engine-portable**: the only hash is
+``md5`` (identical bytes in Spark and DuckDB — the same parity the
+featurize backends pin, see gush_spark/operators/featurize.py), the
+register sum is pure integer arithmetic (order-independent), and the
+one floating-point estimate at the end is a single expression over
+those integers, written with the same literals on both engines. That
+is what lets the driver hash-compare a *sketch* against a DuckDB
+oracle — normally impossible with engine-native ``approx_count_distinct``
+(Spark and DuckDB use different HLL hashes and encodings).
+
+Reference parity note: simao/gush has no sketches (its per-window
+counters are exact, cep/Cep.scala); this module is part of the
+training-data-pipeline family the build adds beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — deterministic md5-based registers
+# ---------------------------------------------------------------------------
+
+# alpha_m for m >= 128: 0.7213 / (1 + 1.079 / m); literal below is m=256.
+_ALPHA_256 = "0.7182725932495458"
+# Register sum is computed exactly as sum(2^(CAP - M_j)) in BIGINT —
+# order-independent integer math (doubles would make the hash depend on
+# aggregation order). CAP=50 keeps the worst case 256 * 2^50 = 2^58 < 2^63.
+_RHO_CAP = 50
+
+_HEX = "0123456789abcdef"
+
+
+def hll_bucket_rho(key: Column, *, m_bits: int = 8) -> tuple[Column, Column]:
+    """``(bucket, rho)`` columns of the HLL observable for ``key``.
+
+    ``bucket`` = first ``m_bits`` bits of ``md5(key)`` (read as hex
+    digits, so ``m_bits`` must be a multiple of 4); ``rho`` = 1-based
+    position of the first 1-bit in the next 120 bits, capped at
+    :data:`_RHO_CAP`. Pure column expressions — whole-stage codegen,
+    no Python.
+    """
+    if m_bits % 4 != 0 or not 4 <= m_bits <= 16:
+        raise ValueError("m_bits must be a multiple of 4 in [4, 16]")
+    nhex = m_bits // 4
+    h = F.md5(key.cast("string"))
+    bucket = F.lit(0)
+    for i in range(nhex):
+        digit = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - F.lit(1)
+        bucket = bucket * F.lit(16) + digit
+    # Leading-zero run of the remaining 30 hex digits (120 bits).
+    tail = F.substring(h, nhex + 1, 32 - nhex)
+    t = F.regexp_replace(tail, "^0+", "")
+    zhex = F.lit(32 - nhex) - F.length(t)
+    first = F.substring(t, 1, 1)
+    extra = (
+        F.when(first.isin(*"89abcdef"), 0)
+        .when(first.isin(*"4567"), 1)
+        .when(first.isin("2", "3"), 2)
+        .otherwise(3)
+    )
+    rho = F.when(t == "", F.lit(_RHO_CAP)).otherwise(
+        F.least(zhex * F.lit(4) + extra + F.lit(1), F.lit(_RHO_CAP))
+    )
+    return bucket.cast("int").alias("hll_bucket"), rho.cast("int").alias("hll_rho")
+
+
+def hll_registers(
+    df: DataFrame, key: Column, group_cols: list[str], *, m_bits: int = 8
+) -> DataFrame:
+    """Registers ``max(rho) per (group, bucket)`` — the mergeable state.
+
+    Two hash aggregations, both partial+final (map-side combined):
+    after the first, at most ``m`` rows per group exist anywhere.
+    Merging two sketches = ``max`` of registers — re-aggregating this
+    frame over a coarser grouping (e.g. day → month) is the union
+    operation, tested in tests/test_sketches.py.
+    """
+    bucket, rho = hll_bucket_rho(key, m_bits=m_bits)
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "hll_bucket")
+        .agg(F.max("hll_rho").alias("m_j"))
+    )
+
+
+def approx_distinct_hll(
+    df: DataFrame,
+    key: Column,
+    group_cols: list[str],
+    *,
+    m_bits: int = 8,
+    out: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate distinct count of ``key`` per group (HLL, m=2^m_bits).
+
+    Output per group: ``nonzero_buckets`` (long), ``register_sum``
+    (long, exact integer sketch digest — the hash-stable witness) and
+    ``out`` (long, the rounded HLL estimate with the standard
+    linear-counting small-range correction). Standard error
+    ~ 1.04/sqrt(m) (6.5% at m=256; callers wanting 1% pass
+    ``m_bits=14``).
+    """
+    m = 1 << m_bits
+    regs = hll_registers(df, key, group_cols, m_bits=m_bits)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nonzero_buckets"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_RHO_CAP} - m_j)")).alias(
+            "present_sum"
+        ),
+    )
+    # One shared SQL text for the estimate keeps the float math
+    # byte-identical with the DuckDB oracle (same literals, same order).
+    est = hll_estimate_sql(m, "present_sum", "nonzero_buckets")
+    return agg.select(
+        *group_cols,
+        F.col("nonzero_buckets"),
+        F.expr(register_sum_sql(m, "present_sum", "nonzero_buckets")).alias(
+            "register_sum"
+        ),
+        F.expr(est).alias(out),
+    )
+
+
+def register_sum_sql(m: int, present_sum: str, nonzero: str) -> str:
+    """SQL for the full register sum including the empty buckets."""
+    return (
+        f"cast({present_sum} as bigint) + "
+        f"cast(({m} - {nonzero}) as bigint) * shiftleft(cast(1 as bigint), {_RHO_CAP})"
+    )
+
+
+def hll_estimate_sql(m: int, present_sum: str, nonzero: str) -> str:
+    """Engine-portable SQL for the corrected HLL estimate (BIGINT).
+
+    ``raw = alpha_m * m^2 * 2^CAP / register_sum``; if empty buckets
+    exist and ``raw <= 2.5 m``, linear counting ``m * ln(m / V)`` is
+    used instead (the only transcendental; its sub-ulp engine
+    variation is absorbed by rounding to an integer count).
+    """
+    reg = register_sum_sql(m, present_sum, nonzero)
+    two_cap = float(1 << _RHO_CAP)
+    # cast the alpha literal: engines otherwise parse it as DECIMAL
+    # (DuckDB then overflows multiplying it by m^2 * 2^CAP).
+    raw = (
+        f"(cast({_ALPHA_256} as double) * {float(m * m)} * {two_cap}"
+        f" / cast({reg} as double))"
+    )
+    v = f"({m} - {nonzero})"
+    lin = f"({float(m)} * ln({float(m)} / cast({v} as double)))"
+    return (
+        f"cast(round(case when {v} > 0 and {raw} <= {2.5 * m} "
+        f"then {lin} else {raw} end) as bigint)"
+    )
+
+
+def hll_oracle_sql(
+    table: str, key_expr: str, group_cols: list[str], *, out: str = "approx_distinct"
+) -> str:
+    """DuckDB oracle computing the identical sketch (m=256 only).
+
+    Mirrors :func:`hll_bucket_rho` digit-by-digit: same md5, same hex
+    arithmetic, same integer register sum, same estimate literals
+    (``shiftleft`` respelled as DuckDB's ``<<``).
+    """
+    g = ", ".join(group_cols)
+    respell = lambda s: s.replace(  # noqa: E731 — DuckDB spells shiftleft as <<
+        f"shiftleft(cast(1 as bigint), {_RHO_CAP})",
+        f"(CAST(1 AS BIGINT) << {_RHO_CAP})",
+    )
+    est = respell(hll_estimate_sql(256, "present_sum", "nonzero_buckets"))
+    reg = respell(register_sum_sql(256, "present_sum", "nonzero_buckets"))
+    # DuckDB: x << y needs BIGINT operands; instr/substr/regexp_replace
+    # match Spark's semantics for these ASCII-hex inputs.
+    return f"""
+WITH h AS (
+  SELECT {g}, md5(CAST({key_expr} AS VARCHAR)) AS hh FROM {table}
+), t0 AS (
+  SELECT {g}, hh, regexp_replace(substr(hh, 3, 30), '^0+', '') AS t FROM h
+), br AS (
+  SELECT {g},
+    (instr('{_HEX}', substr(hh, 1, 1)) - 1) * 16
+      + (instr('{_HEX}', substr(hh, 2, 1)) - 1) AS hll_bucket,
+    CASE WHEN t = '' THEN {_RHO_CAP} ELSE LEAST(
+      4 * (30 - length(t))
+      + CASE WHEN substr(t,1,1) IN ('8','9','a','b','c','d','e','f') THEN 0
+             WHEN substr(t,1,1) IN ('4','5','6','7') THEN 1
+             WHEN substr(t,1,1) IN ('2','3') THEN 2
+             ELSE 3 END + 1, {_RHO_CAP}) END AS rho
+  FROM t0
+), regs AS (
+  SELECT {g}, hll_bucket, MAX(rho) AS m_j FROM br GROUP BY {g}, hll_bucket
+), agg AS (
+  SELECT {g}, COUNT(*) AS nonzero_buckets,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_RHO_CAP} - m_j)) AS BIGINT) AS present_sum
+  FROM regs GROUP BY {g}
+)
+SELECT {g}, nonzero_buckets, {reg} AS register_sum, {est} AS {out}
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantiles
+# ---------------------------------------------------------------------------
+
+def approx_quantiles_hist(
+    df: DataFrame,
+    value: Column,
+    *,
+    width: float,
+    quantiles: list[float],
+) -> DataFrame:
+    """Histogram-sketch quantiles of ``value`` (error ≤ bin ``width``).
+
+    Plan shape (the whole point at scale):
+      1. ``groupBy(floor(value/width))`` count — ONE partial+final
+         aggregation over a bounded bin space; the only pass over data.
+      2. cumulative counts over *bins* (a window over at most
+         range/width rows — thousands, not billions).
+      3. per requested quantile, the first bin whose cumulative count
+         reaches ``ceil(q * n)``.
+
+    Contrast with exact ``percentile`` (full sort / full shuffle of
+    values — see queries.percentile_summary for the exact twin).
+    Output: ``q`` double, ``bin`` long, ``approx_value`` double
+    (= bin midpoint, deterministic since bins are integers).
+    """
+    from pyspark.sql import Window
+
+    bins = (
+        df.select(F.floor(value / F.lit(width)).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = bins.select(
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q",
+            "bin",
+            (F.col("bin") * F.lit(width) + F.lit(width) / F.lit(2.0)).alias(
+                "approx_value"
+            ),
+        )
+    )
+
+
+def hist_quantiles_oracle_sql(
+    table: str, value_expr: str, *, width: float, quantiles: list[float]
+) -> str:
+    """DuckDB oracle: identical binning, thresholds and midpoints."""
+    qvals = ", ".join(f"({float(q)})" for q in quantiles)
+    return f"""
+WITH bins AS (
+  SELECT CAST(floor({value_expr} / {width}) AS BIGINT) AS bin, COUNT(*) AS c
+  FROM {table} GROUP BY 1
+), cum AS (
+  SELECT bin,
+         CAST(SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM bins
+), qs(q) AS (VALUES {qvals})
+SELECT q, MIN(bin) AS bin,
+       MIN(bin) * {width} + {width} / 2.0 AS approx_value
+FROM cum, qs
+WHERE cum >= CEIL(q * n)
+GROUP BY q
+"""

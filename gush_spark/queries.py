@@ -889,3 +889,57 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates — fixed-size mergeable state (operators/sketches.py).
+# At 100 TB these replace COUNT(DISTINCT) / sort-based percentiles: the
+# shuffle after the map-side combine carries O(registers|bins) per
+# group, not O(rows). Both oracles re-derive the IDENTICAL sketch in
+# DuckDB (same md5, integer register math, shared estimate literals) —
+# a value-hash-exact check on an *approximate* operator.
+# ---------------------------------------------------------------------------
+@query(
+    "approx_distinct_users_hll",
+    oracle=None,  # built below from the shared spec
+)
+def q_approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gush_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.approx_distinct_hll(
+        ev, F.col("user_id"), ["event_type"], out="approx_users"
+    )
+
+
+@query(
+    "approx_quantiles_price_hist",
+    oracle=None,  # built below from the shared spec
+)
+def q_approx_quantiles_price_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gush_spark.operators import sketches
+
+    li = load(spark, sf_dir, "lineitem")
+    return sketches.approx_quantiles_hist(
+        li,
+        F.col("l_extendedprice"),
+        width=100.0,
+        quantiles=[0.25, 0.5, 0.75, 0.95, 0.99],
+    )
+
+
+def _register_sketch_oracles() -> None:
+    from gush_spark.operators import sketches
+
+    _ORACLES["approx_distinct_users_hll"] = sketches.hll_oracle_sql(
+        "events", "user_id", ["event_type"], out="approx_users"
+    )
+    _ORACLES["approx_quantiles_price_hist"] = sketches.hist_quantiles_oracle_sql(
+        "lineitem",
+        "l_extendedprice",
+        width=100.0,
+        quantiles=[0.25, 0.5, 0.75, 0.95, 0.99],
+    )
+
+
+_register_sketch_oracles()

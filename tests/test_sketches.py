@@ -1,0 +1,110 @@
+"""Sketch aggregates: accuracy bounds, mergeability, plan shape.
+
+The exact-value parity with DuckDB is covered by the driver oracle
+(approx_distinct_users_hll / approx_quantiles_price_hist); these tests
+pin the properties the oracle can't express:
+- the HLL estimate lands within the published error bound of the truth;
+- sketches MERGE: max-union of per-day registers == registers of the
+  union (what makes the aggregate safe to partial/final combine and to
+  roll up day → month without touching rows again);
+- the plans stay partial+final hash aggregations (the scale contract).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gush_spark.operators import sketches
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_hll_within_error_bound(spark, events):
+    est = sketches.approx_distinct_hll(
+        events, F.col("user_id"), ["event_type"], out="approx_users"
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rows = est.join(exact, "event_type").collect()
+    assert rows, "no groups"
+    # m=256 → standard error 1.04/sqrt(256) = 6.5%; allow 4 sigma.
+    for r in rows:
+        rel = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel < 4 * 1.04 / math.sqrt(256), (r.event_type, rel)
+
+
+def test_hll_registers_merge_is_union(spark, events):
+    """max-merging per-day registers == registers of the whole input."""
+    with_day = events.withColumn(
+        "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+    )
+    per_day = sketches.hll_registers(
+        with_day, F.col("user_id"), ["event_type", "day"]
+    )
+    merged = (
+        per_day.groupBy("event_type", "hll_bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    direct = sketches.hll_registers(events, F.col("user_id"), ["event_type"])
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_more_registers_tightens(spark, events):
+    """m_bits=12 (m=4096) must beat m=256 on the global count."""
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    one = events.withColumn("g", F.lit(1))
+    for m_bits, tol in [(8, 4 * 1.04 / 16), (12, 4 * 1.04 / 64)]:
+        est = sketches.approx_distinct_hll(
+            one, F.col("user_id"), ["g"], m_bits=m_bits
+        ).first()["approx_distinct"]
+        assert abs(est - exact) / exact < tol, (m_bits, est, exact)
+
+
+def test_hist_quantiles_within_one_bin(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    width = 100.0
+    approx = {
+        r.q: r.approx_value
+        for r in sketches.approx_quantiles_hist(
+            li, F.col("l_extendedprice"), width=width, quantiles=[0.25, 0.5, 0.95]
+        ).collect()
+    }
+    exact = li.select(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.25)).alias("q25"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("q50"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.95)).alias("q95"),
+    ).first()
+    for q, ex in [(0.25, exact.q25), (0.5, exact.q50), (0.95, exact.q95)]:
+        assert abs(approx[q] - ex) <= width, (q, approx[q], ex)
+
+
+def test_sketch_plans_are_partial_final(spark, events):
+    """The scale contract: hash aggregation with a partial (map-side)
+    pass before the exchange, and no raw-row exchange anywhere —
+    the shuffle moves register/bin rows only."""
+    est = sketches.approx_distinct_hll(events, F.col("user_id"), ["event_type"])
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # partial+final × two levels
+    assert "SortAggregate" not in plan
+    # Only hashPartitioning exchanges on (group, bucket)/(group) —
+    # nothing repartitions the raw events.
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "event_type" in line
+
+    hist = sketches.approx_quantiles_hist(
+        events, F.col("value"), width=10.0, quantiles=[0.5]
+    )
+    hplan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in hplan
+    # The only single-partition stage is over bins (post-aggregation).
+    pre_agg = hplan.split("HashAggregate")[-1]
+    assert "Exchange SinglePartition" not in pre_agg
