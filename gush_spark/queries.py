@@ -943,3 +943,38 @@ def _register_sketch_oracles() -> None:
 
 
 _register_sketch_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering value — sources/layout.py:write_zordered.
+# The layout story is tested in tests/test_zorder.py (multi-dim file
+# pruning); this query pins the bit math itself against DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "zorder_values",
+    oracle=None,  # generated below (shared bit-interleave spec)
+)
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gush_spark.sources.layout import zorder_value
+
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.to_date(F.col("ts").cast("timestamp")), F.lit("1970-01-01"))
+    dims = [F.pmod(F.col("user_id"), F.lit(256)), F.pmod(day, F.lit(256))]
+    return ev.select(
+        F.col("event_id"), zorder_value(dims, bits=8).alias("zvalue")
+    )
+
+
+def _register_zorder_oracle() -> None:
+    from gush_spark.sources.layout import zorder_oracle_expr
+
+    z = zorder_oracle_expr(
+        ["user_id % 256", "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 256"],
+        bits=8,
+    )
+    _ORACLES["zorder_values"] = (
+        f"SELECT event_id, CAST({z} AS BIGINT) AS zvalue FROM events"
+    )
+
+
+_register_zorder_oracle()

@@ -79,3 +79,90 @@ def read_pages_range(
         )
         df = df.filter(F.col("host_bucket") == bucket).filter(F.col("host") == host)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering — multi-dimensional min/max pruning WITHIN a
+# partition. Directory partitioning (above) prunes the coarse dims;
+# z-ordering the file/row-group layout inside each partition makes
+# parquet min/max statistics selective on EVERY clustered dim at once.
+# A 1-D sort gives tight file ranges only for its prefix column; bit
+# interleaving gives every dim ~sqrt-tight ranges, so a reader
+# filtering on either dim skips most files (tests/test_zorder.py
+# measures both). At 10^12 pages this is the difference between
+# "point query on host touches one bucket's days" and "full scan of
+# the day" for the non-prefix dimension.
+# ---------------------------------------------------------------------------
+
+def zorder_value(dims: list, bits: int = 16):
+    """Interleaved-bit (Morton) value of integer dim columns.
+
+    ``dims`` are Columns already reduced to ``[0, 2^bits)`` integers
+    (bucket a string dim with ``pmod(xxhash64(col), 2^bits)``; a
+    timestamp with its epoch-day). Pure JVM bit arithmetic — one
+    expression, whole-stage codegen, no UDF.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, col in enumerate(dims):
+            bit = F.shiftright(col.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, i * len(dims) + d)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dims: list,
+    *,
+    bits: int = 8,
+    n_files: int = 16,
+) -> None:
+    """Cluster ``df`` into ``n_files`` z-ordered parquet files.
+
+    ``repartitionByRange`` on the z-value splits the Morton curve into
+    contiguous chunks (one range shuffle — the same cost any layout
+    rewrite pays), and the within-partition sort keeps row groups
+    curve-contiguous so parquet page/row-group stats are tight too.
+    The z column itself is dropped — it is layout, not data.
+    """
+    z = zorder_value(dims, bits=bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_oracle_expr(dim_exprs: list[str], bits: int = 8) -> str:
+    """ANSI/DuckDB SQL for the identical Morton value (bit-disjoint
+    terms summed with ``+``, which equals the Spark side's ``OR``)."""
+    terms = [
+        f"((({d}) >> {i}) & 1) << {i * len(dim_exprs) + j}"
+        for i in range(bits)
+        for j, d in enumerate(dim_exprs)
+    ]
+    return "(" + " + ".join(f"({t})" for t in terms) + ")"
+
+
+def minmax_scaled(col, lo, hi, bits: int = 8):
+    """Scale a numeric dim with known bounds into ``[0, 2^bits)``.
+
+    Z-order needs every dim to FILL its bit range — a 30-day column
+    left as 0..29 wastes its high bits and the interleave degenerates
+    to a 1-D sort on the other dim. Uniform min/max scaling is the
+    simple normalizer (bounds come from table stats / the partition
+    being rewritten); for heavily skewed dims use rank buckets
+    (approxQuantile boundaries) instead, same contract: ints in
+    [0, 2^bits).
+    """
+    span = max(int(hi) - int(lo), 1)
+    top = (1 << bits) - 1
+    return F.floor(
+        (col.cast("long") - F.lit(int(lo))) * F.lit(top) / F.lit(span)
+    ).cast("long")
