@@ -40,8 +40,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 # HyperLogLog — deterministic md5-based registers
 # ---------------------------------------------------------------------------
 
-# alpha_m for m >= 128: 0.7213 / (1 + 1.079 / m); literal below is m=256.
-_ALPHA_256 = "0.7182725932495458"
+def _alpha_literal(m: int) -> str:
+    """alpha_m literal for m >= 128: 0.7213 / (1 + 1.079 / m).
+
+    Generated once in Python so the Spark expression and the DuckDB
+    oracle embed the byte-identical double literal.
+    """
+    if m < 128:
+        raise ValueError("HLL here supports m >= 128 (m_bits >= 8)")
+    return repr(0.7213 / (1 + 1.079 / m))
 # Register sum is computed exactly as sum(2^(CAP - M_j)) in BIGINT —
 # order-independent integer math (doubles would make the hash depend on
 # aggregation order). CAP=50 keeps the worst case 256 * 2^50 = 2^58 < 2^63.
@@ -120,8 +127,25 @@ def approx_distinct_hll(
     ~ 1.04/sqrt(m) (6.5% at m=256; callers wanting 1% pass
     ``m_bits=14``).
     """
-    m = 1 << m_bits
     regs = hll_registers(df, key, group_cols, m_bits=m_bits)
+    return finalize_registers(regs, group_cols, m_bits=m_bits, out=out)
+
+
+def finalize_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    *,
+    m_bits: int = 8,
+    out: str = "approx_distinct",
+) -> DataFrame:
+    """Estimate from a register frame ``(group_cols…, hll_bucket, m_j)``.
+
+    Shared by the batch operator and the streaming windowed sketch
+    (gush_spark/streaming/sketches.py), where the registers are what
+    the stream EMITS — at most ``m`` tiny rows per finalized window —
+    and this finalizer runs at read time.
+    """
+    m = 1 << m_bits
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("nonzero_buckets"),
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_RHO_CAP} - m_j)")).alias(
@@ -162,7 +186,7 @@ def hll_estimate_sql(m: int, present_sum: str, nonzero: str) -> str:
     # cast the alpha literal: engines otherwise parse it as DECIMAL
     # (DuckDB then overflows multiplying it by m^2 * 2^CAP).
     raw = (
-        f"(cast({_ALPHA_256} as double) * {float(m * m)} * {two_cap}"
+        f"(cast({_alpha_literal(m)} as double) * {float(m * m)} * {two_cap}"
         f" / cast({reg} as double))"
     )
     v = f"({m} - {nonzero})"

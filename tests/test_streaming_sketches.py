@@ -1,0 +1,95 @@
+"""Streaming windowed HLL: stream ≡ batch bit-equality, bounded emits.
+
+The deterministic sketch makes the strongest possible streaming check
+available: the registers a watermarked streaming aggregation emits
+must be EXACTLY the registers of the batch sketch over the same
+(non-late) rows — not approximately, bit-for-bit.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gush_spark.operators.sketches import finalize_registers
+from gush_spark.sources.fixtures import generate_pages
+from gush_spark.streaming.sketches import windowed_hll_registers
+from gush_spark.streaming.source import read_pages_batch, read_pages_stream
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_hll")
+    generate_pages(d, n_pages=600, n_hosts=40, seed=23, rows_per_file=150)
+    return str(d)
+
+
+def _kwargs():
+    # fixture pages tick 2 s apart (~20 min span): 5-minute windows
+    # close under a 2-minute watermark before the stream drains.
+    return dict(
+        ts_col="warc_ts",
+        key=F.col("url"),
+        window_duration="5 minutes",
+        watermark_delay="2 minutes",
+        group_cols=(),
+    )
+
+
+def _drop_late(df):
+    """Remove the fixture's ~3% deliberately-late rows (30-120 min
+    behind schedule) so the remaining jitter (≤1.5 s) is inside the
+    watermark and the stream provably drops nothing — making exact
+    stream≡batch register equality well-defined. Page i's scheduled
+    time is EPOCH0 + 2i s, recoverable from the url."""
+    i = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    sched = F.timestamp_seconds(
+        F.unix_timestamp(F.to_timestamp(F.lit("2024-03-01 00:00:00"))) + i * 2
+    )
+    return df.where(F.col("warc_ts") >= sched)
+
+
+def test_stream_registers_equal_batch(spark, pages_dir, tmp_dirs):
+    regs_stream = windowed_hll_registers(
+        _drop_late(read_pages_stream(spark, pages_dir, max_files_per_trigger=2)),
+        **_kwargs(),
+    )
+    q = (
+        regs_stream.writeStream.format("parquet")
+        .option("path", tmp_dirs["sink"])
+        .option("checkpointLocation", tmp_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(tmp_dirs["sink"])
+    exp = windowed_hll_registers(_drop_late(read_pages_batch(spark, pages_dir)), **_kwargs())
+
+    key = ["window_start", "hll_bucket"]
+    g = got.toPandas().sort_values(key).reset_index(drop=True)
+    e = exp.toPandas().sort_values(key).reset_index(drop=True)
+    # append mode withholds windows the watermark hasn't closed; every
+    # window that WAS finalized must match the batch registers exactly.
+    closed = set(g.window_start)
+    assert closed, "no windows finalized"
+    e = e[e.window_start.isin(closed)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[key + ["m_j"]], e[key + ["m_j"]])
+
+    # emitted volume is bounded by m per window — the scale contract.
+    per_window = g.groupby("window_start").size()
+    assert (per_window <= 256).all()
+
+    # finalize at read time and sanity-check against the exact count.
+    est = finalize_registers(got, ["window_start"], out="approx_urls").toPandas()
+    exact = (
+        _drop_late(read_pages_batch(spark, pages_dir))
+        .groupBy(F.window("warc_ts", "5 minutes").alias("w"))
+        .agg(F.countDistinct("url").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .toPandas()
+    )
+    j = est.merge(exact, on="window_start")
+    assert len(j) == len(est)
+    rel = (j.approx_urls - j.n).abs() / j.n
+    assert (rel < 0.30).all(), j  # 4.6 sigma at m=256
