@@ -333,7 +333,21 @@ def kmeans_cells(
         F.col(id_col), F.col(vec_col), qvec.alias("_qvec"),
         l2_norm(F.col(vec_col)).alias("_vnorm"),
     ).persist()
-    cents = (
+    spark = vectors.sparkSession
+
+    def _pin(cdf: DataFrame) -> DataFrame:
+        """Materialize the (n_cells × dim) centroid frame to the driver
+        and rebuild it as a literal DataFrame. Values are bit-identical
+        (doubles round-trip exactly through collect); what changes is
+        the PLAN: without this, iteration i's centroids keep iteration
+        i-1's whole training subtree in their lineage, and every
+        downstream action (assignment join, the two uses in the probe
+        search, bench's warm re-run) replays the full training DAG.
+        Centroids are the textbook thing to pin — a few KB."""
+        rows = [(r[0], list(r[1])) for r in cdf.collect()]
+        return spark.createDataFrame(rows, "cell bigint, c_vec array<double>")
+
+    cents = _pin(
         base.orderBy(F.col(id_col))
         .limit(n_cells)
         .select(
@@ -364,11 +378,13 @@ def kmeans_cells(
             .groupBy("cell", "pos")
             .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
         )
-        cents = dim_sums.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
-                lambda t: (t["s"].cast("double") / t["n"]) / F.lit(KMEANS_QUANT),
-            ).alias("c_vec")
+        cents = _pin(
+            dim_sums.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                    lambda t: (t["s"].cast("double") / t["n"]) / F.lit(KMEANS_QUANT),
+                ).alias("c_vec")
+            )
         )
     assignments = assigned.select(F.col(id_col), F.col("cell"))
     centroids = cents.select("cell", F.col("c_vec").alias("rep_vec"))
