@@ -840,3 +840,44 @@ def q_multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = with_blob_features(docs, "blob", passthrough=["doc_id"])
     return out.select("doc_id", "blob_len", "blob_md5")
+
+
+@query(
+    "top_docs_per_source",
+    oracle="""
+    SELECT source, doc_id, n_chars, rnk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS BIGINT) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — the grouped twin of the global top_users.
+
+    Scale shape: the rank-filter is pushed into a WindowGroupLimit
+    (Spark ≥3.5), which keeps only k rows per group per PARTITION
+    before the window exchange — the shuffle carries ≤ k·groups·
+    partitions rows, not the table (asserted by explain_audit
+    `topk.window_group_limit`). The deterministic tie-break (doc_id)
+    makes the result engine-stable, same rule as top_users.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )

@@ -150,6 +150,16 @@ def main() -> int:
           and "Exchange SinglePartition" not in p,
           "a full sort / single-partition exchange feeds the limit")
 
+    # 7b. per-group top-k: the rank filter must be pushed into a
+    # Partial WindowGroupLimit BELOW the exchange (the shuffle then
+    # carries <= k rows per group per input partition, not the table)
+    gk = all_queries()["top_docs_per_source"](spark, sf_dir)
+    p = plan_of(gk)
+    pre_exchange = p.split("Exchange hashpartitioning")[-1]
+    check("topk.window_group_limit",
+          "WindowGroupLimit" in pre_exchange and ", Partial" in pre_exchange,
+          "no partial WindowGroupLimit below the window exchange")
+
     # 8. multi-probe ANN: the probe fan-out stays on the (broadcast)
     # query side — the corpus bucket join must be a broadcast hash join,
     # and the only explode feeds the query side, never the corpus
