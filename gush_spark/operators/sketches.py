@@ -57,6 +57,27 @@ _RHO_CAP = 50
 _HEX = "0123456789abcdef"
 
 
+def _hex_prefix_int(h: Column, nhex: int) -> Column:
+    """Integer value of the first ``nhex`` hex digits of ``h`` — the
+    engine-portable hex→int (no ``conv`` in DuckDB, so both sides use
+    the same digit-position arithmetic; see :func:`_hex_prefix_sql`)."""
+    bucket = F.lit(0)
+    for i in range(nhex):
+        digit = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - F.lit(1)
+        bucket = bucket * F.lit(16) + digit
+    return bucket
+
+
+def _hex_prefix_sql(h_expr: str, nhex: int) -> str:
+    """SQL twin of :func:`_hex_prefix_int` (valid in DuckDB and Spark)."""
+    out = "0"
+    for i in range(nhex):
+        out = (
+            f"(({out}) * 16 + (instr('{_HEX}', substr({h_expr}, {i + 1}, 1)) - 1))"
+        )
+    return out
+
+
 def hll_bucket_rho(key: Column, *, m_bits: int = 8) -> tuple[Column, Column]:
     """``(bucket, rho)`` columns of the HLL observable for ``key``.
 
@@ -70,10 +91,7 @@ def hll_bucket_rho(key: Column, *, m_bits: int = 8) -> tuple[Column, Column]:
         raise ValueError("m_bits must be a multiple of 4 in [4, 16]")
     nhex = m_bits // 4
     h = F.md5(key.cast("string"))
-    bucket = F.lit(0)
-    for i in range(nhex):
-        digit = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - F.lit(1)
-        bucket = bucket * F.lit(16) + digit
+    bucket = _hex_prefix_int(h, nhex)
     # Leading-zero run of the remaining 30 hex digits (120 bits).
     tail = F.substring(h, nhex + 1, 32 - nhex)
     t = F.regexp_replace(tail, "^0+", "")
@@ -321,4 +339,110 @@ SELECT q, MIN(bin) AS bin,
 FROM cum, qs
 WHERE cum >= CEIL(q * n)
 GROUP BY q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency estimation in fixed space
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W_BITS = 12  # 4096 buckets per row
+
+
+def _cms_bucket(key: Column, row: int, w_bits: int = CMS_W_BITS) -> Column:
+    """Bucket of ``key`` in hash row ``row``: first ``w_bits`` bits of
+    ``md5('<row>:' || key)`` — independent salted hashes per row."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), key.cast("string")))
+    return _hex_prefix_int(h, w_bits // 4)
+
+
+def _cms_bucket_sql(key_expr: str, row: int, w_bits: int = CMS_W_BITS) -> str:
+    return _hex_prefix_sql(f"md5('{row}:' || CAST({key_expr} AS VARCHAR))", w_bits // 4)
+
+
+def cms_build(
+    df: DataFrame, key: Column, *, d: int = CMS_D, w_bits: int = CMS_W_BITS
+) -> DataFrame:
+    """Count-min sketch of ``key`` frequencies (Cormode & Muthukrishnan,
+    J. Algorithms 2005): ``d`` salted hash rows × ``2^w_bits`` counters.
+
+    The build is a union of ``d`` projections into ONE partial+final
+    count aggregation over the bounded ``(r, b)`` space — the shuffle
+    carries ≤ d·2^w_bits counter rows total, never the keys. Error:
+    overestimate-only, ≤ 2n/w with prob 1 - (1/2)^d. The counter table
+    is mergeable (counters add) across partitions, days, or a
+    batch+streaming split, same as the HLL registers.
+    """
+    parts = [
+        df.select(
+            F.lit(i).alias("r"),
+            _cms_bucket(key, i, w_bits).cast("int").alias("b"),
+        )
+        for i in range(d)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, *,
+    d: int = CMS_D, w_bits: int = CMS_W_BITS, out: str = "est_n",
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a built sketch:
+    min over the ``d`` counters each key hashes to. The sketch is tiny
+    (≤ d·2^w_bits rows) → broadcast join; absent counters are 0."""
+    key = F.col(key_col)
+    probes = [
+        keys.select(
+            key,
+            F.lit(i).alias("r"),
+            _cms_bucket(key, i, w_bits).cast("int").alias("b"),
+        )
+        for i in range(d)
+    ]
+    u = probes[0]
+    for p in probes[1:]:
+        u = u.unionAll(p)
+    return (
+        u.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias(out))
+    )
+
+
+def cms_oracle_sql(
+    table: str, key_expr: str, *, d: int = CMS_D, w_bits: int = CMS_W_BITS,
+    out: str = "est_n",
+) -> str:
+    """DuckDB oracle: identical salted hashing, counters and min-walk,
+    estimating every distinct key of the input against the sketch built
+    from the same input (plus the exact count for comparison)."""
+    build = "\nUNION ALL\n".join(
+        f"  SELECT {i} AS r, {_cms_bucket_sql(key_expr, i, w_bits)} AS b FROM {table}"
+        for i in range(d)
+    )
+    probe = "\nUNION ALL\n".join(
+        f"  SELECT k, {i} AS r, {_cms_bucket_sql('k', i, w_bits)} AS b FROM keys"
+        for i in range(d)
+    )
+    return f"""
+WITH hashes AS (
+{build}
+), sketch AS (
+  SELECT r, b, COUNT(*) AS c FROM hashes GROUP BY r, b
+), keys AS (
+  SELECT DISTINCT {key_expr} AS k FROM {table}
+), probes AS (
+{probe}
+), est AS (
+  SELECT k, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS {out}
+  FROM probes LEFT JOIN sketch USING (r, b) GROUP BY k
+), exact AS (
+  SELECT {key_expr} AS k, COUNT(*) AS exact_n FROM {table} GROUP BY 1
+)
+SELECT est.k AS {key_expr}, est.{out}, exact.exact_n
+FROM est JOIN exact USING (k)
 """

@@ -978,3 +978,33 @@ def _register_zorder_oracle() -> None:
 
 
 _register_zorder_oracle()
+
+
+@query(
+    "cms_user_frequencies",
+    oracle=None,  # generated below from the shared spec
+)
+def q_cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for every user vs exact counts.
+
+    The sketch (operators/sketches.cms_build) is d×2^w counters built
+    in one bounded-key aggregation; estimates broadcast-join the tiny
+    counter table. Overestimate-only by construction (est_n >= exact_n
+    for every key — visible in the output, pinned in tests)."""
+    from gush_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    sketch = sketches.cms_build(ev, F.col("user_id"))
+    keys = ev.select("user_id").distinct()
+    est = sketches.cms_estimate(sketch, keys, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, "user_id")
+
+
+def _register_cms_oracle() -> None:
+    from gush_spark.operators import sketches
+
+    _ORACLES["cms_user_frequencies"] = sketches.cms_oracle_sql("events", "user_id")
+
+
+_register_cms_oracle()

@@ -108,3 +108,38 @@ def test_sketch_plans_are_partial_final(spark, events):
     # The only single-partition stage is over bins (post-aggregation).
     pre_agg = hplan.split("HashAggregate")[-1]
     assert "Exchange SinglePartition" not in pre_agg
+
+
+def test_cms_overestimates_only_and_tight(spark, events):
+    from gush_spark.operators.sketches import cms_build, cms_estimate
+
+    sketch = cms_build(events, F.col("user_id"))
+    est = cms_estimate(
+        sketch, events.select("user_id").distinct(), "user_id"
+    )
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    rows = est.join(exact, "user_id").collect()
+    assert rows
+    n_total = sum(r.n for r in rows)
+    for r in rows:
+        assert r.est_n >= r.n, r  # CMS never underestimates
+        # markov bound: overshoot ≤ 2n/w with prob 1-2^-d; at 10k rows
+        # and w=4096 collisions are rare — allow a loose absolute slack.
+        assert r.est_n - r.n <= max(4, 2 * n_total // 4096), r
+
+
+def test_cms_sketch_is_bounded_and_mergeable(spark, events):
+    from gush_spark.operators.sketches import CMS_D, CMS_W_BITS, cms_build
+
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_build(half1, F.col("user_id"))
+        .unionAll(cms_build(half2, F.col("user_id")))
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))  # counters ADD under merge
+    )
+    direct = cms_build(events, F.col("user_id"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    assert direct.count() <= CMS_D * (1 << CMS_W_BITS)
