@@ -367,24 +367,30 @@ def cms_build(
     """Count-min sketch of ``key`` frequencies (Cormode & Muthukrishnan,
     J. Algorithms 2005): ``d`` salted hash rows × ``2^w_bits`` counters.
 
-    The build is a union of ``d`` projections into ONE partial+final
-    count aggregation over the bounded ``(r, b)`` space — the shuffle
-    carries ≤ d·2^w_bits counter rows total, never the keys. Error:
+    The build is ONE pass: the ``d`` (row, bucket) coordinates are a
+    per-row array expression exploded inline (NOT a d-way union, which
+    would scan the table d times), feeding a single partial+final count
+    aggregation over the bounded ``(r, b)`` space — the shuffle carries
+    ≤ d·2^w_bits counter rows total, never the keys. Error:
     overestimate-only, ≤ 2n/w with prob 1 - (1/2)^d. The counter table
     is mergeable (counters add) across partitions, days, or a
     batch+streaming split, same as the HLL registers.
     """
-    parts = [
-        df.select(
-            F.lit(i).alias("r"),
-            _cms_bucket(key, i, w_bits).cast("int").alias("b"),
-        )
-        for i in range(d)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionAll(p)
-    return u.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                _cms_bucket(key, i, w_bits).cast("int").alias("b"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("rb"))
+        .select("rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def cms_estimate(

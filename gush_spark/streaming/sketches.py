@@ -67,3 +67,53 @@ def windowed_hll_registers(
             "m_j",
         )
     )
+
+
+def windowed_cms_counters(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    key: Column,
+    window_duration: str,
+    watermark_delay: str,
+    d: int | None = None,
+    w_bits: int | None = None,
+) -> DataFrame:
+    """Count-min counters per event-time window — the frequency twin of
+    :func:`windowed_hll_registers`, and the streaming input to skew
+    defense: a window's counters estimate per-host volume, so hot hosts
+    (``cms_estimate`` ≥ threshold) can be routed to the salted
+    aggregation path (operators/windows.salted_agg) for the NEXT
+    window without ever holding per-key exact counts in state.
+
+    One pass, one watermarked aggregation: the d (row, bucket)
+    coordinates are exploded inline (no multi-scan union — file
+    sources would re-read every file d times), state and emitted rows
+    are ≤ d·2^w_bits per window. Counters ADD, so re-emits / resumed
+    runs / a batch backfill merge by sum. Estimates come from
+    ``operators.sketches.cms_estimate`` over a window's counter slice
+    at read time.
+    """
+    from gush_spark.operators.sketches import CMS_D, CMS_W_BITS, _cms_bucket
+
+    d = CMS_D if d is None else d
+    w_bits = CMS_W_BITS if w_bits is None else w_bits
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                _cms_bucket(key, i, w_bits).cast("int").alias("b"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.col(ts_col), F.explode(coords).alias("rb"))
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"), "rb.r", "rb.b"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "r", "b", "c")
+    )

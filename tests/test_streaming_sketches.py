@@ -93,3 +93,62 @@ def test_stream_registers_equal_batch(spark, pages_dir, tmp_dirs):
     assert len(j) == len(est)
     rel = (j.approx_urls - j.n).abs() / j.n
     assert (rel < 0.30).all(), j  # 4.6 sigma at m=256
+
+
+def test_stream_cms_counters_equal_batch_and_find_hot_hosts(spark, pages_dir, tmp_dirs):
+    from gush_spark.operators.sketches import cms_estimate
+    from gush_spark.streaming.sketches import windowed_cms_counters
+
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    kwargs = dict(
+        ts_col="warc_ts",
+        key=host,
+        window_duration="5 minutes",
+        watermark_delay="2 minutes",
+    )
+    stream = windowed_cms_counters(
+        _drop_late(read_pages_stream(spark, pages_dir, max_files_per_trigger=2)),
+        **kwargs,
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", tmp_dirs["sink"])
+        .option("checkpointLocation", tmp_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(tmp_dirs["sink"])
+    batch_pages = _drop_late(read_pages_batch(spark, pages_dir))
+    exp = windowed_cms_counters(batch_pages, **kwargs)
+
+    key = ["window_start", "r", "b"]
+    g = got.toPandas().sort_values(key).reset_index(drop=True)
+    closed = set(g.window_start)
+    assert closed, "no windows finalized"
+    e = exp.toPandas()
+    e = e[e.window_start.isin(closed)].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[key + ["c"]], e[key + ["c"]])
+
+    # hot-host detection from one window's counters: estimates bound
+    # the exact per-host counts from above (CMS never underestimates).
+    w0 = sorted(closed)[0]
+    slice0 = got.where(F.col("window_start") == w0).select("r", "b", "c")
+    hosts = batch_pages.select(host.alias("host")).distinct()
+    est = cms_estimate(slice0, hosts, "host", out="est_n")
+    exact = (
+        batch_pages.where(
+            F.window("warc_ts", "5 minutes")["start"] == w0
+        )
+        .groupBy(host.alias("host"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = est.join(exact, "host").collect()
+    assert j
+    assert all(r.est_n >= r.n for r in j)
+    # the zipf-hot host is detected as the max estimate too.
+    top_est = max(j, key=lambda r: (r.est_n, r.host)).host
+    top_exact = max(j, key=lambda r: (r.n, r.host)).host
+    assert top_est == top_exact
