@@ -881,3 +881,44 @@ def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "stratified_sample_quota",
+    oracle="""
+    SELECT lang, doc_id, qrank
+    FROM (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS qrank
+      FROM documents
+    )
+    WHERE qrank <= 40
+    """,
+)
+def q_stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: at most N docs per stratum.
+
+    The training-mix capper: dominant languages/sources are clipped to
+    a quota while small strata keep everything. Selection order inside
+    a stratum is the md5 of the id — content-independent, so the
+    sample is stable under retries, engines, repartitioning AND
+    adding/removing OTHER strata (unlike rand()-based sampleBy, whose
+    output changes per run and per partitioning). Same
+    WindowGroupLimit shape as top_docs_per_source: each partition
+    keeps ≤ quota rows per stratum before the exchange, so at crawl
+    scale the shuffle carries quota·strata·partitions rows, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).cast("long").alias("qrank")
+        )
+        .where(F.col("qrank") <= 40)
+    )
