@@ -143,3 +143,65 @@ def test_cms_sketch_is_bounded_and_mergeable(spark, events):
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
     assert direct.count() <= CMS_D * (1 << CMS_W_BITS)
+
+
+def test_hll_observable_matches_pure_python_spec(spark):
+    """(bucket, rho) from the Spark expressions == an independent
+    hashlib re-derivation — pins the SPEC, not just Spark↔DuckDB
+    agreement (those two could in principle share a bug; hashlib
+    can't)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def py_bucket_rho(key: str, m_bits: int = 8, cap: int = 50):
+        h = hashlib.md5(key.encode("utf-8")).hexdigest()
+        nhex = m_bits // 4
+        bucket = int(h[:nhex], 16)
+        bits = bin(int(h[nhex:], 16))[2:].zfill((32 - nhex) * 4)
+        first_one = bits.find("1")
+        rho = cap if first_one < 0 else min(first_one + 1, cap)
+        return bucket, rho
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        b, r = sketches.hll_bucket_rho(F.col("k"))
+        rows = {row["k"]: (row["hll_bucket"], row["hll_rho"])
+                for row in df.select("k", b, r).collect()}
+        for k in keys:
+            assert rows[k] == py_bucket_rho(k), (k, rows[k], py_bucket_rho(k))
+
+    check()
+
+
+def test_cms_bucket_matches_pure_python_spec(spark):
+    import hashlib
+
+    keys = ["", "a", "host0001.example", "42", "übergrößen 東京 ✓", "x" * 100]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    cols = [
+        sketches._cms_bucket(F.col("k"), i).alias(f"b{i}")
+        for i in range(sketches.CMS_D)
+    ]
+    got = {r["k"]: [r[f"b{i}"] for i in range(sketches.CMS_D)]
+           for r in df.select("k", *cols).collect()}
+    for k in keys:
+        exp = [
+            int(hashlib.md5(f"{i}:{k}".encode("utf-8")).hexdigest()[:3], 16)
+            for i in range(sketches.CMS_D)
+        ]
+        assert got[k] == exp, (k, got[k], exp)
