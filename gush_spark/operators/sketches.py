@@ -271,6 +271,7 @@ def approx_quantiles_hist(
     *,
     width: float,
     quantiles: list[float],
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Histogram-sketch quantiles of ``value`` (error ≤ bin ``width``).
 
@@ -284,19 +285,30 @@ def approx_quantiles_hist(
 
     Contrast with exact ``percentile`` (full sort / full shuffle of
     values — see queries.percentile_summary for the exact twin).
-    Output: ``q`` double, ``bin`` long, ``approx_value`` double
-    (= bin midpoint, deterministic since bins are integers).
+    Output: ``group_cols…``, ``q`` double, ``bin`` long,
+    ``approx_value`` double (= bin midpoint, deterministic since bins
+    are integers). With ``group_cols`` the cumulative walk is
+    partitioned per group (grouped quantiles in the same single pass —
+    the per-group window runs over that group's bins only).
     """
     from pyspark.sql import Window
 
+    g = list(group_cols)
     bins = (
-        df.select(F.floor(value / F.lit(width)).cast("long").alias("bin"))
-        .groupBy("bin")
+        df.select(*g, F.floor(value / F.lit(width)).cast("long").alias("bin"))
+        .groupBy(*g, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*g).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = bins.select(
+        *g,
         "bin",
         F.sum("c").over(w_cum).alias("cum"),
         F.sum("c").over(w_all).alias("n"),
@@ -307,9 +319,10 @@ def approx_quantiles_hist(
     return (
         cum.crossJoin(F.broadcast(qdf))
         .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("q")
+        .groupBy(*g, "q")
         .agg(F.min("bin").alias("bin"))
         .select(
+            *g,
             "q",
             "bin",
             (F.col("bin") * F.lit(width) + F.lit(width) / F.lit(2.0)).alias(
@@ -320,25 +333,33 @@ def approx_quantiles_hist(
 
 
 def hist_quantiles_oracle_sql(
-    table: str, value_expr: str, *, width: float, quantiles: list[float]
+    table: str,
+    value_expr: str,
+    *,
+    width: float,
+    quantiles: list[float],
+    group_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB oracle: identical binning, thresholds and midpoints."""
     qvals = ", ".join(f"({float(q)})" for q in quantiles)
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
     return f"""
 WITH bins AS (
-  SELECT CAST(floor({value_expr} / {width}) AS BIGINT) AS bin, COUNT(*) AS c
-  FROM {table} GROUP BY 1
+  SELECT {gsel}CAST(floor({value_expr} / {width}) AS BIGINT) AS bin, COUNT(*) AS c
+  FROM {table} GROUP BY {gsel}bin
 ), cum AS (
-  SELECT bin,
-         CAST(SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-         CAST(SUM(c) OVER () AS BIGINT) AS n
+  SELECT {gsel}bin,
+         CAST(SUM(c) OVER ({part}ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER ({part.strip()}) AS BIGINT) AS n
   FROM bins
 ), qs(q) AS (VALUES {qvals})
-SELECT q, MIN(bin) AS bin,
+SELECT {gsel}q, MIN(bin) AS bin,
        MIN(bin) * {width} + {width} / 2.0 AS approx_value
 FROM cum, qs
 WHERE cum >= CEIL(q * n)
-GROUP BY q
+GROUP BY {gsel}q
 """
 
 

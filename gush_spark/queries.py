@@ -1008,3 +1008,35 @@ def _register_cms_oracle() -> None:
 
 
 _register_cms_oracle()
+
+
+@query(
+    "approx_quantiles_by_type",
+    oracle=None,  # built below from the shared spec
+)
+def q_approx_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped histogram quantiles — the sketch twin of the exact
+    percentile_summary: same single pass over the data, per-group
+    cumulative walk over bins only."""
+    from gush_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.approx_quantiles_hist(
+        ev,
+        F.col("value"),
+        width=5.0,
+        quantiles=[0.5, 0.95, 0.99],
+        group_cols=("event_type",),
+    )
+
+
+def _register_grouped_quantile_oracle() -> None:
+    from gush_spark.operators import sketches
+
+    _ORACLES["approx_quantiles_by_type"] = sketches.hist_quantiles_oracle_sql(
+        "events", "value", width=5.0, quantiles=[0.5, 0.95, 0.99],
+        group_cols=("event_type",),
+    )
+
+
+_register_grouped_quantile_oracle()
