@@ -117,3 +117,37 @@ def windowed_cms_counters(
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("w.start").alias("window_start"), "r", "b", "c")
     )
+
+
+def windowed_histogram_bins(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value: Column,
+    width: float,
+    window_duration: str,
+    watermark_delay: str,
+) -> DataFrame:
+    """Histogram bin counts per event-time window — streaming quantiles.
+
+    Completes the streaming sketch triad (distinct: HLL registers,
+    frequency: CMS counters, quantiles: these bins). Bin counts are
+    additive under merge like the CMS counters; a window's quantiles
+    come from the same cumulative walk
+    ``operators.sketches.approx_quantiles_hist`` performs, run over the
+    stored bins at read time (they are already the ``groupBy(bin)``
+    result, so the read-time walk touches bins only). State and emit
+    volume per window = the number of occupied bins (bounded by
+    range/width), never the row count.
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.select(
+            F.col(ts_col),
+            F.floor(value / F.lit(width)).cast("long").alias("bin"),
+        )
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "bin", "c")
+    )

@@ -152,3 +152,56 @@ def test_stream_cms_counters_equal_batch_and_find_hot_hosts(spark, pages_dir, tm
     top_est = max(j, key=lambda r: (r.est_n, r.host)).host
     top_exact = max(j, key=lambda r: (r.n, r.host)).host
     assert top_est == top_exact
+
+
+def test_stream_histogram_bins_equal_batch(spark, pages_dir, tmp_dirs):
+    from gush_spark.streaming.sketches import windowed_histogram_bins
+
+    value = F.length("html").cast("double")
+    kwargs = dict(
+        ts_col="warc_ts",
+        value=value,
+        width=64.0,
+        window_duration="5 minutes",
+        watermark_delay="2 minutes",
+    )
+    stream = windowed_histogram_bins(
+        _drop_late(read_pages_stream(spark, pages_dir, max_files_per_trigger=2)),
+        **kwargs,
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", tmp_dirs["sink"])
+        .option("checkpointLocation", tmp_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(tmp_dirs["sink"])
+    exp = windowed_histogram_bins(
+        _drop_late(read_pages_batch(spark, pages_dir)), **kwargs
+    )
+    key = ["window_start", "bin"]
+    g = got.toPandas().sort_values(key).reset_index(drop=True)
+    closed = set(g.window_start)
+    assert closed, "no windows finalized"
+    e = exp.toPandas()
+    e = e[e.window_start.isin(closed)].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[key + ["c"]], e[key + ["c"]])
+
+    # read-time quantile walk over one window's bins brackets the
+    # exact median of that window within one bin width.
+    w0 = sorted(closed)[0]
+    bins0 = g[g.window_start == w0]
+    cum = bins0.sort_values("bin").c.cumsum()
+    n = bins0.c.sum()
+    med_bin = bins0.sort_values("bin").bin[cum >= -(-n // 2)].iloc[0]
+    exact_med = (
+        _drop_late(read_pages_batch(spark, pages_dir))
+        .where(F.window("warc_ts", "5 minutes")["start"] == w0)
+        .select(F.percentile(value, F.lit(0.5)).alias("m"))
+        .first()["m"]
+    )
+    assert abs((med_bin * 64.0 + 32.0) - exact_med) <= 64.0
