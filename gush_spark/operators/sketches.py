@@ -122,7 +122,11 @@ def hll_registers(
     """
     bucket, rho = hll_bucket_rho(key, m_bits=m_bits)
     return (
-        df.select(*group_cols, bucket, rho)
+        # null keys are not distinct values (COUNT DISTINCT semantics);
+        # unfiltered they'd surface as a null register inflating
+        # nonzero_buckets.
+        df.where(key.isNotNull())
+        .select(*group_cols, bucket, rho)
         .groupBy(*group_cols, "hll_bucket")
         .agg(F.max("hll_rho").alias("m_j"))
     )
@@ -236,6 +240,7 @@ def hll_oracle_sql(
     return f"""
 WITH h AS (
   SELECT {g}, md5(CAST({key_expr} AS VARCHAR)) AS hh FROM {table}
+  WHERE {key_expr} IS NOT NULL
 ), t0 AS (
   SELECT {g}, hh, regexp_replace(substr(hh, 3, 30), '^0+', '') AS t FROM h
 ), br AS (
@@ -295,7 +300,10 @@ def approx_quantiles_hist(
 
     g = list(group_cols)
     bins = (
-        df.select(*g, F.floor(value / F.lit(width)).cast("long").alias("bin"))
+        # null values carry no quantile information (exact percentile
+        # ignores them); unfiltered they'd form a null bin inflating n.
+        df.where(value.isNotNull())
+        .select(*g, F.floor(value / F.lit(width)).cast("long").alias("bin"))
         .groupBy(*g, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -348,7 +356,7 @@ def hist_quantiles_oracle_sql(
     return f"""
 WITH bins AS (
   SELECT {gsel}CAST(floor({value_expr} / {width}) AS BIGINT) AS bin, COUNT(*) AS c
-  FROM {table} GROUP BY {gsel}bin
+  FROM {table} WHERE {value_expr} IS NOT NULL GROUP BY {gsel}bin
 ), cum AS (
   SELECT {gsel}bin,
          CAST(SUM(c) OVER ({part}ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
@@ -407,7 +415,8 @@ def cms_build(
         ]
     )
     return (
-        df.select(F.explode(coords).alias("rb"))
+        df.where(key.isNotNull())
+        .select(F.explode(coords).alias("rb"))
         .select("rb.r", "rb.b")
         .groupBy("r", "b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -448,7 +457,7 @@ def cms_oracle_sql(
     estimating every distinct key of the input against the sketch built
     from the same input (plus the exact count for comparison)."""
     build = "\nUNION ALL\n".join(
-        f"  SELECT {i} AS r, {_cms_bucket_sql(key_expr, i, w_bits)} AS b FROM {table}"
+        f"  SELECT {i} AS r, {_cms_bucket_sql(key_expr, i, w_bits)} AS b FROM {table} WHERE {key_expr} IS NOT NULL"
         for i in range(d)
     )
     probe = "\nUNION ALL\n".join(
@@ -461,7 +470,7 @@ WITH hashes AS (
 ), sketch AS (
   SELECT r, b, COUNT(*) AS c FROM hashes GROUP BY r, b
 ), keys AS (
-  SELECT DISTINCT {key_expr} AS k FROM {table}
+  SELECT DISTINCT {key_expr} AS k FROM {table} WHERE {key_expr} IS NOT NULL
 ), probes AS (
 {probe}
 ), est AS (

@@ -54,7 +54,8 @@ def windowed_hll_registers(
         df = df.withWatermark(ts_col, watermark_delay)
     bucket, rho = hll_bucket_rho(key, m_bits=m_bits)
     return (
-        df.groupBy(
+        df.where(key.isNotNull())  # COUNT DISTINCT semantics, as in batch
+        .groupBy(
             F.window(F.col(ts_col), window_duration).alias("w"),
             *group_cols,
             bucket,
@@ -110,7 +111,8 @@ def windowed_cms_counters(
         ]
     )
     return (
-        df.select(F.col(ts_col), F.explode(coords).alias("rb"))
+        df.where(key.isNotNull())
+        .select(F.col(ts_col), F.explode(coords).alias("rb"))
         .groupBy(
             F.window(F.col(ts_col), window_duration).alias("w"), "rb.r", "rb.b"
         )
@@ -143,7 +145,8 @@ def windowed_histogram_bins(
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark_delay)
     return (
-        df.select(
+        df.where(value.isNotNull())
+        .select(
             F.col(ts_col),
             F.floor(value / F.lit(width)).cast("long").alias("bin"),
         )

@@ -205,3 +205,33 @@ def test_cms_bucket_matches_pure_python_spec(spark):
             for i in range(sketches.CMS_D)
         ]
         assert got[k] == exp, (k, got[k], exp)
+
+
+def test_sketches_ignore_null_keys_and_values(spark, events):
+    """COUNT DISTINCT / percentile semantics: nulls carry no signal."""
+    nulled = events.withColumn(
+        "maybe_user",
+        F.when(F.col("event_id") % 3 == 0, F.col("user_id")),
+    ).withColumn(
+        "maybe_value",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")),
+    )
+    clean = nulled.where(F.col("maybe_user").isNotNull())
+
+    with_nulls = sketches.hll_registers(nulled, F.col("maybe_user"), [])
+    without = sketches.hll_registers(clean, F.col("maybe_user"), [])
+    assert with_nulls.exceptAll(without).count() == 0
+    assert without.exceptAll(with_nulls).count() == 0
+
+    cms_n = sketches.cms_build(nulled, F.col("maybe_user"))
+    cms_c = sketches.cms_build(clean, F.col("maybe_user"))
+    assert cms_n.exceptAll(cms_c).count() == 0
+    assert cms_c.exceptAll(cms_n).count() == 0
+
+    qn = sketches.approx_quantiles_hist(
+        nulled, F.col("maybe_value"), width=10.0, quantiles=[0.5]
+    )
+    qc = sketches.approx_quantiles_hist(
+        clean, F.col("maybe_value"), width=10.0, quantiles=[0.5]
+    )
+    assert qn.collect() == qc.collect()
