@@ -345,7 +345,7 @@ def kmeans_cells(
         search, bench's warm re-run) replays the full training DAG.
         Centroids are the textbook thing to pin — a few KB."""
         rows = [(r[0], list(r[1])) for r in cdf.collect()]
-        return spark.createDataFrame(rows, "cell bigint, c_vec array<double>")
+        return spark.createDataFrame(rows, cdf.schema)  # keep id_col's type
 
     cents = _pin(
         base.orderBy(F.col(id_col))

@@ -51,8 +51,14 @@ def _alpha_literal(m: int) -> str:
     return repr(0.7213 / (1 + 1.079 / m))
 # Register sum is computed exactly as sum(2^(CAP - M_j)) in BIGINT —
 # order-independent integer math (doubles would make the hash depend on
-# aggregation order). CAP=50 keeps the worst case 256 * 2^50 = 2^58 < 2^63.
+# aggregation order). The cap must keep the all-empty worst case
+# m * 2^CAP < 2^63, so it shrinks as m grows: CAP = min(50, 62 - m_bits)
+# (50 for m=256/4096 — the oracle-pinned value — 46 for m=65536).
 _RHO_CAP = 50
+
+
+def _cap(m_bits: int) -> int:
+    return min(_RHO_CAP, 62 - m_bits)
 
 _HEX = "0123456789abcdef"
 
@@ -103,8 +109,9 @@ def hll_bucket_rho(key: Column, *, m_bits: int = 8) -> tuple[Column, Column]:
         .when(first.isin("2", "3"), 2)
         .otherwise(3)
     )
-    rho = F.when(t == "", F.lit(_RHO_CAP)).otherwise(
-        F.least(zhex * F.lit(4) + extra + F.lit(1), F.lit(_RHO_CAP))
+    cap = _cap(m_bits)
+    rho = F.when(t == "", F.lit(cap)).otherwise(
+        F.least(zhex * F.lit(4) + extra + F.lit(1), F.lit(cap))
     )
     return bucket.cast("int").alias("hll_bucket"), rho.cast("int").alias("hll_rho")
 
@@ -146,8 +153,8 @@ def approx_distinct_hll(
     (long, exact integer sketch digest — the hash-stable witness) and
     ``out`` (long, the rounded HLL estimate with the standard
     linear-counting small-range correction). Standard error
-    ~ 1.04/sqrt(m) (6.5% at m=256; callers wanting 1% pass
-    ``m_bits=14``).
+    ~ 1.04/sqrt(m): 6.5% at m_bits=8, 1.6% at m_bits=12, 0.4% at
+    m_bits=16 (m_bits must be a multiple of 4 — hex-digit bucketing).
     """
     regs = hll_registers(df, key, group_cols, m_bits=m_bits)
     return finalize_registers(regs, group_cols, m_bits=m_bits, out=out)
@@ -168,9 +175,16 @@ def finalize_registers(
     and this finalizer runs at read time.
     """
     m = 1 << m_bits
-    agg = regs.groupBy(*group_cols).agg(
+    # Max-merge duplicate (group, bucket) rows first: a sink can hold
+    # registers from a resumed run, a re-emit, or a batch backfill for
+    # the same window — merge is max, and counting raw rows would
+    # double-count buckets (nonzero_buckets could even exceed m).
+    merged = regs.groupBy(*group_cols, "hll_bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    agg = merged.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("nonzero_buckets"),
-        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_RHO_CAP} - m_j)")).alias(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_cap(m_bits)} - m_j)")).alias(
             "present_sum"
         ),
     )
@@ -189,9 +203,10 @@ def finalize_registers(
 
 def register_sum_sql(m: int, present_sum: str, nonzero: str) -> str:
     """SQL for the full register sum including the empty buckets."""
+    cap = _cap(m.bit_length() - 1)
     return (
         f"cast({present_sum} as bigint) + "
-        f"cast(({m} - {nonzero}) as bigint) * shiftleft(cast(1 as bigint), {_RHO_CAP})"
+        f"cast(({m} - {nonzero}) as bigint) * shiftleft(cast(1 as bigint), {cap})"
     )
 
 
@@ -204,7 +219,7 @@ def hll_estimate_sql(m: int, present_sum: str, nonzero: str) -> str:
     variation is absorbed by rounding to an integer count).
     """
     reg = register_sum_sql(m, present_sum, nonzero)
-    two_cap = float(1 << _RHO_CAP)
+    two_cap = float(1 << _cap(m.bit_length() - 1))
     # cast the alpha literal: engines otherwise parse it as DECIMAL
     # (DuckDB then overflows multiplying it by m^2 * 2^CAP).
     raw = (
@@ -431,17 +446,18 @@ def cms_estimate(
     min over the ``d`` counters each key hashes to. The sketch is tiny
     (≤ d·2^w_bits rows) → broadcast join; absent counters are 0."""
     key = F.col(key_col)
-    probes = [
-        keys.select(
-            key,
-            F.lit(i).alias("r"),
-            _cms_bucket(key, i, w_bits).cast("int").alias("b"),
-        )
-        for i in range(d)
-    ]
-    u = probes[0]
-    for p in probes[1:]:
-        u = u.unionAll(p)
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                _cms_bucket(key, i, w_bits).cast("int").alias("b"),
+            )
+            for i in range(d)
+        ]
+    )
+    u = keys.select(key, F.explode(coords).alias("rb")).select(
+        key_col, "rb.r", "rb.b"
+    )  # one pass over keys (its lineage may be an aggregation itself)
     return (
         u.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy(key_col)

@@ -102,6 +102,12 @@ def zorder_value(dims: list, bits: int = 16):
     timestamp with its epoch-day). Pure JVM bit arithmetic — one
     expression, whole-stage codegen, no UDF.
     """
+    if bits * len(dims) > 62:
+        raise ValueError(
+            f"bits*dims = {bits * len(dims)} would interleave into the "
+            "long sign bit (>62): negative z-values would split the "
+            "Morton curve at the sign boundary — reduce bits per dim"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
         for d, col in enumerate(dims):
@@ -163,6 +169,10 @@ def minmax_scaled(col, lo, hi, bits: int = 8):
     """
     span = max(int(hi) - int(lo), 1)
     top = (1 << bits) - 1
+    # clamp: out-of-bounds values (stale stats) would scale to negative
+    # or >= 2^bits ints whose sign-extended bits corrupt the interleave
+    # for EVERY dim — pin them to the edge cells instead.
+    clamped = F.least(F.greatest(col.cast("long"), F.lit(int(lo))), F.lit(int(hi)))
     return F.floor(
-        (col.cast("long") - F.lit(int(lo))) * F.lit(top) / F.lit(span)
+        (clamped - F.lit(int(lo))) * F.lit(top) / F.lit(span)
     ).cast("long")

@@ -235,3 +235,24 @@ def test_sketches_ignore_null_keys_and_values(spark, events):
         clean, F.col("maybe_value"), width=10.0, quantiles=[0.5]
     )
     assert qn.collect() == qc.collect()
+
+
+def test_hll_m16_no_overflow_and_duplicate_registers_merge(spark, events):
+    """Regressions from review: (a) m_bits=16 used to overflow BIGINT in
+    the empty-bucket register term (65536 * 2^50 > 2^63); the cap now
+    shrinks with m. (b) finalize_registers must max-merge duplicate
+    (group, bucket) rows — a sink can hold a resumed run's re-emits —
+    instead of double-counting them."""
+    one = events.withColumn("g", F.lit(1))
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    est = sketches.approx_distinct_hll(
+        one, F.col("user_id"), ["g"], m_bits=16
+    ).first()
+    assert est["register_sum"] > 0
+    assert abs(est["approx_distinct"] - exact) / exact < 4 * 1.04 / 256
+
+    regs = sketches.hll_registers(one, F.col("user_id"), ["g"])
+    doubled = regs.unionAll(regs)  # replayed emission
+    a = sketches.finalize_registers(regs, ["g"]).first()
+    b = sketches.finalize_registers(doubled, ["g"]).first()
+    assert a == b

@@ -155,10 +155,13 @@ def main() -> int:
     # carries <= k rows per group per input partition, not the table)
     gk = all_queries()["top_docs_per_source"](spark, sf_dir)
     p = plan_of(gk)
-    pre_exchange = p.split("Exchange hashpartitioning")[-1]
+    # A Partial-mode WindowGroupLimit only exists pre-shuffle (that is
+    # what Partial means); requiring BOTH modes pins the pushdown
+    # without parsing node positions out of the formatted plan.
     check("topk.window_group_limit",
-          "WindowGroupLimit" in pre_exchange and ", Partial" in pre_exchange,
-          "no partial WindowGroupLimit below the window exchange")
+          re.search(r"WindowGroupLimit.*Partial", p, re.S) is not None
+          and re.search(r"WindowGroupLimit.*Final", p, re.S) is not None,
+          "missing Partial+Final WindowGroupLimit pair")
 
     # 8. multi-probe ANN: the probe fan-out stays on the (broadcast)
     # query side — the corpus bucket join must be a broadcast hash join,
