@@ -922,3 +922,50 @@ def q_stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("qrank") <= 40)
     )
+
+
+@query(
+    "frequent_phrases",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+    )
+    SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences
+    FROM g GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 5
+    """,
+)
+def q_frequent_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document frequent-phrase mining (word 3-grams in ≥ 5 docs)
+    — the phrase-level boilerplate/contamination detector: template
+    sentences, licence blurbs and benchmark prompts surface as n-grams
+    shared by many documents, and the hit list drives removal.
+
+    Scale shape: the gram explosion is a per-row array expression (one
+    pass, no join), and the aggregation is partial+final over gram
+    keys. At crawl scale the shuffle key should be md5(gram) with the
+    gram carried via min() (16-byte keys, same rule as
+    dedup.containment hash_keys) — the string-keyed form here is the
+    oracle-pinned semantics."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(2)),
+            lambda i: F.array_join(F.slice(w, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 5)
+    )
