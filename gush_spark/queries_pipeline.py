@@ -969,3 +969,48 @@ def q_frequent_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 5)
     )
+
+
+@query(
+    "frequent_phrases_hashed",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+    )
+    SELECT min(gram) AS gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences
+    FROM g GROUP BY md5(gram)
+    HAVING count(DISTINCT doc_id) >= 5
+    """,
+)
+def q_frequent_phrases_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-scale form of frequent_phrases: the shuffle key is
+    md5(gram) (16 bytes however long the phrase is) and the phrase
+    text rides along as min(gram) — deterministic even under the
+    astronomically-unlikely digest collision. The driver pins it
+    value-hash-equal to the string-keyed form's semantics (same rows
+    on this corpus), the same proof pattern as
+    containment_pairs_hashed."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(2)),
+            lambda i: F.array_join(F.slice(w, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy(F.md5(F.col("gram")).alias("gkey"))
+        .agg(
+            F.min("gram").alias("gram"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 5)
+        .drop("gkey")
+    )
