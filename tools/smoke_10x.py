@@ -37,6 +37,8 @@ HEAVY = [
     "curation_pipeline",
     "simhash_near_dup_pairs",
     "doc_featurize",
+    "frequent_phrases",
+    "frequent_phrases_hashed",
 ]
 
 N_VARIANTS = 10
