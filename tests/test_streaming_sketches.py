@@ -205,3 +205,67 @@ def test_stream_histogram_bins_equal_batch(spark, pages_dir, tmp_dirs):
         .first()["m"]
     )
     assert abs((med_bin * 64.0 + 32.0) - exact_med) <= 64.0
+
+
+def test_stream_hll_through_exactly_once_sink_resume(spark, tmp_path):
+    """Integration with the north-rule sink: windowed HLL registers
+    written through IdempotentKeyedSink keyed by (window_start,
+    hll_bucket); an interrupted run resumed from its checkpoint must
+    produce exactly the registers of an uninterrupted run — sketches
+    compose with the exactly-once machinery like every other operator.
+    """
+    import os
+    import shutil
+
+    from gush_spark.sources.fixtures import generate_pages
+    from gush_spark.streaming.sink import IdempotentKeyedSink
+
+    src = tmp_path / "src"
+    generate_pages(src, n_pages=600, n_hosts=30, seed=7, rows_per_file=150)
+    files = sorted(os.listdir(src))
+    assert len(files) == 4
+
+    def run(pages_dir, sink_path, ckpt):
+        regs = windowed_hll_registers(
+            _drop_late(read_pages_stream(spark, str(pages_dir), max_files_per_trigger=1)),
+            **_kwargs(),
+        )
+        sink = IdempotentKeyedSink(sink_path, keys=["window_start", "hll_bucket"])
+        q = (
+            regs.writeStream.foreachBatch(
+                lambda df, bid: sink.write_batch(df, bid)
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(180)
+        return sink
+
+    def stage(dst, names, t0):
+        dst.mkdir(exist_ok=True)
+        for i, n in enumerate(names):
+            shutil.copy(src / n, dst / n)
+            os.utime(dst / n, (t0 + i, t0 + i))  # pin file order = mtime
+
+    full_dir = tmp_path / "full"
+    stage(full_dir, files, 1_000_000)
+    full_sink = run(full_dir, tmp_path / "full_sink", tmp_path / "full_ckpt")
+    expected = full_sink.read_all_appends(spark).toPandas()
+    assert len(expected), "no registers emitted"
+
+    part_dir = tmp_path / "part"
+    stage(part_dir, files[:2], 1_000_000)
+    sink1 = run(part_dir, tmp_path / "r_sink", tmp_path / "r_ckpt")
+    n_first = sink1.read_all_appends(spark).count()
+    assert n_first < len(expected)
+
+    stage(part_dir, files[2:], 1_000_100)  # later mtimes: appended files
+    sink2 = run(part_dir, tmp_path / "r_sink", tmp_path / "r_ckpt")
+    resumed = sink2.read_all_appends(spark).toPandas()
+
+    key = ["window_start", "hll_bucket"]
+    exp = expected.sort_values(key).reset_index(drop=True)
+    got = resumed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exp[key + ["m_j"]], got[key + ["m_j"]])
