@@ -1040,3 +1040,56 @@ def _register_grouped_quantile_oracle() -> None:
 
 
 _register_grouped_quantile_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins — existence predicates without row multiplication.
+# The scale contract: the probe side streams through a broadcast (or
+# hash) existence check; no matched row is ever duplicated (semi) and
+# the build side never leaves the join (both) — the classic mistake
+# at 100 TB is an inner join + distinct, which shuffles and dedups the
+# multiplied rows.
+# ---------------------------------------------------------------------------
+@query(
+    "customers_without_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "customers_with_high_value_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0
+    )
+    """,
+)
+def q_customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a pushed filter: the predicate prunes the build
+    side BEFORE the existence check, and each qualifying customer
+    appears exactly once however many orders match."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 150000.0
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
