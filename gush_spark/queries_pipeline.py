@@ -1014,3 +1014,124 @@ def q_frequent_phrases_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 5)
         .drop("gkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a new batch against the historical corpus
+# (operators/incremental.py) — the daily-crawl append pattern. The
+# batch split is deterministic for oracles: doc_id % 10 < 2 is
+# "today's crawl" (~20%), the rest is the historical corpus.
+# ---------------------------------------------------------------------------
+_NEWPRED = "doc_id % 10 < 2"
+_CORPRED = "doc_id % 10 >= 2"
+
+
+def _split_docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(_NEWPRED), docs.filter(_CORPRED)
+
+
+@query(
+    "incremental_exact_dedup",
+    oracle=f"""
+    WITH {BASE},
+    nf AS (SELECT doc_id, md5(norm) AS fingerprint FROM base WHERE {_NEWPRED}),
+    cf AS (SELECT DISTINCT md5(norm) AS fingerprint FROM base WHERE {_CORPRED}),
+    ranked AS (SELECT doc_id, fingerprint,
+               row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+                 AS batch_rank
+               FROM nf)
+    SELECT r.doc_id, r.fingerprint,
+           (cf.fingerprint IS NOT NULL) AS in_corpus,
+           r.batch_rank,
+           (cf.fingerprint IS NULL AND r.batch_rank = 1) AS is_kept
+    FROM ranked r LEFT JOIN cf ON r.fingerprint = cf.fingerprint
+    """,
+)
+def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of a new batch vs the corpus fingerprint index —
+    the corpus side is a map-only scan (broadcast new side), see
+    operators/incremental.py."""
+    from gush_spark.operators import incremental
+
+    new, corpus = _split_docs(spark, sf_dir)
+    return incremental.incremental_exact_dedup(
+        new, corpus, "doc_id", "text", spread=None
+    )
+
+
+@query(
+    "incremental_near_dup",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS},
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+             FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig
+             WHERE n.{_NEWPRED} AND c.{_CORPRED}),
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3)
+    SELECT new_id, corpus_id,
+           CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shs, y.shs))) AS jaccard
+    FROM cand JOIN shl x ON x.doc_id = new_id JOIN shl y ON y.doc_id = corpus_id
+    """,
+)
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus near-dup pairs via the corpus band index —
+    candidate cost scales with |new|, not |corpus|²."""
+    from gush_spark.operators import incremental
+
+    new, corpus = _split_docs(spark, sf_dir)
+    return incremental.incremental_near_dup_pairs(
+        new, corpus, "doc_id", "text", threshold=0.0, spread=None
+    )
+
+
+@query(
+    "incremental_curate",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS},
+    nf AS (SELECT doc_id, md5(norm) AS fingerprint FROM base WHERE {_NEWPRED}),
+    cf AS (SELECT DISTINCT md5(norm) AS fingerprint FROM base WHERE {_CORPRED}),
+    ranked AS (SELECT doc_id, fingerprint,
+               row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+                 AS batch_rank
+               FROM nf),
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3),
+    ncand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+              FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig
+              WHERE n.{_NEWPRED} AND c.{_CORPRED}),
+    nearc AS (SELECT DISTINCT new_id AS doc_id FROM ncand
+              JOIN shl x ON x.doc_id = new_id
+              JOIN shl y ON y.doc_id = corpus_id
+              WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+                    / len(list_distinct(list_concat(x.shs, y.shs))) >= 0.6),
+    bcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+              AND a.doc_id < b.doc_id
+              WHERE a.{_NEWPRED} AND b.{_NEWPRED}),
+    nearb AS (SELECT DISTINCT id_b AS doc_id FROM bcand
+              JOIN shl x ON x.doc_id = id_a
+              JOIN shl y ON y.doc_id = id_b
+              WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+                    / len(list_distinct(list_concat(x.shs, y.shs))) >= 0.6)
+    SELECT r.doc_id,
+           (cf.fingerprint IS NOT NULL) AS in_corpus,
+           r.batch_rank,
+           (nearc.doc_id IS NOT NULL) AS near_corpus,
+           (nearb.doc_id IS NOT NULL) AS near_batch,
+           (cf.fingerprint IS NULL AND r.batch_rank = 1
+            AND nearc.doc_id IS NULL AND nearb.doc_id IS NULL) AS is_kept
+    FROM ranked r
+    LEFT JOIN cf ON r.fingerprint = cf.fingerprint
+    LEFT JOIN nearc ON nearc.doc_id = r.doc_id
+    LEFT JOIN nearb ON nearb.doc_id = r.doc_id
+    """,
+)
+def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite append decision with full audit trail: exact
+    (corpus + within-batch), near-corpus, near-within-batch."""
+    from gush_spark.operators import incremental
+
+    new, corpus = _split_docs(spark, sf_dir)
+    return incremental.incremental_curate(
+        new, corpus, "doc_id", "text", threshold=0.6, spread=None
+    )
