@@ -1135,3 +1135,70 @@ def q_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.incremental_curate(
         new, corpus, "doc_id", "text", threshold=0.6, spread=None
     )
+
+
+@query(
+    "repetition_scores",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    uni AS (SELECT doc_id, len(ws) AS n_tokens, unnest(ws) AS g FROM w),
+    ucnt AS (SELECT doc_id, n_tokens, md5(g) AS gk, count(*) AS c
+             FROM uni GROUP BY 1, 2, 3),
+    umax AS (SELECT doc_id, n_tokens, max(c) AS umx,
+             CAST(count(*) AS BIGINT) AS udistinct
+             FROM ucnt GROUP BY 1, 2),
+    big AS (SELECT doc_id,
+            unnest(list_transform(generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i + 1])) AS g
+            FROM w WHERE len(ws) >= 2),
+    bcnt AS (SELECT doc_id, md5(g) AS gk, count(*) AS c FROM big GROUP BY 1, 2),
+    bmax AS (SELECT doc_id, max(c) AS bmx FROM bcnt GROUP BY 1)
+    SELECT u.doc_id, u.n_tokens,
+           u.umx::DOUBLE / u.n_tokens AS top_token_frac,
+           u.udistinct::DOUBLE / u.n_tokens AS distinct_token_ratio,
+           coalesce(b.bmx, 0)::DOUBLE / greatest(u.n_tokens - 1, 1)
+             AS top_bigram_frac
+    FROM umax u LEFT JOIN bmax b ON u.doc_id = b.doc_id
+    """,
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality scores
+    (operators/repetition.py): one explode, two hash aggs, md5 gram
+    keys on the wire."""
+    from gush_spark.operators.repetition import repetition_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_scores(docs, "doc_id", "text")
+
+
+@query(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES},
+    dsh AS (SELECT doc_id, md5(s) AS sk FROM sh),
+    bench AS (SELECT DISTINCT sk FROM dsh WHERE doc_id % 50 = 0),
+    per AS (SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(b.sk) AS BIGINT) AS n_matched
+            FROM dsh d LEFT JOIN bench b ON d.sk = b.sk GROUP BY 1),
+    scored AS (SELECT i.doc_id,
+                      coalesce(p.n_shingles, 0) AS n_shingles,
+                      coalesce(p.n_matched, 0) AS n_matched,
+                      coalesce(p.n_matched / p.n_shingles, 0.0) AS overlap
+               FROM (SELECT doc_id FROM documents) i
+               LEFT JOIN per p ON i.doc_id = p.doc_id)
+    SELECT doc_id, n_shingles, n_matched, overlap,
+           overlap >= 0.5 AS contaminated
+    FROM scored
+    """,
+)
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): the
+    benchmark set is every 50th doc; its distinct shingle md5 keys are
+    broadcast and the corpus side scores overlap in one map-side-
+    combinable agg."""
+    from gush_spark.operators.decontaminate import ngram_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return ngram_overlap(docs, bench, "doc_id", "text", threshold=0.5)
