@@ -1,0 +1,82 @@
+"""Deterministic sequence packing — assign every document a training
+sequence id and an offset so a downstream tokenizer can concatenate
+docs into fixed token-budget sequences (the standard concat-and-chunk
+pre-training layout) without a driver-side loop.
+
+Semantics: docs are laid out in a deterministic pseudo-random order
+(md5 of the id — content-independent, so retry/engine/partitioning
+stable, same discipline as the dataset split in
+queries_pipeline.dataset_split); each doc starts at the running token
+offset within its bucket and belongs to the sequence its FIRST token
+falls in (``seq_in_bucket = floor(start_offset / budget)``). A doc that
+straddles a boundary is flagged ``split`` — exactly what happens in
+concat-and-chunk training, where the tokenizer cuts it at the boundary.
+
+Scale design: packing does not need a global order — only a
+deterministic one. Docs are hashed into ``buckets`` independent
+streams; each bucket packs with ONE window cumsum (partitionBy bucket,
+spill-safe streaming sort), so parallelism = ``buckets`` and no global
+sort or single-partition window ever forms. At 100 TB set ``buckets``
+to a few × cluster cores; sequence ids are globally unique via
+(bucket, seq_in_bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# seq_id = bucket * _SEQ_STRIDE + seq_in_bucket; 2^40 sequences per
+# bucket ~= 10^12 docs/bucket before overflow — beyond any real bucket
+_SEQ_STRIDE = 1 << 40
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    *,
+    budget: int,
+    buckets: int = 32,
+) -> DataFrame:
+    """Assign (seq_id, seq_offset, split) per doc.
+
+    Output: ``id_col``, ``bucket``, ``seq_id``, ``seq_offset`` (token
+    offset of the doc's first token within its sequence), ``n_tokens``,
+    ``split`` (doc crosses a sequence boundary). Zero-token docs get
+    the sequence at their offset with ``split = false``.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    bucket = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"), F.lit(buckets)
+    ).cast("long")
+    laid = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        bucket.alias("bucket"),
+        key.alias("_ok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("_start")
+    return (
+        laid.select(id_col, "n_tokens", "bucket", start)
+        .select(
+            id_col,
+            "n_tokens",
+            "bucket",
+            (
+                F.col("bucket") * F.lit(_SEQ_STRIDE)
+                + F.floor(F.col("_start") / budget)
+            ).cast("long").alias("seq_id"),
+            F.pmod(F.col("_start"), F.lit(budget)).cast("long").alias("seq_offset"),
+        )
+        .withColumn(
+            "split",
+            F.col("seq_offset") + F.col("n_tokens") > F.lit(budget),
+        )
+    )

@@ -1202,3 +1202,208 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return ngram_overlap(docs, bench, "doc_id", "text", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, boilerplate-line removal, sequence packing, domain
+# reputation — the remaining standard passes of a web-scale training
+# pipeline. The synthetic corpus carries no PII / newline structure, so
+# the query layer injects deterministic PII strings and line boundaries
+# IDENTICALLY on both engines; the operators themselves are input-
+# agnostic (gush_spark/operators/{scrub,lines,packing,domains}.py).
+# ---------------------------------------------------------------------------
+
+# deterministic PII injection, same expression both engines
+_INJ_SQL = """injected AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+        AS t0
+      FROM documents)"""
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_IPV4_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "pii_scrub_report",
+    oracle="WITH " + _INJ_SQL + f"""
+    , s1 AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(t0, '{_EMAIL_PAT}')) AS BIGINT) AS n_email,
+               regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS t1
+             FROM injected),
+    s2 AS (SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '{_PHONE_PAT}')) AS BIGINT) AS n_phone,
+             regexp_replace(t1, '{_PHONE_PAT}', '<PHONE>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_phone,
+             CAST(len(regexp_extract_all(t2, '{_IPV4_PAT}')) AS BIGINT) AS n_ipv4,
+             regexp_replace(t2, '{_IPV4_PAT}', '<IP>', 'g') AS clean_text
+           FROM s2)
+    SELECT doc_id, clean_text, n_email, n_phone, n_ipv4,
+           n_email + n_phone + n_ipv4 AS n_pii
+    FROM s3
+    """,
+)
+def q_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/scrub.py): progressive email -> phone ->
+    ipv4 regex passes, pure JVM codegen, zero shuffles."""
+    from gush_spark.operators.scrub import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(injected, "doc_id", "text")
+
+
+# 8-word pseudo-lines + injected banner lines: the corpus has no real
+# newlines, so line boundaries are derived identically on both engines
+_BANNER_A = "subscribe to our newsletter now for free updates"
+_BANNER_B = "all rights reserved by the site owner today"
+_LINES_SQL = f"""ldocs AS (
+      SELECT doc_id,
+        list_concat(list_concat(
+          CASE WHEN doc_id % 4 = 0 THEN ['{_BANNER_A}'] ELSE []::VARCHAR[] END,
+          list_transform(
+            generate_series(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+            i -> array_to_string(list_slice(ws, (i-1)*8+1, (i-1)*8+8), ' '))),
+          CASE WHEN doc_id % 6 = 0 THEN ['{_BANNER_B}'] ELSE []::VARCHAR[] END
+        ) AS lines
+      FROM w)"""
+
+
+@query(
+    "boilerplate_line_removal",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {_LINES_SQL},
+    exploded AS (
+      SELECT doc_id, i AS pos, md5(lines[i]) AS lk, lines[i] AS line
+      FROM ldocs, unnest(generate_series(1, len(lines))) AS t(i)),
+    freq AS (SELECT lk FROM (SELECT lk, count(DISTINCT doc_id) AS nd
+                             FROM exploded GROUP BY 1) WHERE nd >= 10),
+    kept AS (SELECT e.* FROM exploded e ANTI JOIN freq f ON e.lk = f.lk),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY 1)
+    SELECT l.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(l.lines) AS BIGINT) AS n_lines,
+           CAST(len(l.lines) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM ldocs l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+    """,
+)
+def q_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent-line removal (operators/lines.py): line md5 keys
+    on the wire, frequent set broadcast, map-only anti join."""
+    from gush_spark.functions.text_analysis import words_of
+    from gush_spark.operators.lines import remove_frequent_lines
+
+    docs = load(spark, sf_dir, "documents")
+    ws = words_of(F.col("text"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(ws) / 8.0).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(ws, (i - 1) * 8 + 1, 8)),
+    )
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(_BANNER_A))).otherwise(empty),
+        chunks,
+        F.when(F.col("doc_id") % 6 == 0, F.array(F.lit(_BANNER_B))).otherwise(empty),
+    )
+    ldocs = docs.select("doc_id", lines.alias("lines"))
+    return remove_frequent_lines(ldocs, "doc_id", "lines", min_docs=10)
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    sized AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS ok,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 8 AS bucket
+              FROM w),
+    laid AS (SELECT doc_id, n_tokens, bucket,
+                    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens AS start
+             FROM sized)
+    SELECT doc_id, n_tokens, bucket,
+           bucket * {1 << 40} + CAST(floor(start / 512) AS BIGINT) AS seq_id,
+           CAST(start % 512 AS BIGINT) AS seq_offset,
+           CAST(start % 512 AS BIGINT) + n_tokens > 512 AS split
+    FROM laid
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): docs
+    hashed into 8 independent buckets, ONE window cumsum per bucket, no
+    global sort; budget 512 tokens."""
+    from gush_spark.functions.text_analysis import words_of
+    from gush_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(words_of(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(sized, "doc_id", "n_tokens", budget=512, buckets=8)
+
+
+@query(
+    "domain_reputation",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source, {NORM} AS norm FROM documents),
+    w AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS ws FROM base),
+    feats AS (SELECT doc_id, source, {QUALITY_RATIOS} FROM w),
+    quality AS (SELECT doc_id, source, {QUALITY_SCORE} AS doc_quality FROM feats),
+    stats AS (SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CAST(doc_quality AS DECIMAL(38,9))) AS DOUBLE)
+                       / count(*) AS domain_quality
+              FROM quality GROUP BY 1)
+    SELECT q.doc_id, q.source, q.doc_quality,
+           s.domain_quality, s.n_docs,
+           s.domain_quality < 0.59 AS domain_flagged
+    FROM quality q JOIN stats s ON q.source = s.source
+    """,
+)
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reputation gate (operators/domains.py): per-source mean
+    quality in one map-side-combinable agg, broadcast back; docs from
+    domains averaging below 0.59 are flagged."""
+    from gush_spark.operators.domains import domain_reputation_gate
+
+    docs = load(spark, sf_dir, "documents")
+    feats = ta.quality_features(F.col("text"))
+    scored = docs.select("doc_id", "source", feats["quality_score"].alias("q"))
+    return domain_reputation_gate(
+        scored, "doc_id", "source", "q", min_quality=0.59
+    )
