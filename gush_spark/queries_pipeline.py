@@ -1168,7 +1168,7 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.repetition import repetition_scores
 
     docs = load(spark, sf_dir, "documents")
-    return repetition_scores(docs, "doc_id", "text")
+    return repetition_scores(docs, "doc_id", "text", spread=None)
 
 
 @query(
@@ -1326,11 +1326,22 @@ def q_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.functions.text_analysis import words_of
     from gush_spark.operators.lines import remove_frequent_lines
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ws = words_of(F.col("text"))
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.ceil(F.size(ws) / 8.0).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(ws, (i - 1) * 8 + 1, 8)),
+    # bind the words array so the chunk lambda references the BOUND
+    # array, not the words expression — Catalyst doesn't CSE into
+    # lambda bodies (same trap as dedup.shingles / repetition_scores)
+    chunks = F.get(
+        F.transform(
+            F.array(ws),
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.ceil(F.size(w) / 8.0).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * 8 + 1, 8)),
+            ),
+        ),
+        0,
     )
     empty = F.array().cast("array<string>")
     lines = F.concat(

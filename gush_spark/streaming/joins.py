@@ -28,13 +28,24 @@ def join_events_within(
     within: str = "30 minutes",
     watermark_delay: str = "10 minutes",
     key: str = "url",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: each crawl event with the follow-up events for the
-    same key occurring in (crawl_ts, crawl_ts + within] — the
-    crawl→recrawl/drop sequence expressed as a genuine two-stream join.
+    """Join each crawl event with the follow-up events for the same key
+    occurring in (crawl_ts, crawl_ts + within] — the crawl→recrawl/drop
+    sequence expressed as a genuine two-stream join.
+
+    ``how`` is ``inner`` or ``leftOuter``. Left-outer is the "pages
+    never re-crawled" detector: a crawl with no follow-up inside the
+    horizon emits ONE null-padded row — but only once the watermark
+    passes crawl_ts + within, when Spark evicts the buffered crawl and
+    knows no match can still arrive. Crawls near the stream's end whose
+    horizon the watermark never crosses stay unreported (inherent to
+    watermark-bounded outer joins, not a bug — a live stream's watermark
+    keeps advancing).
 
     Both inputs need an event-time column ``warc_ts``. Output columns:
-    key, crawl event id/ts, follow event id/ts/type.
+    key, crawl event id/ts, follow event id/ts/type (follow columns
+    null for unmatched crawls under leftOuter).
     """
     c = (
         crawls.select(
@@ -61,6 +72,7 @@ def join_events_within(
             f"jkey = fkey AND follow_ts > crawl_ts "
             f"AND follow_ts <= crawl_ts + INTERVAL {within}"
         ),
+        how,
     ).select(
         F.col("jkey").alias(key),
         "crawl_event_id",
