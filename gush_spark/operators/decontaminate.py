@@ -60,19 +60,26 @@ def benchmark_ngram_keys(
 
 def ngram_overlap(
     docs: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None,
     id_col: str,
     text_col: str,
     k: int = SHINGLE_K,
     threshold: float = 0.5,
+    bench_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document benchmark-overlap scores.
 
     Docs with fewer than ``k`` tokens have no shingles and are reported
     with n_shingles=0, overlap 0.0, not contaminated (nothing to match
     on — the exact-dedup/fingerprint layer owns tiny docs).
+
+    Pass either ``bench`` (raw benchmark docs, keys derived here) or a
+    precomputed ``bench_keys`` (one ``sk`` column of distinct shingle
+    md5s) — the latter lets streaming callers derive the keys ONCE and
+    reuse them every microbatch (streaming/pipeline).
     """
-    bench_keys = benchmark_ngram_keys(bench, text_col, k)
+    if bench_keys is None:
+        bench_keys = benchmark_ngram_keys(bench, text_col, k)
     doc_sh = _doc_shingle_keys(docs, id_col, text_col, k)
     hits = doc_sh.join(
         F.broadcast(bench_keys.withColumn("_hit", F.lit(1))), on="sk", how="left"

@@ -32,6 +32,26 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def scrub_columns(text: Column) -> dict[str, Column]:
+    """Composable form: ``clean_text`` plus one ``n_<rule>`` count per
+    rule and ``n_pii`` — pure column expressions, so streaming stages
+    (streaming/pipeline.curation_stream_pipeline) fuse them into the
+    same projection as the quality/lang gates."""
+    cur: Column = text
+    out: dict[str, Column] = {}
+    counts: list[Column] = []
+    for name, pat, repl in PII_RULES:
+        c = F.coalesce(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))), F.lit(0)
+        ).cast("long")
+        out[f"n_{name}"] = c
+        counts.append(c)
+        cur = F.regexp_replace(cur, pat, repl)
+    out["clean_text"] = cur
+    out["n_pii"] = sum(counts[1:], counts[0]).cast("long")
+    return out
+
+
 def scrub_pii(
     df: DataFrame, id_col: str, text_col: str, *, keep_text: bool = True
 ) -> DataFrame:
@@ -41,23 +61,10 @@ def scrub_pii(
     ``n_<rule>`` count per rule, and ``n_pii`` (total matches). Null
     text scrubs to null with zero counts.
     """
-    cur: Column = F.col(text_col)
-    counts: list[Column] = []
-    for name, pat, repl in PII_RULES:
-        counts.append(
-            F.coalesce(
-                F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))), F.lit(0)
-            )
-            .cast("long")
-            .alias(f"n_{name}")
-        )
-        cur = F.regexp_replace(cur, pat, repl)
-    total = sum(
-        (F.col(f"n_{name}") for name, _, _ in PII_RULES[1:]),
-        F.col(f"n_{PII_RULES[0][0]}"),
-    )
-    cols = [F.col(id_col)]
+    cols = scrub_columns(F.col(text_col))
+    sel = [F.col(id_col)]
     if keep_text:
-        cols.append(cur.alias("clean_text"))
-    out = df.select(*cols, *counts)
-    return out.withColumn("n_pii", total.cast("long"))
+        sel.append(cols["clean_text"].alias("clean_text"))
+    sel += [cols[f"n_{name}"].alias(f"n_{name}") for name, _, _ in PII_RULES]
+    sel.append(cols["n_pii"].alias("n_pii"))
+    return df.select(*sel)

@@ -220,18 +220,33 @@ def curation_stream_pipeline(
     available_now: bool = True,
     quality_threshold: float = 0.5,
     lang: str = "en",
+    scrub: bool = False,
+    max_pii: int | None = None,
+    bench_keys=None,
+    contamination_threshold: float = 0.5,
 ):
     """Crawl-time corpus curation: pages stream → blacklist filters →
     vectorized extraction → streaming exact dedup (watermark-bounded
-    state, first occurrence wins) → quality + language gates (pure
-    column expressions) → exactly-once append sink of curated docs.
+    state, first occurrence wins) → optional PII scrub → quality +
+    language gates (pure column expressions) → optional benchmark-
+    decontamination gate → exactly-once append sink of curated docs.
 
     The streaming twin of the batch ``curation_pipeline`` catalog query:
     the batch pass sweeps the corpus (including near-dup clustering,
     which needs global connectivity); this stage keeps exact duplicates
     and junk from ever landing. Stateful footprint: one dedup entry per
     distinct fingerprint inside the watermark horizon — the only
-    shuffle is on the 16-byte fingerprint."""
+    shuffle is on the 16-byte fingerprint.
+
+    ``scrub=True`` redacts PII from the extracted text BEFORE the
+    quality gates (operators/scrub — stateless column expressions,
+    fused into the same projection); ``max_pii`` additionally drops
+    pages with more than that many matches. ``bench_keys`` is a STATIC
+    DataFrame of distinct benchmark shingle md5s
+    (operators/decontaminate.benchmark_ngram_keys); the gate runs
+    inside foreachBatch where the microbatch is a plain batch frame, so
+    the verified batch operator applies as-is — the bench side is
+    broadcast, no stream state."""
     from gush_spark.functions import text_analysis as ta
     from gush_spark.streaming.dedup import dedup_pages_stream
 
@@ -242,11 +257,22 @@ def curation_stream_pipeline(
         watermark_delay=config.watermark_delay,
         text_col="extracted_text",
     )
+    if scrub:
+        from gush_spark.operators.scrub import scrub_columns
+
+        sc_cols = scrub_columns(F.col("extracted_text"))
+        deduped = deduped.withColumn("n_pii", sc_cols["n_pii"]).withColumn(
+            "extracted_text", sc_cols["clean_text"]
+        )
+        if max_pii is not None:
+            deduped = deduped.filter(F.col("n_pii") <= max_pii)
+    else:
+        deduped = deduped.withColumn("n_pii", F.lit(0).cast("long"))
     feats = ta.quality_features(F.col("extracted_text"))
     scores = ta.lang_scores(F.col("extracted_text"))
     curated = (
         deduped.select(
-            "url", "host", "warc_ts", "fingerprint", "extracted_text",
+            "url", "host", "warc_ts", "fingerprint", "extracted_text", "n_pii",
             feats["n_tokens"].cast("long").alias("n_tokens"),
             feats["quality_score"].alias("quality_score"),
             scores["pred_lang"].alias("pred_lang"),
@@ -256,10 +282,22 @@ def curation_stream_pipeline(
             & (F.col("pred_lang") == lang)
         )
     )
+
+    def _gate(df, bid):
+        if bench_keys is not None and not df.isEmpty():
+            from gush_spark.operators.decontaminate import ngram_overlap
+
+            flags = ngram_overlap(
+                df, None, "url", "extracted_text",
+                threshold=contamination_threshold, bench_keys=bench_keys,
+            ).filter(F.col("contaminated")).select("url")
+            df = df.join(F.broadcast(flags), on="url", how="left_anti")
+        sink.write_batch(df, bid)
+
     sink = IdempotentKeyedSink(sink_path, keys=[])  # append: curated rows
     writer = (
         curated.writeStream.outputMode("append")
-        .foreachBatch(lambda df, bid: sink.write_batch(df, bid))
+        .foreachBatch(_gate)
         .option("checkpointLocation", checkpoint_path)
     )
     if available_now:

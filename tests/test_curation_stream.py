@@ -62,3 +62,89 @@ def test_curation_stream_matches_batch_gates(spark, pages_dir, tmp_dirs):
     # exactly-once: re-reading the sink is stable
     again = sink.read_all_appends(spark).count()
     assert again == len(got)
+
+
+def test_curation_stream_scrub_and_decontaminate(spark, tmp_path, tmp_dirs):
+    """PII scrub + benchmark-decontamination gates composed into the
+    streaming pipeline: scrubbed text lands in the sink, contaminated
+    pages don't, and the surviving fingerprint set equals the batch
+    reference applying the same operators in the same order."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gush_spark.operators.decontaminate import benchmark_ngram_keys, ngram_overlap
+    from gush_spark.operators.scrub import scrub_columns
+    from gush_spark.sources.fixtures import EPOCH0, PAGES_ARROW_SCHEMA, render_html
+
+    texts = {
+        "p1": "the quick brown fox jumps over the lazy dog in the sun",
+        "p2": "contact bob@corp.io about the new data release for the winter",
+        "p3": "a statement about the weather in the north of the country",
+        "p4": "the archive holds a record of the past and the future",
+        "p5": "short note about the harvest and the market in the town",
+        "p6": "the library keeps the books and the maps of the region",
+    }
+    rows = []
+    for i, (pid, txt) in enumerate(sorted(texts.items())):
+        rows.append(
+            {
+                "url": f"https://host{i % 2:04d}.example/{pid}",
+                "warc_ts": EPOCH0 + dt.timedelta(seconds=10 * i),
+                "html": render_html([txt]),
+                "text": txt,
+                "lang": "en",
+                "case": "plain",
+            }
+        )
+    d = tmp_path / "pii_pages"
+    d.mkdir()
+    for ci, chunk in enumerate((rows[:3], rows[3:])):
+        tbl = pa.Table.from_pandas(
+            pd.DataFrame(chunk), schema=PAGES_ARROW_SCHEMA, preserve_index=False
+        )
+        pq.write_table(tbl, d / f"part-{ci:05d}.parquet")
+
+    # benchmark set: p1's exact text -> p1 must be decontaminated away
+    bench = spark.createDataFrame([(0, texts["p1"])], ["bid", "text"])
+    keys = benchmark_ngram_keys(bench, "text")
+
+    query, sink = curation_stream_pipeline(
+        spark, str(d), tmp_dirs["sink"], tmp_dirs["checkpoint"],
+        config=CFG, available_now=True, quality_threshold=0.0, lang="en",
+        scrub=True, bench_keys=keys, contamination_threshold=0.5,
+    )
+    query.awaitTermination(180)
+    got = sink.read_all_appends(spark).toPandas()
+
+    by_url = {u.rsplit("/", 1)[1]: r for u, r in zip(got["url"], got.to_dict("records"))}
+    assert "p1" not in by_url, "benchmark-contaminated page must be gated out"
+    assert "p2" in by_url
+    assert "bob@corp.io" not in by_url["p2"]["extracted_text"]
+    assert "<EMAIL>" in by_url["p2"]["extracted_text"]
+    assert by_url["p2"]["n_pii"] == 1
+    assert all(r["n_pii"] == 0 for k, r in by_url.items() if k != "p2")
+
+    # batch reference: same operators, same order
+    batch = with_extracted_text(
+        read_pages_batch(spark, str(d)).withColumn("host", host_of(F.col("url")))
+    ).filter(F.col("extract_error").isNull())
+    sc = scrub_columns(F.col("extracted_text"))
+    feats = ta.quality_features(sc["clean_text"])
+    scores = ta.lang_scores(sc["clean_text"])
+    ref = batch.select(
+        "url",
+        ta.md5_fingerprint(F.col("extracted_text")).alias("fingerprint"),
+        sc["clean_text"].alias("clean_text"),
+        feats["quality_score"].alias("quality_score"),
+        scores["pred_lang"].alias("pred_lang"),
+    ).filter((F.col("quality_score") >= 0.0) & (F.col("pred_lang") == "en"))
+    flagged = (
+        ngram_overlap(ref, None, "url", "clean_text", bench_keys=keys)
+        .filter(F.col("contaminated"))
+        .select("url")
+    )
+    ref = ref.join(flagged, on="url", how="left_anti").toPandas()
+    assert set(got["fingerprint"]) == set(ref["fingerprint"])
