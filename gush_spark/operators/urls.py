@@ -1,0 +1,83 @@
+"""URL canonicalization — the normalization pass every crawl pipeline
+runs before URL-level dedup and host/domain rollups: the same resource
+is fetched as ``HTTP://WWW.Site.COM:80/a?utm_source=x&b=2#frag`` and
+``http://site.com/a?b=2`` and must map to one canonical key.
+
+Rules (the common-denominator subset used by web crawlers):
+- scheme and host lowercased (path/query case is significant, kept);
+- leading ``www.`` stripped from the host;
+- explicit default ports ``:80``/``:443`` stripped;
+- fragment stripped;
+- tracking parameters (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``)
+  removed;
+- remaining query parameters SORTED (param order is almost never
+  semantic; sorting folds permutations into one key);
+- a bare ``/`` path collapsed to the empty path.
+
+Also derived: ``host`` and ``registered_domain`` (last two dot-labels
+— a deliberate public-suffix-list-free approximation, documented).
+
+Scale design: everything is per-row column expressions — regexps and
+native array ops (split / array_sort / array_join) in whole-stage
+codegen; the only lambda is the tracking-param filter over a per-URL
+array of a handful of elements. Zero shuffles; the downstream URL
+dedup is then an exact groupBy on the canonical key (or its md5 at
+crawl scale — same discipline as operators/dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# matched against each "k=v" pair; anchored prefixes
+TRACKING_RE = r"^(utm_[A-Za-z]+|fbclid|gclid|msclkid)="
+
+_AUTHORITY_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)"
+
+
+def canonicalize_url(url: Column) -> dict[str, Column]:
+    """Canonical URL, host and registered domain as column expressions.
+
+    URLs without a ``scheme://authority`` prefix pass through with only
+    fragment/tracking cleanup (host/domain null) — garbage in the url
+    column is data, not an error (same policy as functions/extract P10).
+    """
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
+    host0 = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 2))
+    host = F.regexp_replace(
+        F.regexp_replace(host0, r"^www\.", ""), r":(80|443)$", ""
+    )
+    # everything after the authority, fragment dropped
+    rest = F.regexp_replace(
+        F.regexp_replace(u, _AUTHORITY_RE, ""), r"#.*$", ""
+    )
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_RE),
+        )
+    )
+    canonical_tail = F.concat(
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+    has_authority = host0 != ""
+    canonical = F.when(
+        has_authority,
+        F.concat(scheme, F.lit("://"), host, canonical_tail),
+    ).otherwise(canonical_tail)
+    return {
+        "canonical_url": canonical,
+        "host": F.when(has_authority, host),
+        "registered_domain": F.when(
+            has_authority, F.regexp_extract(host, r"[^.]+\.[^.]+$", 0)
+        ),
+        "n_params": F.size(params).cast("long"),
+    }

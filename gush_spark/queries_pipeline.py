@@ -1418,3 +1418,96 @@ def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_reputation_gate(
         scored, "doc_id", "source", "q", min_quality=0.59
     )
+
+
+# deterministic messy-URL injection, same expression both engines: the
+# corpus has no url column, so one is synthesized with mixed case,
+# www/port noise, tracking params, unsorted params, fragments and the
+# occasional schemeless garbage row
+_URL_SQL = """urls AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN 'not a url at all?b=2&utm_source=x#frag'
+        ELSE
+          (CASE WHEN doc_id % 5 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
+          || '://WWW.Src' || (doc_id % 20) || '.Example.COM'
+          || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+          || (CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '/Path/' || doc_id END)
+          || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+                   WHEN doc_id % 3 = 1 THEN '?z=9&utm_campaign=x&gclid=abc'
+                   ELSE '' END)
+          || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+        END AS url
+      FROM documents)"""
+
+
+@query(
+    "url_canonicalize",
+    oracle="WITH " + _URL_SQL + r"""
+    , parts AS (
+      SELECT doc_id, trim(url) AS u,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 1)) AS scheme,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS host0
+      FROM urls),
+    cleaned AS (
+      SELECT doc_id, scheme, host0,
+        regexp_replace(regexp_replace(host0, '^www\.', ''), ':(80|443)$', '') AS host,
+        regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', '') AS rest
+      FROM parts),
+    split_q AS (
+      SELECT doc_id, scheme, host0, host,
+        CASE WHEN regexp_extract(rest, '^[^?]*') = '/' THEN ''
+             ELSE regexp_extract(rest, '^[^?]*') END AS path,
+        list_sort(list_filter(
+          string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+          p -> p != '' AND NOT regexp_matches(p, '^(utm_[A-Za-z]+|fbclid|gclid|msclkid)=')
+        )) AS params
+      FROM cleaned),
+    built AS (
+      SELECT doc_id, host0, host,
+        path || CASE WHEN len(params) > 0
+                     THEN '?' || array_to_string(params, '&') ELSE '' END AS tail,
+        scheme, CAST(len(params) AS BIGINT) AS n_params
+      FROM split_q)
+    SELECT doc_id,
+           CASE WHEN host0 != '' THEN scheme || '://' || host || tail
+                ELSE tail END AS canonical_url,
+           CASE WHEN host0 != '' THEN host END AS host,
+           CASE WHEN host0 != '' THEN regexp_extract(host, '[^.]+\.[^.]+$')
+           END AS registered_domain,
+           n_params
+    FROM built
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py): scheme/host lowering,
+    www/default-port/fragment/tracking-param stripping, sorted params —
+    all per-row codegen expressions, zero shuffles."""
+    from gush_spark.operators.urls import canonicalize_url
+
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 20
+    url = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("not a url at all?b=2&utm_source=x#frag"),
+    ).otherwise(
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("HTTP")).otherwise(F.lit("HTTPS")),
+            F.lit("://WWW.Src"), k.cast("string"), F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("/")).otherwise(
+                F.concat(F.lit("/Path/"), F.col("doc_id").cast("string"))
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?z=9&utm_campaign=x&gclid=abc"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+    )
+    cols = canonicalize_url(url)
+    return docs.select(
+        "doc_id",
+        cols["canonical_url"].alias("canonical_url"),
+        cols["host"].alias("host"),
+        cols["registered_domain"].alias("registered_domain"),
+        cols["n_params"].alias("n_params"),
+    )

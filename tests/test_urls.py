@@ -1,0 +1,81 @@
+"""Hand-checkable URL canonicalization semantics (operators/urls.py);
+the DuckDB oracle (url_canonicalize) covers the synthetic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gush_spark.operators.urls import canonicalize_url
+
+
+@pytest.fixture(scope="module")
+def canon(spark):
+    rows = [
+        (1, "HTTP://WWW.Site.COM:80/A/b?utm_source=x&b=2&a=1#frag"),
+        (2, "https://site.com/A/b?a=1&b=2"),
+        (3, "https://sub.domain.example.org:443/"),
+        (4, "https://x.io/p?gclid=abc&fbclid=def&utm_campaign=z"),
+        (5, "no scheme here?b=2&utm_source=x#f"),
+        (6, "https://one.com/path"),
+        (7, "  https://pad.com/x  "),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    cols = canonicalize_url(F.col("url"))
+    out = df.select(
+        "id",
+        cols["canonical_url"].alias("c"),
+        cols["host"].alias("h"),
+        cols["registered_domain"].alias("d"),
+        cols["n_params"].alias("n"),
+    )
+    return {r["id"]: r for r in out.collect()}
+
+
+def test_case_port_www_tracking_fragment(canon):
+    r = canon[1]
+    assert r["c"] == "http://site.com/A/b?a=1&b=2"  # path case KEPT
+    assert r["h"] == "site.com"
+    assert r["d"] == "site.com"
+    assert r["n"] == 2
+
+
+def test_equivalent_urls_fold_to_same_key(canon):
+    # 1 and 2 differ by scheme (http vs https) — host/path/query fold
+    assert canon[1]["c"].split("://", 1)[1] == canon[2]["c"].split("://", 1)[1]
+
+
+def test_bare_slash_and_default_https_port(canon):
+    r = canon[3]
+    assert r["c"] == "https://sub.domain.example.org"
+    assert r["h"] == "sub.domain.example.org"
+    assert r["d"] == "example.org"  # last two labels
+
+
+def test_all_params_tracking(canon):
+    assert canon[4]["c"] == "https://x.io/p"
+    assert canon[4]["n"] == 0
+
+
+def test_schemeless_garbage_passes_through(canon):
+    r = canon[5]
+    assert r["h"] is None and r["d"] is None
+    # fragment + tracking still cleaned; the text before '?' is "path"
+    assert r["c"] == "no scheme here?b=2"
+
+
+def test_no_query_untouched_and_trim(canon):
+    assert canon[6]["c"] == "https://one.com/path"
+    assert canon[7]["c"] == "https://pad.com/x"
+
+
+def test_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "https://a.io/x")], ["id", "url"])
+    cols = canonicalize_url(F.col("url"))
+    plan = (
+        df.select(cols["canonical_url"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
