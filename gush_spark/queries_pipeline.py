@@ -1511,3 +1511,43 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["registered_domain"].alias("registered_domain"),
         cols["n_params"].alias("n_params"),
     )
+
+
+@query(
+    "trending_terms",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    counted AS (
+      SELECT CAST(floor((1700000000 + doc_id * 60) / 3600) * 3600 AS BIGINT)
+               AS window_start_s,
+             term, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE term != '' GROUP BY 1, 2),
+    ranked AS (
+      SELECT window_start_s, term, n,
+             CAST(row_number() OVER (
+               PARTITION BY window_start_s ORDER BY n DESC, term
+             ) AS BIGINT) AS rnk
+      FROM counted)
+    SELECT window_start_s, term, n, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms (operators/trending.py): windowed token counts
+    with md5 term keys on the wire, top-5 per window via the
+    WindowGroupLimit rank filter. Documents get a deterministic
+    synthetic timestamp (one per minute) — the corpus carries none."""
+    from gush_spark.operators.trending import top_terms_per_window, windowed_term_counts
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 60)
+    )
+    counts = windowed_term_counts(
+        docs, ts_col="ts", text_col="text", window_duration="1 hour"
+    )
+    return top_terms_per_window(counts, 5).select(
+        F.col("window_start").cast("timestamp").cast("long").alias("window_start_s"),
+        "term",
+        "n",
+        "rnk",
+    )

@@ -1,0 +1,114 @@
+"""Trending terms: stream ≡ batch windowed counts (exact, on non-late
+rows), top-k composition, and the WindowGroupLimit plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gush_spark.operators.trending import top_terms_per_window, windowed_term_counts
+from gush_spark.sources.fixtures import generate_pages
+from gush_spark.streaming.source import read_pages_batch, read_pages_stream
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_trend")
+    generate_pages(d, n_pages=600, n_hosts=40, seed=31, rows_per_file=150)
+    return str(d)
+
+
+def _drop_late(df):
+    # same rule as test_streaming_sketches: remove the fixture's ~3%
+    # deliberately-late rows so exact stream≡batch equality is defined
+    i = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    sched = F.timestamp_seconds(
+        F.unix_timestamp(F.to_timestamp(F.lit("2024-03-01 00:00:00"))) + i * 2
+    )
+    return df.where(F.col("warc_ts") >= sched)
+
+
+def _kwargs():
+    return dict(
+        ts_col="warc_ts",
+        text_col="text",
+        window_duration="5 minutes",
+        watermark_delay="2 minutes",
+    )
+
+
+def test_stream_counts_equal_batch(spark, pages_dir, tmp_dirs):
+    stream = windowed_term_counts(
+        _drop_late(read_pages_stream(spark, pages_dir, max_files_per_trigger=2)),
+        **_kwargs(),
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", tmp_dirs["sink"])
+        .option("checkpointLocation", tmp_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.read.parquet(tmp_dirs["sink"])
+        .toPandas()
+        .sort_values(["window_start", "term"])
+        .reset_index(drop=True)
+    )
+    # append mode emits a window only once the watermark passes its
+    # end: the batch reference is restricted to watermark-CLOSED
+    # windows (the final open window legitimately never emits on a
+    # finite replay — a live stream's watermark keeps advancing)
+    batch = _drop_late(read_pages_batch(spark, pages_dir))
+    import datetime as dt
+
+    wm = batch.agg(F.max("warc_ts")).collect()[0][0] - dt.timedelta(minutes=2)
+    exp_all = windowed_term_counts(batch, **_kwargs())
+    exp = (
+        exp_all.where(F.col("window_start") + F.expr("INTERVAL 5 MINUTES") <= F.lit(wm))
+        .toPandas()
+        .sort_values(["window_start", "term"])
+        .reset_index(drop=True)
+    )
+    assert not got.empty
+    assert got["window_start"].nunique() >= 3  # most of the span closed
+    assert got[["window_start", "term", "n"]].equals(exp[["window_start", "term", "n"]])
+
+    # top-k over the emitted counts == top-k over the batch counts
+    # (same closed-window restriction)
+    topg = top_terms_per_window(spark.read.parquet(tmp_dirs["sink"]), 3).toPandas()
+    tope = top_terms_per_window(
+        exp_all.where(
+            F.col("window_start") + F.expr("INTERVAL 5 MINUTES") <= F.lit(wm)
+        ),
+        3,
+    ).toPandas()
+    key = ["window_start", "rnk"]
+    assert (
+        topg.sort_values(key).reset_index(drop=True)[["window_start", "term", "n", "rnk"]]
+        .equals(tope.sort_values(key).reset_index(drop=True)[["window_start", "term", "n", "rnk"]])
+    )
+
+
+def test_hashed_and_plain_term_counts_agree(spark, pages_dir):
+    batch = _drop_late(read_pages_batch(spark, pages_dir))
+    a = windowed_term_counts(batch, hash_terms=True, **_kwargs()).toPandas()
+    b = windowed_term_counts(batch, hash_terms=False, **_kwargs()).toPandas()
+    key = ["window_start", "term"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_topk_compiles_to_window_group_limit(spark, pages_dir):
+    batch = _drop_late(read_pages_batch(spark, pages_dir))
+    plan = (
+        top_terms_per_window(windowed_term_counts(batch, **_kwargs()), 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -39,6 +39,9 @@ HEAVY = [
     "doc_featurize",
     "frequent_phrases",
     "frequent_phrases_hashed",
+    "repetition_scores",
+    "boilerplate_line_removal",
+    "decontaminate_overlap",
 ]
 
 N_VARIANTS = 10
