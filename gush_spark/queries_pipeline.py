@@ -1551,3 +1551,55 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "rnk",
     )
+
+
+@query(
+    "quality_decile_assignment",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    feats AS (SELECT doc_id, {QUALITY_RATIOS} FROM w),
+    quality AS (SELECT doc_id, {QUALITY_SCORE} AS quality_score FROM feats),
+    bounds AS (SELECT list_transform(
+                 quantile_cont(quality_score,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                 b -> round(b, 9)) AS bs
+               FROM quality)
+    SELECT q.doc_id, q.quality_score,
+           CAST(1 + len(list_filter(b.bs, x -> q.quality_score > x)) AS BIGINT)
+             AS decile
+    FROM quality q, bounds b
+    """,
+)
+def q_quality_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality binning: decile boundaries from ONE
+    exact-percentile aggregation (partial-combinable), broadcast back
+    as a 1-row frame, decile assigned map-only — the standard
+    'keep the top-X% of the corpus' curation knob, content-stable
+    (a doc's decile depends on the corpus, not the engine).
+
+    Boundaries are rounded to 9 decimals on BOTH engines before the
+    comparison so a 1-ulp interpolation difference can't flip a doc
+    sitting exactly on a boundary."""
+    docs = load(spark, sf_dir, "documents")
+    feats = ta.quality_features(F.col("text"))
+    scored = docs.select("doc_id", feats["quality_score"].alias("quality_score"))
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = scored.agg(
+        F.transform(
+            F.percentile(F.col("quality_score"), F.array(*[F.lit(q) for q in qs])),
+            lambda b: F.round(b, 9),
+        ).alias("bs")
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "quality_score",
+            (
+                1
+                + F.size(
+                    F.filter(F.col("bs"), lambda x: F.col("quality_score") > x)
+                )
+            ).cast("long").alias("decile"),
+        )
+    )
