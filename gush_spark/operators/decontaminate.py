@@ -79,6 +79,11 @@ def ngram_overlap(
     reuse them every microbatch (streaming/pipeline).
     """
     if bench_keys is None:
+        if bench is None:
+            raise ValueError(
+                "ngram_overlap needs either `bench` (raw benchmark docs) "
+                "or `bench_keys` (precomputed distinct shingle md5s)"
+            )
         bench_keys = benchmark_ngram_keys(bench, text_col, k)
     doc_sh = _doc_shingle_keys(docs, id_col, text_col, k)
     hits = doc_sh.join(

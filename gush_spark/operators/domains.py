@@ -53,10 +53,19 @@ def domain_reputation_gate(
     ``NOT domain_flagged`` or keep the columns as features.
     """
     score = F.col(score_col) if isinstance(score_col, str) else score_col
-    stats = domain_stats(df, domain_col, score)
+    stats = domain_stats(df, domain_col, score).withColumnRenamed(
+        domain_col, "_stat_domain"
+    )
+    docs = df.select(F.col(id_col), F.col(domain_col), score.alias("doc_quality"))
+    # null-safe equality: docs with a null domain (e.g. schemeless URLs
+    # from urls.canonicalize_url) group together in domain_stats and
+    # must come BACK out tagged, not silently vanish on null != null
     return (
-        df.select(F.col(id_col), F.col(domain_col), score.alias("doc_quality"))
-        .join(F.broadcast(stats), on=domain_col, how="inner")
+        docs.join(
+            F.broadcast(stats),
+            docs[domain_col].eqNullSafe(stats["_stat_domain"]),
+            "inner",
+        )
         .select(
             id_col,
             domain_col,

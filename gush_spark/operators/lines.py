@@ -10,17 +10,21 @@ template), which distinguishes it from the per-doc repetition scores
 (queries_pipeline.frequent_phrases).
 
 Scale design (100 TB):
-- one explode of (doc, pos, line) keyed by the line's 16-byte md5 —
-  raw line text never enters a shuffle;
-- doc-frequency per line key via a distinct-(key,doc) count — both
-  stages map-side-combinable hash aggs;
+- the frequency stages shuffle ONLY line md5 keys (doc-frequency per
+  key via a distinct-(key,doc) count — both map-side-combinable);
 - the frequent set is SMALL by construction (a line must clear
   ``min_docs`` distinct docs to qualify — template chrome is a tiny
   fraction of distinct lines), so it is **broadcast** and the removal
-  join is a map-only left-anti per partition: the corpus is never
-  shuffled for the removal itself;
-- reconstruction groups by doc id carrying (pos, line) structs and
-  sorts within the doc — bounded by lines-per-doc, not corpus size.
+  join is a map-only left-anti per partition;
+- document RECONSTRUCTION is the honest cost decision. The default
+  (join form) groups surviving (pos, line) structs by doc id — one
+  exchange of the surviving corpus text, i.e. ~a repartition of the
+  corpus. ``map_side=True`` avoids even that: the frequent keys are
+  collected (size-guarded — they are small by the same construction
+  argument that justifies the broadcast) and each doc filters its own
+  lines array in a vectorized pandas UDF — ZERO text shuffle, one map
+  pass; this is the 10^12-doc path. Both forms are pinned equal by
+  test.
 """
 
 from __future__ import annotations
@@ -53,6 +57,8 @@ def remove_frequent_lines(
     *,
     min_docs: int = 2,
     joiner: str = "\n",
+    map_side: bool = False,
+    max_collected_keys: int = 5_000_000,
 ) -> DataFrame:
     """Strip corpus-frequent lines from each document.
 
@@ -60,11 +66,20 @@ def remove_frequent_lines(
     Output: ``id_col``, ``clean_text`` (surviving lines joined by
     ``joiner`` in original order; empty string when every line was
     boilerplate), ``n_lines`` (original), ``n_removed``.
+
+    ``map_side=True`` reconstructs without shuffling any text (see
+    module docstring); raises if the frequent set exceeds
+    ``max_collected_keys`` — that means ``min_docs`` is set so low the
+    "frequent lines are few" premise no longer holds.
     """
     exploded = df.select(
         F.col(id_col), F.posexplode(F.col(lines_col)).alias("pos", "line")
     ).withColumn("lk", F.md5("line"))
     frequent = frequent_line_keys(exploded, id_col, min_docs)
+    if map_side:
+        return _remove_map_side(
+            df, id_col, lines_col, frequent, joiner, max_collected_keys
+        )
     kept = exploded.join(F.broadcast(frequent), on="lk", how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
@@ -90,3 +105,60 @@ def remove_frequent_lines(
             ),
         )
     )
+
+
+def _remove_map_side(
+    df: DataFrame,
+    id_col: str,
+    lines_col: str,
+    frequent: DataFrame,
+    joiner: str,
+    max_collected_keys: int,
+) -> DataFrame:
+    """Zero-text-shuffle reconstruction: collect the (small) frequent
+    key set and filter every doc's lines array in one vectorized pandas
+    UDF — the doc spine never moves."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = frequent.limit(max_collected_keys + 1).collect()
+    if len(rows) > max_collected_keys:
+        raise ValueError(
+            f"frequent-line set exceeds max_collected_keys="
+            f"{max_collected_keys}; raise min_docs (template chrome "
+            "should be a tiny fraction of distinct lines) or use the "
+            "default join form"
+        )
+    keys = frozenset(r["lk"] for r in rows)
+
+    out_type = T.StructType(
+        [
+            T.StructField("clean_text", T.StringType()),
+            T.StructField("n_lines", T.LongType()),
+            T.StructField("n_removed", T.LongType()),
+        ]
+    )
+
+    def _strip_fn(lines):
+        outs = []
+        for ls in lines:
+            ls = list(ls) if ls is not None else []
+            kept = [
+                l for l in ls
+                if hashlib.md5(l.encode("utf-8")).hexdigest() not in keys
+            ]
+            outs.append(
+                (joiner.join(kept), len(ls), len(ls) - len(kept))
+            )
+        return pd.DataFrame(outs, columns=["clean_text", "n_lines", "n_removed"])
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints and break pandas_udf kind inference
+    _strip_fn.__annotations__ = {"lines": pd.Series, "return": pd.DataFrame}
+    _strip = F.pandas_udf(out_type)(_strip_fn)
+
+    return df.select(
+        F.col(id_col), _strip(F.col(lines_col)).alias("_r")
+    ).select(id_col, "_r.clean_text", "_r.n_lines", "_r.n_removed")

@@ -6,7 +6,9 @@ is fetched as ``HTTP://WWW.Site.COM:80/a?utm_source=x&b=2#frag`` and
 Rules (the common-denominator subset used by web crawlers):
 - scheme and host lowercased (path/query case is significant, kept);
 - leading ``www.`` stripped from the host;
-- explicit default ports ``:80``/``:443`` stripped;
+- the scheme's OWN default port stripped (``:80`` for http, ``:443``
+  for https — a non-default explicit port is a different origin and is
+  kept in the canonical key, but never in host/registered_domain);
 - fragment stripped;
 - tracking parameters (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``)
   removed;
@@ -30,8 +32,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# matched against each "k=v" pair; anchored prefixes
-TRACKING_RE = r"^(utm_[A-Za-z]+|fbclid|gclid|msclkid)="
+# matched against each "k=v" pair; anchored prefixes (utm_ names may
+# themselves contain underscores/digits, e.g. utm_source_platform)
+TRACKING_RE = r"^(utm_\w+|fbclid|gclid|msclkid)="
 
 _AUTHORITY_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)"
 
@@ -42,13 +45,26 @@ def canonicalize_url(url: Column) -> dict[str, Column]:
     URLs without a ``scheme://authority`` prefix pass through with only
     fragment/tracking cleanup (host/domain null) — garbage in the url
     column is data, not an error (same policy as functions/extract P10).
+
+    Port handling is scheme-aware: ``:80`` is dropped only for http and
+    ``:443`` only for https (``http://x:443`` is a DIFFERENT origin and
+    must not fold); any other explicit port is kept in the canonical
+    key but excluded from ``host``/``registered_domain`` so domain
+    rollups never fragment on ports.
     """
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
     host0 = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 2))
-    host = F.regexp_replace(
-        F.regexp_replace(host0, r"^www\.", ""), r":(80|443)$", ""
+    hostport = F.regexp_replace(host0, r"^www\.", "")
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
     )
+    canonical_host = F.when(
+        (port == "") | default_port, host
+    ).otherwise(F.concat(host, F.lit(":"), port))
     # everything after the authority, fragment dropped
     rest = F.regexp_replace(
         F.regexp_replace(u, _AUTHORITY_RE, ""), r"#.*$", ""
@@ -71,7 +87,7 @@ def canonicalize_url(url: Column) -> dict[str, Column]:
     has_authority = host0 != ""
     canonical = F.when(
         has_authority,
-        F.concat(scheme, F.lit("://"), host, canonical_tail),
+        F.concat(scheme, F.lit("://"), canonical_host, canonical_tail),
     ).otherwise(canonical_tail)
     return {
         "canonical_url": canonical,

@@ -1448,28 +1448,38 @@ _URL_SQL = """urls AS (
         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 1)) AS scheme,
         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS host0
       FROM urls),
+    hp AS (
+      SELECT doc_id, scheme, host0, u,
+        regexp_replace(host0, '^www\.', '') AS hostport
+      FROM parts),
     cleaned AS (
       SELECT doc_id, scheme, host0,
-        regexp_replace(regexp_replace(host0, '^www\.', ''), ':(80|443)$', '') AS host,
+        regexp_replace(hostport, ':\d+$', '') AS host,
+        CASE WHEN regexp_extract(hostport, ':(\d+)$', 1) = '' THEN host
+             WHEN (scheme = 'http' AND regexp_extract(hostport, ':(\d+)$', 1) = '80')
+               OR (scheme = 'https' AND regexp_extract(hostport, ':(\d+)$', 1) = '443')
+             THEN host
+             ELSE host || ':' || regexp_extract(hostport, ':(\d+)$', 1) END
+          AS canonical_host,
         regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', '') AS rest
-      FROM parts),
+      FROM hp),
     split_q AS (
-      SELECT doc_id, scheme, host0, host,
+      SELECT doc_id, scheme, host0, host, canonical_host,
         CASE WHEN regexp_extract(rest, '^[^?]*') = '/' THEN ''
              ELSE regexp_extract(rest, '^[^?]*') END AS path,
         list_sort(list_filter(
           string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
-          p -> p != '' AND NOT regexp_matches(p, '^(utm_[A-Za-z]+|fbclid|gclid|msclkid)=')
+          p -> p != '' AND NOT regexp_matches(p, '^(utm_\w+|fbclid|gclid|msclkid)=')
         )) AS params
       FROM cleaned),
     built AS (
-      SELECT doc_id, host0, host,
+      SELECT doc_id, host0, host, canonical_host,
         path || CASE WHEN len(params) > 0
                      THEN '?' || array_to_string(params, '&') ELSE '' END AS tail,
         scheme, CAST(len(params) AS BIGINT) AS n_params
       FROM split_q)
     SELECT doc_id,
-           CASE WHEN host0 != '' THEN scheme || '://' || host || tail
+           CASE WHEN host0 != '' THEN scheme || '://' || canonical_host || tail
                 ELSE tail END AS canonical_url,
            CASE WHEN host0 != '' THEN host END AS host,
            CASE WHEN host0 != '' THEN regexp_extract(host, '[^.]+\.[^.]+$')

@@ -284,15 +284,25 @@ def curation_stream_pipeline(
     )
 
     def _gate(df, bid):
-        if bench_keys is not None and not df.isEmpty():
-            from gush_spark.operators.decontaminate import ngram_overlap
+        if bench_keys is None:
+            sink.write_batch(df, bid)
+            return
+        from gush_spark.operators.decontaminate import ngram_overlap
 
+        # the microbatch lineage above (pandas-UDF extraction, dedup
+        # state, scrub regexes) is expensive — persist so the flags
+        # branch and the anti-join's left side don't recompute it
+        df = df.persist()
+        try:
             flags = ngram_overlap(
                 df, None, "url", "extracted_text",
                 threshold=contamination_threshold, bench_keys=bench_keys,
             ).filter(F.col("contaminated")).select("url")
-            df = df.join(F.broadcast(flags), on="url", how="left_anti")
-        sink.write_batch(df, bid)
+            sink.write_batch(
+                df.join(F.broadcast(flags), on="url", how="left_anti"), bid
+            )
+        finally:
+            df.unpersist()
 
     sink = IdempotentKeyedSink(sink_path, keys=[])  # append: curated rows
     writer = (

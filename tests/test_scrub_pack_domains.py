@@ -86,6 +86,25 @@ def test_min_docs_counts_distinct_docs_not_occurrences(spark, line_docs):
     assert all(rows[i]["n_removed"] == 0 for i in (1, 2, 3, 4))
 
 
+def test_map_side_form_equals_join_form(spark, line_docs):
+    a = remove_frequent_lines(line_docs, "doc_id", "lines", min_docs=3)
+    b = remove_frequent_lines(
+        line_docs, "doc_id", "lines", min_docs=3, map_side=True
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # and the map-side plan moves no text through an exchange
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_map_side_guard_trips_on_huge_frequent_set(spark, line_docs):
+    with pytest.raises(ValueError, match="max_collected_keys"):
+        remove_frequent_lines(
+            line_docs, "doc_id", "lines",
+            min_docs=1, map_side=True, max_collected_keys=2,
+        )
+
+
 def test_removal_join_is_broadcast(spark, line_docs):
     out = remove_frequent_lines(line_docs, "doc_id", "lines", min_docs=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -154,6 +173,18 @@ def test_domain_gate_flags_low_mean_domains(spark):
     assert rows[3]["domain_quality"] == pytest.approx(0.3)
     assert rows[3]["domain_flagged"] is True
     assert rows[3]["n_docs"] == 2
+
+
+def test_domain_gate_keeps_null_domains(spark):
+    df = spark.createDataFrame(
+        [(1, "good.com", 0.9), (2, None, 0.1), (3, None, 0.3)],
+        ["doc_id", "domain", "q"],
+    )
+    out = domain_reputation_gate(df, "doc_id", "domain", "q", min_quality=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}, "null-domain docs must not vanish"
+    assert rows[2]["domain_quality"] == pytest.approx(0.2)
+    assert rows[2]["domain_flagged"] is True and rows[2]["n_docs"] == 2
 
 
 def test_domain_gate_join_is_broadcast(spark):

@@ -19,6 +19,9 @@ def canon(spark):
         (5, "no scheme here?b=2&utm_source=x#f"),
         (6, "https://one.com/path"),
         (7, "  https://pad.com/x  "),
+        (8, "http://mixed.com:443/a"),  # NOT http's default: port kept
+        (9, "https://svc.example.com:8080/a?x=1"),
+        (10, "https://ga.io/p?utm_source_platform=web&a=1"),
     ]
     df = spark.createDataFrame(rows, ["id", "url"])
     cols = canonicalize_url(F.col("url"))
@@ -67,6 +70,22 @@ def test_schemeless_garbage_passes_through(canon):
 def test_no_query_untouched_and_trim(canon):
     assert canon[6]["c"] == "https://one.com/path"
     assert canon[7]["c"] == "https://pad.com/x"
+
+
+def test_non_default_port_is_distinct_origin(canon):
+    # :443 is NOT the default for http: it stays in the canonical key
+    assert canon[8]["c"] == "http://mixed.com:443/a"
+    # ...but host/domain never carry ports
+    assert canon[8]["h"] == "mixed.com"
+    assert canon[8]["d"] == "mixed.com"
+    assert canon[9]["c"] == "https://svc.example.com:8080/a?x=1"
+    assert canon[9]["h"] == "svc.example.com"
+    assert canon[9]["d"] == "example.com"
+
+
+def test_underscored_utm_params_are_tracking(canon):
+    assert canon[10]["c"] == "https://ga.io/p?a=1"
+    assert canon[10]["n"] == 1
 
 
 def test_zero_shuffle_plan(spark):
