@@ -1613,3 +1613,129 @@ def q_quality_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("decile"),
         )
     )
+
+
+@query(
+    "url_dedup_groups",
+    oracle="WITH " + _URL_SQL + r"""
+    , parts AS (
+      SELECT doc_id, trim(url) AS u,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 1)) AS scheme,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)) AS host0
+      FROM urls),
+    hp AS (SELECT doc_id, scheme, host0, u,
+                  regexp_replace(host0, '^www\.', '') AS hostport FROM parts),
+    cleaned AS (
+      SELECT doc_id, scheme, host0,
+        regexp_replace(hostport, ':\d+$', '') AS host,
+        CASE WHEN regexp_extract(hostport, ':(\d+)$', 1) = '' THEN host
+             WHEN (scheme = 'http' AND regexp_extract(hostport, ':(\d+)$', 1) = '80')
+               OR (scheme = 'https' AND regexp_extract(hostport, ':(\d+)$', 1) = '443')
+             THEN host
+             ELSE host || ':' || regexp_extract(hostport, ':(\d+)$', 1) END
+          AS canonical_host,
+        regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', '') AS rest
+      FROM hp),
+    split_q AS (
+      SELECT doc_id, scheme, host0, canonical_host,
+        CASE WHEN regexp_extract(rest, '^[^?]*') = '/' THEN ''
+             ELSE regexp_extract(rest, '^[^?]*') END AS path,
+        list_sort(list_filter(
+          string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+          p -> p != '' AND NOT regexp_matches(p, '^(utm_\w+|fbclid|gclid|msclkid)=')
+        )) AS params
+      FROM cleaned),
+    canon AS (
+      SELECT doc_id,
+        CASE WHEN host0 != '' THEN scheme || '://' || canonical_host ELSE '' END
+          || path
+          || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+             ELSE '' END AS canonical_url
+      FROM split_q)
+    SELECT md5(canonical_url) AS url_key,
+           min(doc_id) AS canonical_doc_id,
+           CAST(count(*) AS BIGINT) AS n_aliases
+    FROM canon GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup on the canonical key: alias groups (>1 doc
+    folding to one canonical URL), lowest doc id wins. The shuffle key
+    is the canonical URL's md5 — same 16-byte discipline as content
+    dedup; the injected corpus folds HTTPS?:443 variants and
+    tracking-param permutations."""
+    from gush_spark.operators.urls import canonicalize_url
+
+    docs = load(spark, sf_dir, "documents")
+    # reuse the same injected messy URLs as url_canonicalize, minus the
+    # doc-unique path for every third doc so real alias groups exist:
+    # doc_id % 9 == 0 rows share the bare "/" path per host
+    k = F.col("doc_id") % 20
+    url = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("not a url at all?b=2&utm_source=x#frag"),
+    ).otherwise(
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("HTTP")).otherwise(F.lit("HTTPS")),
+            F.lit("://WWW.Src"), k.cast("string"), F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("/")).otherwise(
+                F.concat(F.lit("/Path/"), F.col("doc_id").cast("string"))
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?z=9&utm_campaign=x&gclid=abc"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+    )
+    cols = canonicalize_url(url)
+    return (
+        docs.select("doc_id", F.md5(cols["canonical_url"]).alias("url_key"))
+        .groupBy("url_key")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_aliases"),
+        )
+        .filter(F.col("n_aliases") > 1)
+    )
+
+
+@query(
+    "mixture_resample",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+    weighted AS (
+      SELECT s.lang, s.n,
+             CAST(round(CASE s.lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.25
+                                    WHEN 'de' THEN 0.20 WHEN 'fr' THEN 0.15
+                        END * 1000) AS BIGINT) AS t
+      FROM sized s WHERE s.lang IN ('en', 'zh', 'de', 'fr')),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM documents),
+    assigned AS (
+      SELECT rk.doc_id, rk.lang,
+             CAST(w.t // w.n + CASE WHEN rk.r <= w.t % w.n THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_copies
+      FROM ranked rk JOIN weighted w ON rk.lang = w.lang)
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+             AS copy, n_copies
+    FROM assigned WHERE n_copies > 0
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction (operators/mixture.py): resample
+    to 40/25/20/15 en/zh/de/fr over 1000 rows — 'es' is weightless and
+    dropped; under-weight langs upsample by deterministic repetition,
+    over-weight ones downsample by md5 rank."""
+    from gush_spark.operators.mixture import mixture_resample
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_resample(
+        docs, "doc_id", "lang",
+        {"en": 0.40, "zh": 0.25, "de": 0.20, "fr": 0.15},
+        total=1000,
+    )
