@@ -218,6 +218,51 @@ def main() -> int:
         bad = rawtext_exchange(p)
         check(f"dedup.{qname}_spread0_no_rawtext_exchange", bad is None, bad or "")
 
+    # 11. round-3 curation passes keep their scale shapes
+    from gush_spark.operators.decontaminate import ngram_overlap
+    from gush_spark.operators.packing import pack_sequences
+    from gush_spark.operators.scrub import scrub_pii
+    from gush_spark.operators.trending import (
+        top_terms_per_window,
+        windowed_term_counts,
+    )
+
+    p = plan_of(scrub_pii(docs, "doc_id", "text"))
+    check("scrub.zero_shuffle", "Exchange" not in p, "scrub plan shuffles")
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    p = plan_of(ngram_overlap(docs, bench, "doc_id", "text"))
+    check(
+        "decontaminate.bench_broadcast",
+        "BroadcastHashJoin" in p and p.count("SortMergeJoin") <= 1,
+        "benchmark membership test not broadcast",
+    )
+
+    sized = docs.select("doc_id", F.length("text").cast("long").alias("n_tokens"))
+    p = plan_of(pack_sequences(sized, "doc_id", "n_tokens", budget=512, buckets=8))
+    check(
+        "packing.no_single_partition",
+        "SinglePartition" not in p,
+        "global-sort window in packing plan",
+    )
+
+    ts_docs = docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 60)
+    )
+    p = plan_of(
+        top_terms_per_window(
+            windowed_term_counts(
+                ts_docs, ts_col="ts", text_col="text", window_duration="1 hour"
+            ),
+            5,
+        )
+    )
+    check(
+        "trending.window_group_limit",
+        "WindowGroupLimit" in p,
+        "top-k rank filter not pushed to WindowGroupLimit",
+    )
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
