@@ -76,6 +76,31 @@ def main(argv: list[str] | None = None) -> int:
              "up to N times (the reference's actor-supervision analog; "
              "0 = fail fast)",
     )
+    ap.add_argument(
+        "--scrub", action="store_true",
+        help="curation pipeline: redact PII from extracted text before "
+             "the quality gates (operators/scrub)",
+    )
+    ap.add_argument(
+        "--max-pii", type=int, default=None,
+        help="curation pipeline: with --scrub, drop pages with more "
+             "than N PII matches",
+    )
+    ap.add_argument(
+        "--bench-keys", default=None,
+        help="curation pipeline: parquet of distinct benchmark shingle "
+             "md5s (column sk, see operators/decontaminate."
+             "benchmark_ngram_keys) — gate out contaminated pages",
+    )
+    ap.add_argument(
+        "--quality-threshold", type=float, default=0.5,
+        help="curation pipeline: minimum quality_score to keep a page",
+    )
+    ap.add_argument(
+        "--lang", default="en",
+        help="curation pipeline: keep pages whose predicted language "
+             "matches (lang-ID is the n-gram stopword profile)",
+    )
     args = ap.parse_args(argv)
 
     config = (
@@ -93,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.pipeline in ("pages", "cep") and args.lineage:
         kwargs["lineage_path"] = args.lineage
+    if args.pipeline == "curation":
+        kwargs["quality_threshold"] = args.quality_threshold
+        kwargs["lang"] = args.lang
+        if args.scrub:
+            kwargs["scrub"] = True
+            kwargs["max_pii"] = args.max_pii
+        if args.bench_keys:
+            kwargs["bench_keys"] = spark.read.parquet(args.bench_keys)
     def start():
         return pipeline(
             spark,
