@@ -84,7 +84,11 @@ def canonicalize_url(url: Column) -> dict[str, Column]:
             F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
         ).otherwise(F.lit("")),
     )
-    has_authority = host0 != ""
+    # authority requires a non-empty host AFTER stripping www./port:
+    # 'http://:80/a' or 'http:///p' have a scheme but no host — they go
+    # through the garbage-cleanup path (which IS idempotent; keeping the
+    # scheme with an empty canonical host would not be)
+    has_authority = host != ""
     canonical = F.when(
         has_authority,
         F.concat(scheme, F.lit("://"), canonical_host, canonical_tail),

@@ -1479,10 +1479,10 @@ _URL_SQL = """urls AS (
         scheme, CAST(len(params) AS BIGINT) AS n_params
       FROM split_q)
     SELECT doc_id,
-           CASE WHEN host0 != '' THEN scheme || '://' || canonical_host || tail
+           CASE WHEN host != '' THEN scheme || '://' || canonical_host || tail
                 ELSE tail END AS canonical_url,
-           CASE WHEN host0 != '' THEN host END AS host,
-           CASE WHEN host0 != '' THEN regexp_extract(host, '[^.]+\.[^.]+$')
+           CASE WHEN host != '' THEN host END AS host,
+           CASE WHEN host != '' THEN regexp_extract(host, '[^.]+\.[^.]+$')
            END AS registered_domain,
            n_params
     FROM built
@@ -1637,7 +1637,7 @@ def q_quality_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', '') AS rest
       FROM hp),
     split_q AS (
-      SELECT doc_id, scheme, host0, canonical_host,
+      SELECT doc_id, scheme, host0, host, canonical_host,
         CASE WHEN regexp_extract(rest, '^[^?]*') = '/' THEN ''
              ELSE regexp_extract(rest, '^[^?]*') END AS path,
         list_sort(list_filter(
@@ -1647,7 +1647,7 @@ def q_quality_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cleaned),
     canon AS (
       SELECT doc_id,
-        CASE WHEN host0 != '' THEN scheme || '://' || canonical_host ELSE '' END
+        CASE WHEN host != '' THEN scheme || '://' || canonical_host ELSE '' END
           || path
           || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
              ELSE '' END AS canonical_url

@@ -1,0 +1,108 @@
+"""Law-based checks for the curation operators, batched through ONE
+Spark job per property (per-example Spark round trips would be 1000x
+slower than asserting the law over a generated corpus in one pass).
+
+- URL canonicalization is IDEMPOTENT: c(c(u)) == c(u). A canonical
+  form that keeps normalizing is not canonical — this catches rules
+  that fight each other (e.g. port stripping re-exposing a www. form).
+- PII scrubbing is idempotent: scrubbing scrubbed text finds nothing
+  (<EMAIL>/<PHONE>/<IP> tokens must not re-match any pattern).
+- Sequence packing is a permutation of prefix sums: per bucket, the
+  materialized (seq_id, seq_offset) pairs reconstruct exactly the
+  running token offsets in md5 order — no gaps, no overlaps.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gush_spark.operators.packing import _SEQ_STRIDE, pack_sequences
+from gush_spark.operators.scrub import scrub_pii
+from gush_spark.operators.urls import canonicalize_url
+
+
+def _url_corpus(n=300, seed=7):
+    rng = random.Random(seed)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", ""]
+    hosts = ["www.A.example.COM", "x.io", "WWW.b.c.example.org", "h", ""]
+    ports = ["", ":80", ":443", ":8080", ":0443"]
+    paths = ["", "/", "/A/b", "/p%20q", "/..//x"]
+    queries = [
+        "", "?a=1&b=2", "?b=2&a=1", "?utm_source=x", "?utm_source_platform=w&z=1",
+        "?gclid=g&gclid=g", "?a=1&a=1", "?=v&a", "?a=%26&b=?",
+    ]
+    frags = ["", "#f", "#a?b=2", "##"]
+    urls = []
+    for _ in range(n):
+        s = rng.choice(schemes)
+        u = (
+            (f"{s}://" if s else "")
+            + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        )
+        urls.append("  " + u if rng.random() < 0.1 else u)
+    urls += ["", "   ", "not a url", "a@b", "http://", "://x", "http:///path"]
+    return urls
+
+
+def test_url_canonicalization_idempotent(spark):
+    urls = _url_corpus()
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "url"])
+    once = df.select("i", canonicalize_url(F.col("url"))["canonical_url"].alias("c1"))
+    twice = once.select(
+        "i", "c1", canonicalize_url(F.col("c1"))["canonical_url"].alias("c2")
+    )
+    bad = [
+        (r["c1"], r["c2"]) for r in twice.collect() if r["c1"] != r["c2"]
+    ]
+    assert not bad, f"non-idempotent canonicalization: {bad[:5]}"
+
+
+def test_scrub_idempotent(spark):
+    rng = random.Random(11)
+    words = ["text", "a@b.io", "x.y@corp.example.com", "555-123-4567",
+             "10.0.0.1", "1.2.3.4.5", "w", "user+tag@x.co", "."]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = scrub_pii(df, "doc_id", "text").select(
+        "doc_id", F.col("clean_text").alias("text"), F.col("n_pii").alias("first_pii")
+    )
+    again = scrub_pii(once, "doc_id", "text")
+    assert again.filter(F.col("n_pii") > 0).count() == 0, (
+        "scrubbed text still matches a PII pattern"
+    )
+
+
+def test_packing_reconstructs_prefix_sums(spark):
+    rng = random.Random(13)
+    rows = [(i, rng.randint(0, 900)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=256, buckets=4).toPandas()
+    import hashlib
+
+    for bucket, grp in out.groupby("bucket"):
+        # recompute the expected layout: md5(id) order, running offsets
+        docs = sorted(
+            grp[["doc_id", "n_tokens"]].itertuples(index=False),
+            key=lambda r: hashlib.md5(str(r.doc_id).encode()).hexdigest(),
+        )
+        offset = 0
+        expect = {}
+        for d in docs:
+            expect[d.doc_id] = (
+                bucket * _SEQ_STRIDE + offset // 256,
+                offset % 256,
+                offset % 256 + d.n_tokens > 256,
+            )
+            offset += d.n_tokens
+        got = {
+            r.doc_id: (r.seq_id, r.seq_offset, r.split)
+            for r in grp.itertuples(index=False)
+        }
+        assert got == expect
