@@ -1255,32 +1255,7 @@ def q_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.scrub import scrub_pii
 
     docs = load(spark, sf_dir, "documents")
-    injected = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(
-                    F.lit(" contact user"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(
-                F.lit("")
-            ),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(
-                    F.lit(" from 10.0."),
-                    (F.col("doc_id") % 256).cast("string"),
-                    F.lit(".1"),
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    return scrub_pii(injected, "doc_id", "text")
+    return scrub_pii(_inject_pii(docs), "doc_id", "text")
 
 
 # 8-word pseudo-lines + injected banner lines: the corpus has no real
@@ -1738,4 +1713,129 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang",
         {"en": 0.40, "zh": 0.25, "de": 0.20, "fr": 0.15},
         total=1000,
+    )
+
+
+# shared PII-injection expression (Spark side) for pii_scrub_report and
+# the v2 curation composite
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "curation_report_v2",
+    oracle="WITH " + _INJ_SQL + f"""
+    , s1 AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(t0, '{_EMAIL_PAT}')) AS BIGINT) AS n_email,
+               regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS t1
+             FROM injected),
+    s2 AS (SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '{_PHONE_PAT}')) AS BIGINT) AS n_phone,
+             regexp_replace(t1, '{_PHONE_PAT}', '<PHONE>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email + n_phone
+             + CAST(len(regexp_extract_all(t2, '{_IPV4_PAT}')) AS BIGINT) AS n_pii,
+             regexp_replace(t2, '{_IPV4_PAT}', '<IP>', 'g') AS clean_text
+           FROM s2),
+    base2 AS (SELECT doc_id, n_pii,
+                     trim(regexp_replace(lower(clean_text), '\\s+', ' ', 'g')) AS norm
+              FROM s3),
+    w2 AS (SELECT doc_id, n_pii, norm, string_split(norm, ' ') AS ws FROM base2),
+    -- repetition (top-token fraction only) over the SCRUBBED text
+    uni AS (SELECT doc_id, len(ws) AS n_tokens, unnest(ws) AS g FROM w2),
+    ucnt AS (SELECT doc_id, n_tokens, md5(g) AS gk, count(*) AS c
+             FROM uni GROUP BY 1, 2, 3),
+    rep AS (SELECT doc_id, max(c)::DOUBLE / n_tokens AS top_token_frac
+            FROM ucnt GROUP BY doc_id, n_tokens),
+    -- benchmark decontamination over the scrubbed text
+    sh2 AS (SELECT doc_id, unnest({SHINGLE_LIST}) AS s FROM w2 WHERE len(ws) >= 3),
+    dsh AS (SELECT doc_id, md5(s) AS sk FROM sh2),
+    bkeys AS (SELECT DISTINCT sk FROM dsh WHERE doc_id % 50 = 0),
+    per AS (SELECT d.doc_id, count(*) AS n_sh, count(b.sk) AS n_hit
+            FROM dsh d LEFT JOIN bkeys b ON d.sk = b.sk GROUP BY 1),
+    dec AS (SELECT i.doc_id, coalesce(p.n_hit / p.n_sh, 0.0) AS overlap
+            FROM (SELECT doc_id FROM documents) i
+            LEFT JOIN per p ON i.doc_id = p.doc_id),
+    -- quality over the scrubbed text
+    feats AS (SELECT doc_id, n_pii, {QUALITY_RATIOS} FROM w2),
+    quality AS (SELECT doc_id, n_pii, {QUALITY_SCORE} AS quality_score FROM feats),
+    report AS (
+      SELECT q.doc_id, q.n_pii, r.top_token_frac, d.overlap, q.quality_score,
+             CASE WHEN d.overlap >= 0.5 THEN 'contaminated'
+                  WHEN q.n_pii >= 2 THEN 'pii'
+                  WHEN r.top_token_frac > 0.15 THEN 'repetitive'
+                  WHEN q.quality_score < 0.5 THEN 'low_quality'
+             END AS reject_reason
+      FROM quality q
+      JOIN rep r ON q.doc_id = r.doc_id
+      JOIN dec d ON q.doc_id = d.doc_id)
+    SELECT doc_id, n_pii, top_token_frac, overlap, quality_score,
+           reject_reason, reject_reason IS NULL AS is_kept
+    FROM report
+    """,
+)
+def q_curation_report_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation passes composed into one per-doc report:
+    PII scrub → repetition → benchmark decontamination → quality, with
+    a first-failing-gate reject_reason ('contaminated' > 'pii' >
+    'repetitive' > 'low_quality') and an is_kept verdict. Every stage
+    keys on doc_id (8-byte joins); the benchmark side broadcasts; the
+    scrub/quality stages are pure projections."""
+    from gush_spark.operators.decontaminate import ngram_overlap
+    from gush_spark.operators.repetition import repetition_scores
+    from gush_spark.operators.scrub import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = scrub_pii(_inject_pii(docs), "doc_id", "text").select(
+        "doc_id", F.col("clean_text").alias("text"), "n_pii"
+    )
+    rep = repetition_scores(scrubbed, "doc_id", "text", spread=None).select(
+        "doc_id", "top_token_frac"
+    )
+    bench = scrubbed.filter(F.col("doc_id") % 50 == 0)
+    dec = ngram_overlap(scrubbed, bench, "doc_id", "text").select(
+        "doc_id", "overlap"
+    )
+    feats = ta.quality_features(F.col("text"))
+    quality = scrubbed.select(
+        "doc_id", "n_pii", feats["quality_score"].alias("quality_score")
+    )
+    reason = (
+        F.when(F.col("overlap") >= 0.5, "contaminated")
+        .when(F.col("n_pii") >= 2, "pii")
+        .when(F.col("top_token_frac") > 0.15, "repetitive")
+        .when(F.col("quality_score") < 0.5, "low_quality")
+    )
+    return (
+        quality.join(rep, on="doc_id")
+        .join(dec, on="doc_id")
+        .select(
+            "doc_id", "n_pii", "top_token_frac", "overlap", "quality_score",
+            reason.alias("reject_reason"),
+        )
+        .withColumn("is_kept", F.col("reject_reason").isNull())
     )
