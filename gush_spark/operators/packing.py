@@ -80,3 +80,41 @@ def pack_sequences(
             F.col("seq_offset") + F.col("n_tokens") > F.lit(budget),
         )
     )
+
+
+def materialize_sequences(
+    assignment: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    eos: str = "<|eos|>",
+) -> DataFrame:
+    """Turn a ``pack_sequences`` assignment into actual training rows:
+    one row per sequence, docs concatenated in layout order with an
+    ``eos`` separator, plus doc/token counts.
+
+    Scale shape: the only text movement is ONE exchange keyed by
+    seq_id — the unavoidable cost of physically assembling sequences
+    (the assignment itself never moved text). The within-sequence sort
+    is bounded by docs-per-sequence (~budget/avg_doc), not corpus size;
+    grouping is map-side-combinable on the (bucket-prefixed, already
+    well-distributed) seq_id.
+    """
+    joined = assignment.join(docs.select(F.col(id_col), F.col(text_col)), on=id_col)
+    return (
+        joined.groupBy("seq_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq_offset", F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                eos,
+            ).alias("sequence_text"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

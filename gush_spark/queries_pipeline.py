@@ -1839,3 +1839,83 @@ def q_curation_report_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_kept", F.col("reject_reason").isNull())
     )
+
+
+@query(
+    "packed_training_sequences",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    sized AS (SELECT doc_id, norm, CAST(len(ws) AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS ok,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 8 AS bucket
+              FROM w),
+    laid AS (SELECT doc_id, norm, n_tokens, bucket,
+                    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens AS start
+             FROM sized)
+    SELECT bucket * {1 << 40} + CAST(floor(start / 512) AS BIGINT) AS seq_id,
+           string_agg(norm, '<|eos|>' ORDER BY CAST(start % 512 AS BIGINT), norm)
+             AS sequence_text,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM laid GROUP BY 1
+    """,
+)
+def q_packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical training rows from the packing assignment
+    (operators/packing.materialize_sequences): one row per sequence,
+    normalized doc texts concatenated in layout order with an eos
+    separator — the one unavoidable text exchange, keyed by seq_id."""
+    from gush_spark.functions.text_analysis import norm_text, words_of
+    from gush_spark.operators.packing import materialize_sequences, pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm_text(F.col("text")).alias("norm"),
+        F.size(words_of(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    assignment = pack_sequences(docs, "doc_id", "n_tokens", budget=512, buckets=8)
+    return materialize_sequences(assignment, docs, "doc_id", "norm")
+
+
+@query(
+    "corpus_stats_report",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    per_doc AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             md5(norm) AS fp
+      FROM w)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM per_doc
+    """,
+)
+def q_corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, token totals, exact-dup rate
+    — the summary every pipeline run logs. ONE pass: every aggregate is
+    map-side-combinable except the distinct-fingerprint count, which
+    shuffles 16-byte md5s (never text)."""
+    from gush_spark.functions.text_analysis import md5_fingerprint, words_of
+
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        F.size(words_of(F.col("text"))).cast("long").alias("n_tokens"),
+        md5_fingerprint(F.col("text")).alias("fp"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        F.count_distinct(F.col("fp")).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("fp"))).alias("n_exact_dups"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

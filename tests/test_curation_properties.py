@@ -106,3 +106,25 @@ def test_packing_reconstructs_prefix_sums(spark):
             for r in grp.itertuples(index=False)
         }
         assert got == expect
+
+
+def test_materialized_sequences_partition_the_corpus(spark):
+    """Every doc's text appears in exactly one sequence, in offset
+    order — materialization is a partition of the corpus."""
+    from gush_spark.operators.packing import materialize_sequences
+
+    rng = random.Random(17)
+    rows = [(i, f"d{i}", rng.randint(1, 50)) for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "n_tokens"])
+    assignment = pack_sequences(docs, "doc_id", "n_tokens", budget=64, buckets=2)
+    seqs = materialize_sequences(
+        assignment, docs, "doc_id", "text", eos="|"
+    ).collect()
+    seen = []
+    for r in seqs:
+        parts = r["sequence_text"].split("|")
+        assert len(parts) == r["n_docs"]
+        seen.extend(parts)
+    assert sorted(seen) == sorted(f"d{i}" for i in range(100))
+    # token accounting adds up
+    assert sum(r["n_tokens"] for r in seqs) == sum(r[2] for r in rows)
