@@ -329,6 +329,46 @@ def q_sequence_pattern_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "absence_pattern_timeout",
+    oracle="""
+    SELECT v.event_id AS view_event_id, v.user_id, epoch_us(v.ts) AS view_ts_us
+    FROM events v ANTI JOIN events p
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    """,
+)
+def q_absence_pattern_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEGATION pattern — A NOT followed by B within T (abandoned
+    view, page never re-crawled): the other half of the CEP pattern
+    algebra next to sequence_pattern_within. Batch: one left-ANTI range
+    join shuffling on the same user key as the positive pattern — no
+    row multiplication, the anti side short-circuits on first match.
+    Streaming twin: the left-outer stream-stream join with null-padded
+    eviction (streaming/joins.join_events_within how='leftOuter',
+    tested in test_stream_stream_join)."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return views.join(
+        purchases,
+        (views.user_id == purchases.p_user)
+        & (purchases.p_ts > views.view_ts)
+        & (purchases.p_ts <= views.view_ts + F.expr("INTERVAL 30 MINUTES")),
+        "left_anti",
+    ).select(
+        "view_event_id", "user_id", _us("view_ts").alias("view_ts_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A1 — tumbling windowed count (WindowedInsertCount analog, cep/Cep.scala:29-35)
 # ---------------------------------------------------------------------------
