@@ -42,6 +42,9 @@ HEAVY = [
     "repetition_scores",
     "boilerplate_line_removal",
     "decontaminate_overlap",
+    "curation_report_v2",
+    "packed_training_sequences",
+    "mixture_resample",
 ]
 
 N_VARIANTS = 10
