@@ -112,3 +112,67 @@ def test_topk_compiles_to_window_group_limit(spark, pages_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_trending_through_exactly_once_sink_resume(spark, tmp_path):
+    """Trending term counts composed with the north-rule sink:
+    (window_start, term, n) rows written through IdempotentKeyedSink
+    keyed by (window_start, term); an interrupted run resumed from its
+    checkpoint reproduces the uninterrupted run's counts exactly
+    (mtimes pinned so trigger grouping — and hence the watermark
+    trajectory — is identical in both runs)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from gush_spark.streaming.sink import IdempotentKeyedSink
+
+    src = tmp_path / "src"
+    generate_pages(src, n_pages=600, n_hosts=30, seed=37, rows_per_file=150)
+    files = sorted(os.listdir(src))
+
+    def run(pages_dir, sink_path, ckpt):
+        counts = windowed_term_counts(
+            _drop_late(read_pages_stream(spark, str(pages_dir), max_files_per_trigger=1)),
+            **_kwargs(),
+        )
+        sink = IdempotentKeyedSink(sink_path, keys=["window_start", "term"])
+        q = (
+            counts.writeStream.foreachBatch(
+                lambda df, bid: sink.write_batch(df, bid)
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(180)
+        return sink
+
+    def stage(dst, names, t0):
+        dst.mkdir(exist_ok=True)
+        for i, n in enumerate(names):
+            shutil.copy(src / n, dst / n)
+            os.utime(dst / n, (t0 + i, t0 + i))
+
+    full_dir = tmp_path / "full"
+    stage(full_dir, files, 1_000_000)
+    full_sink = run(full_dir, tmp_path / "full_sink", tmp_path / "full_ckpt")
+    expected = full_sink.read_all_appends(spark).toPandas()
+    assert len(expected), "no counts emitted"
+
+    part_dir = tmp_path / "part"
+    stage(part_dir, files[:2], 1_000_000)
+    sink1 = run(part_dir, tmp_path / "r_sink", tmp_path / "r_ckpt")
+    assert sink1.read_all_appends(spark).count() < len(expected)
+
+    stage(part_dir, files[2:], 1_000_100)
+    sink2 = run(part_dir, tmp_path / "r_sink", tmp_path / "r_ckpt")
+    resumed = sink2.read_all_appends(spark).toPandas()
+
+    key = ["window_start", "term"]
+    pd.testing.assert_frame_equal(
+        expected.sort_values(key).reset_index(drop=True)[key + ["n"]],
+        resumed.sort_values(key).reset_index(drop=True)[key + ["n"]],
+    )
