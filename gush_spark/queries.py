@@ -484,6 +484,59 @@ def q_session_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_stats_per_user",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      FROM sessioned GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(sum(span_us) AS DOUBLE) / count(*) AS mean_span_us,
+           CAST(max(span_us) AS BIGINT) AS max_span_us
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session statistics — the rollup layer above the raw
+    session windows (session_window_count): session count, mean/max
+    ACTIVITY span (first-to-last event, excluding the trailing gap).
+    Two hash aggs, both map-side-combinable; the second is keyed by
+    user only (tiny)."""
+    ev = load(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("span_us"),
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        (F.sum("span_us").cast("double") / F.count(F.lit(1))).alias("mean_span_us"),
+        F.max("span_us").alias("max_span_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # RANGE-frame trailing window — per-event running stats over the last
 # 30 minutes of EVENT TIME (not row count): the windows family's third
