@@ -102,6 +102,16 @@ def main(argv: list[str] | None = None) -> int:
              "matches (lang-ID is the n-gram stopword profile)",
     )
     args = ap.parse_args(argv)
+    if args.max_pii is not None and not args.scrub:
+        ap.error("--max-pii requires --scrub (the gate runs on scrubbed text)")
+    if args.pipeline != "curation":
+        for flag, val, default in (
+            ("--scrub", args.scrub, False),
+            ("--max-pii", args.max_pii, None),
+            ("--bench-keys", args.bench_keys, None),
+        ):
+            if val != default:
+                ap.error(f"{flag} only applies to --pipeline curation")
 
     config = (
         GushSparkConfig.from_yaml(args.config) if args.config else DEFAULT_CONFIG

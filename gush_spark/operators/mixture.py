@@ -40,12 +40,19 @@ def mixture_resample(
 
     ``total`` is the target output size; pick weights whose products
     with ``total`` are integral to avoid cross-engine rounding (targets
-    use round()).
+    use round()). Stratum keys must be strings (lang/source/domain).
     """
+    if not weights:
+        raise ValueError("mixture_resample needs at least one stratum weight")
     spark = df.sparkSession
     wdf = spark.createDataFrame(
-        list(weights.items()), [stratum_col, "_w"]
+        [(k, float(v)) for k, v in weights.items()],
+        f"{stratum_col} string, _w double",
     )
+    # drop weightless strata BEFORE the rank window: ranking rows the
+    # targets join would discard anyway wastes a shuffle+sort
+    # proportional to the dropped share of the corpus
+    df = df.join(F.broadcast(wdf.select(stratum_col)), on=stratum_col, how="left_semi")
     targets = (
         df.groupBy(stratum_col)
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -1415,6 +1415,30 @@ _URL_SQL = """urls AS (
       FROM documents)"""
 
 
+def _messy_url() -> F.Column:
+    """The deterministic messy-URL injection, Spark twin of _URL_SQL —
+    ONE definition shared by url_canonicalize and url_dedup_groups so
+    the two queries (and the SQL fragment) cannot drift apart."""
+    k = F.col("doc_id") % 20
+    return F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("not a url at all?b=2&utm_source=x#frag"),
+    ).otherwise(
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("HTTP")).otherwise(F.lit("HTTPS")),
+            F.lit("://WWW.Src"), k.cast("string"), F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("/")).otherwise(
+                F.concat(F.lit("/Path/"), F.col("doc_id").cast("string"))
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?z=9&utm_campaign=x&gclid=abc"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+    )
+
+
 @query(
     "url_canonicalize",
     oracle="WITH " + _URL_SQL + r"""
@@ -1470,24 +1494,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.urls import canonicalize_url
 
     docs = load(spark, sf_dir, "documents")
-    k = F.col("doc_id") % 20
-    url = F.when(
-        F.col("doc_id") % 11 == 0,
-        F.lit("not a url at all?b=2&utm_source=x#frag"),
-    ).otherwise(
-        F.concat(
-            F.when(F.col("doc_id") % 5 == 0, F.lit("HTTP")).otherwise(F.lit("HTTPS")),
-            F.lit("://WWW.Src"), k.cast("string"), F.lit(".Example.COM"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 9 == 0, F.lit("/")).otherwise(
-                F.concat(F.lit("/Path/"), F.col("doc_id").cast("string"))
-            ),
-            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
-            .when(F.col("doc_id") % 3 == 1, F.lit("?z=9&utm_campaign=x&gclid=abc"))
-            .otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
-        )
-    )
+    url = _messy_url()
     cols = canonicalize_url(url)
     return docs.select(
         "doc_id",
@@ -1642,27 +1649,10 @@ def q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.urls import canonicalize_url
 
     docs = load(spark, sf_dir, "documents")
-    # reuse the same injected messy URLs as url_canonicalize, minus the
-    # doc-unique path for every third doc so real alias groups exist:
-    # doc_id % 9 == 0 rows share the bare "/" path per host
-    k = F.col("doc_id") % 20
-    url = F.when(
-        F.col("doc_id") % 11 == 0,
-        F.lit("not a url at all?b=2&utm_source=x#frag"),
-    ).otherwise(
-        F.concat(
-            F.when(F.col("doc_id") % 5 == 0, F.lit("HTTP")).otherwise(F.lit("HTTPS")),
-            F.lit("://WWW.Src"), k.cast("string"), F.lit(".Example.COM"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 9 == 0, F.lit("/")).otherwise(
-                F.concat(F.lit("/Path/"), F.col("doc_id").cast("string"))
-            ),
-            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
-            .when(F.col("doc_id") % 3 == 1, F.lit("?z=9&utm_campaign=x&gclid=abc"))
-            .otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
-        )
-    )
+    # same injected messy URLs as url_canonicalize (_messy_url); alias
+    # groups exist because doc_id % 9 == 0 rows share the bare "/" path
+    # per host and tracking-param/port/scheme-case variants fold
+    url = _messy_url()
     cols = canonicalize_url(url)
     return (
         docs.select("doc_id", F.md5(cols["canonical_url"]).alias("url_key"))
