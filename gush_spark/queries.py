@@ -518,7 +518,13 @@ def q_session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     session windows (session_window_count): session count, mean/max
     ACTIVITY span (first-to-last event, excluding the trailing gap).
     Two hash aggs, both map-side-combinable; the second is keyed by
-    user only (tiny)."""
+    user only (tiny).
+
+    Boundary semantics verified empirically: Spark's session_window
+    MERGES an event at exactly ts+gap into the same session, matching
+    the oracle's strict 'diff > gap' new-session rule — no divergence
+    at the gap-width boundary. Spans are microseconds on both sides
+    (second-truncation vs rounding of fractional timestamps differs)."""
     ev = load(spark, sf_dir, "events")
     sess = ev.groupBy(
         F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
