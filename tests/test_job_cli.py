@@ -1,0 +1,30 @@
+"""job.py CLI contract: curation-only flags are validated, not
+silently ignored (spark-submit misconfigurations should fail fast at
+parse time, before a cluster is provisioned)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gush_spark.job import main
+
+BASE = ["--input", "in", "--sink", "out", "--checkpoint", "ckpt"]
+
+
+def test_max_pii_requires_scrub():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "curation", *BASE, "--max-pii", "3"])
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [["--scrub"], ["--scrub", "--max-pii", "2"], ["--bench-keys", "k.parquet"]],
+)
+def test_curation_flags_rejected_on_other_pipelines(flags):
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "featurize", *BASE, *flags])
+
+
+def test_unknown_pipeline_rejected():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "nope", *BASE])
