@@ -1909,3 +1909,63 @@ def q_corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+@query(
+    "script_profile_report",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 6 = 0 THEN ' Привет мир' ELSE '' END
+        || CASE WHEN doc_id % 8 = 0 THEN ' 你好世界' ELSE '' END
+        AS t FROM documents),
+    counted AS (
+      SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(t, '[A-Za-zÀ-ɏ]')) AS BIGINT) AS n_latin,
+             CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+             CAST(len(regexp_extract_all(t, '[一-鿿぀-ヿ가-힯]')) AS BIGINT) AS n_cjk,
+             CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit
+      FROM injected)
+    SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
+           CASE WHEN n_chars > 0 THEN CAST(n_latin AS DOUBLE) / n_chars
+                ELSE 0.0 END AS latin_frac,
+           CASE WHEN n_chars > 0 THEN CAST(n_cyrillic AS DOUBLE) / n_chars
+                ELSE 0.0 END AS cyrillic_frac,
+           (CASE WHEN n_chars > 0 THEN CAST(n_latin AS DOUBLE) / n_chars
+                 ELSE 0.0 END) > 0.5
+           AND (CASE WHEN n_chars > 0 THEN CAST(n_cyrillic AS DOUBLE) / n_chars
+                     ELSE 0.0 END
+              + CASE WHEN n_chars > 0 THEN CAST(n_cjk AS DOUBLE) / n_chars
+                     ELSE 0.0 END) > 0.02 AS mixed_script
+    FROM counted
+    """,
+)
+def q_script_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script/charset profile (operators/scripts.py): per-doc Latin/
+    Cyrillic/CJK/digit counts + mixed-script homoglyph flag; pure JVM
+    regexp counts, zero shuffles. Foreign-script runs are injected
+    deterministically (the corpus is ASCII) so every counter and the
+    flag fire."""
+    from gush_spark.operators.scripts import mixed_script_flag, script_profile
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" Привет мир")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 8 == 0, F.lit(" 你好世界")).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    p = script_profile(F.col("t"))
+    return docs.select(
+        "doc_id",
+        p["n_chars"].alias("n_chars"),
+        p["n_latin"].alias("n_latin"),
+        p["n_cyrillic"].alias("n_cyrillic"),
+        p["n_cjk"].alias("n_cjk"),
+        p["n_digit"].alias("n_digit"),
+        p["latin_frac"].alias("latin_frac"),
+        p["cyrillic_frac"].alias("cyrillic_frac"),
+        mixed_script_flag(p, primary="latin", max_foreign=0.02).alias("mixed_script"),
+    )
