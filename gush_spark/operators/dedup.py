@@ -480,3 +480,29 @@ def simhash_hamming_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def lsh_threshold(bands: int, rows: int) -> float:
+    """The Jaccard similarity at which a pair's LSH candidacy
+    probability crosses ~50% for a (bands × rows) banding:
+    ``(1/bands) ** (1/rows)`` — the standard S-curve midpoint
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3)."""
+    return (1.0 / bands) ** (1.0 / rows)
+
+
+def lsh_params_for_threshold(
+    threshold: float, k: int = MINHASH_K
+) -> tuple[int, int]:
+    """Pick (bands, rows) with bands*rows == k whose S-curve midpoint
+    sits closest to ``threshold`` — the tuning knob callers use instead
+    of hand-picking the banding. Deterministic; ties prefer more bands
+    (higher recall below the midpoint, the safer default for dedup)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    options = [
+        (b, k // b) for b in range(1, k + 1) if k % b == 0
+    ]
+    return min(
+        options,
+        key=lambda br: (abs(lsh_threshold(br[0], br[1]) - threshold), -br[0]),
+    )

@@ -1969,3 +1969,19 @@ def q_script_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         p["cyrillic_frac"].alias("cyrillic_frac"),
         mixed_script_flag(p, primary="latin", max_foreign=0.02).alias("mixed_script"),
     )
+
+
+# NO oracle on purpose: DEFLATE has no SQL expression — this entry
+# exercises the driver's weaker rows-only check, with exact-value
+# pinning done in pytest (tests/test_export.py) on fixed strings.
+@query("compression_ratio_scores", oracle=None)
+def q_compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style zlib compression-ratio quality signal
+    (functions/text_analysis.compression_ratio_udf): vectorized Arrow
+    UDF, map-only — repetitive/templated pages compress low, junk sits
+    near 1.0."""
+    docs = load(spark, sf_dir, "documents")
+    ratio = ta.compression_ratio_udf()
+    return docs.select(
+        "doc_id", ratio(F.col("text")).alias("compression_ratio")
+    )

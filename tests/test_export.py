@@ -85,3 +85,36 @@ def test_script_profile_counts(spark):
         .collect()[0]["m"]
     )
     assert flagged is True
+
+
+# --------------------------------------------------------- compression
+def test_compression_ratio_pinned_values(spark):
+    """No DuckDB oracle exists for DEFLATE, so exact values are pinned
+    here: zlib level 6 is deterministic for a given input."""
+    import zlib
+
+    from gush_spark.functions.text_analysis import compression_ratio_udf
+
+    texts = [
+        "spam spam spam spam spam spam spam spam spam spam",
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "t"]
+    )
+    got = {
+        r["id"]: r["ratio"]
+        for r in df.select(
+            "id", compression_ratio_udf()(F.col("t")).alias("ratio")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None
+        else:
+            raw = t.encode()
+            assert got[i] == pytest.approx(len(zlib.compress(raw, 6)) / len(raw))
+    # the repetitive page compresses far below the prose page
+    assert got[0] < got[1] - 0.2

@@ -68,3 +68,29 @@ def test_hot_buckets_listing_and_noop(spark):
     hot = hot_buckets(df, ["bucket"], max_bucket=4).collect()
     assert {r["bucket"] for r in hot} == {0, 1}  # both buckets have 5 > 4
     assert cap_hot_buckets(df, ["bucket"], None) is df  # None → no-op
+
+
+def test_lsh_param_tuning():
+    """The banding knob: midpoints are monotone in rows, the selector
+    recovers the module's own default (4x4 over 16 hashes sits near
+    0.7), and out-of-range thresholds are rejected."""
+    from gush_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        lsh_params_for_threshold,
+        lsh_threshold,
+    )
+
+    # the committed default banding targets ~0.7 Jaccard
+    assert abs(lsh_threshold(LSH_BANDS, LSH_ROWS) - 0.7) < 0.05
+    assert lsh_params_for_threshold(0.7, MINHASH_K) == (LSH_BANDS, LSH_ROWS)
+    # low threshold -> many bands / short rows (high recall)
+    b_lo, r_lo = lsh_params_for_threshold(0.2, MINHASH_K)
+    b_hi, r_hi = lsh_params_for_threshold(0.95, MINHASH_K)
+    assert b_lo > b_hi and r_lo < r_hi
+    assert b_lo * r_lo == MINHASH_K == b_hi * r_hi
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_params_for_threshold(1.5)
