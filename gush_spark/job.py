@@ -109,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--scrub", args.scrub, False),
             ("--max-pii", args.max_pii, None),
             ("--bench-keys", args.bench_keys, None),
+            ("--quality-threshold", args.quality_threshold, 0.5),
+            ("--lang", args.lang, "en"),
         ):
             if val != default:
                 ap.error(f"{flag} only applies to --pipeline curation")

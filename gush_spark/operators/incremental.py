@@ -20,10 +20,15 @@ Scale design — the corpus NEVER shuffles:
 - within-batch dedup (today's pages duplicating each other) reuses the
   self-join operators from operators/dedup.py on the small side only.
 
-Broadcast safety: the new side is projected to (id, 16-byte hash)
-before broadcasting — a 10M-page daily batch broadcasts ~300 MB of
-hashes, within executor budgets; ``broadcast_new=False`` falls back to
-a shuffled join for outsized batches.
+Broadcast safety: only BOUNDED projections of the new side are ever
+broadcast — (id, 16-byte hash) fingerprints, (id, band, band_sig) band
+signatures, and candidate id pairs; a 10M-page daily batch broadcasts
+~300 MB of hashes, within executor budgets. Raw text and shingle
+arrays (~k× the batch's raw text) are NEVER broadcast: the one join
+that needs the new batch's shingles shuffles on ``new_id`` — the
+exchange is |new batch| sized, not corpus sized, so the corpus-side
+map-only invariant still holds. ``broadcast_new=False`` falls back to
+shuffled joins everywhere for outsized batches.
 """
 
 from __future__ import annotations
@@ -143,10 +148,13 @@ def incremental_near_dup_pairs(
         F.col(id_col).alias("corpus_id"), dedup.shingles(F.col(text_col)).alias("sh_c")
     )
     # corpus text joins back on the bounded candidate id set — broadcast
-    # the candidates so the text scan is again map-only
+    # the candidates so the text scan is again map-only. sh_new carries
+    # the new batch's shingle ARRAYS (~k× its raw text): shuffling it on
+    # new_id is |new|-sized and safe; broadcasting it would ship tens of
+    # GB per executor for the documented 10M-page daily batch
     out = (
         sh_cor.join(_maybe_broadcast(cands, broadcast_new), "corpus_id")
-        .join(_maybe_broadcast(sh_new, broadcast_new), "new_id")
+        .join(sh_new, "new_id")
         .select(
             "new_id",
             "corpus_id",

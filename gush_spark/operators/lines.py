@@ -142,17 +142,34 @@ def _remove_map_side(
     )
 
     def _strip_fn(lines):
-        outs = []
+        # null handling is pinned to the join form: a null ARRAY yields
+        # ('', null, null) (explode emits no rows, size(null) is null);
+        # a null ELEMENT is never-frequent (md5(null) joins nothing in
+        # the anti-join) so it is kept and counted, but — like
+        # array_join — omitted from the rebuilt text
+        texts, n_ls, n_rm = [], [], []
         for ls in lines:
-            ls = list(ls) if ls is not None else []
+            if ls is None:
+                texts.append("")
+                n_ls.append(None)
+                n_rm.append(None)
+                continue
+            ls = list(ls)
             kept = [
                 l for l in ls
-                if hashlib.md5(l.encode("utf-8")).hexdigest() not in keys
+                if l is None
+                or hashlib.md5(l.encode("utf-8")).hexdigest() not in keys
             ]
-            outs.append(
-                (joiner.join(kept), len(ls), len(ls) - len(kept))
-            )
-        return pd.DataFrame(outs, columns=["clean_text", "n_lines", "n_removed"])
+            texts.append(joiner.join(l for l in kept if l is not None))
+            n_ls.append(len(ls))
+            n_rm.append(len(ls) - len(kept))
+        return pd.DataFrame(
+            {
+                "clean_text": texts,
+                "n_lines": pd.array(n_ls, dtype="Int64"),
+                "n_removed": pd.array(n_rm, dtype="Int64"),
+            }
+        )
 
     # real (non-string) annotations: `from __future__ import annotations`
     # would stringify inline hints and break pandas_udf kind inference

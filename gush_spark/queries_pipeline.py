@@ -835,11 +835,21 @@ def q_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest + length over an opaque binary column — pure JVM
+    expressions (``F.length``/``F.md5`` work on binary directly; no
+    Python eval node in this plan). The mapInPandas path
+    (functions/multimodal.with_blob_features) remains the CODEC
+    plumbing contract — the Arrow-batched hot path a real decode step
+    plugs into — and is pinned equal to this query by pytest; JVM-
+    expressible work stays JVM-side."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "blob", F.encode(F.col("text"), "UTF-8")
     )
-    out = with_blob_features(docs, "blob", passthrough=["doc_id"])
-    return out.select("doc_id", "blob_len", "blob_md5")
+    return docs.select(
+        "doc_id",
+        F.length(F.col("blob")).cast("long").alias("blob_len"),
+        F.md5(F.col("blob")).alias("blob_md5"),
+    )
 
 
 @query(
@@ -1388,8 +1398,18 @@ def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.domains import domain_reputation_gate
 
     docs = load(spark, sf_dir, "documents")
-    feats = ta.quality_features(F.col("text"))
-    scored = docs.select("doc_id", "source", feats["quality_score"].alias("q"))
+    # bind norm/ws once (quality_features docstring contract): the gate
+    # scans `scored` twice (domain agg + probe side) and the composite
+    # score references the words array in four ratios — unbound, the
+    # lower→regexp_replace→split chain would re-evaluate per reference
+    # per scan (measured 5.2 s vs 0.49 s for the single-scan twin)
+    base = docs.withColumn("_norm", ta.norm_text(F.col("text"))).withColumn(
+        "_ws", F.split(F.col("_norm"), " ")
+    )
+    feats = ta.quality_features(
+        F.col("text"), norm=F.col("_norm"), ws=F.col("_ws")
+    )
+    scored = base.select("doc_id", "source", feats["quality_score"].alias("q"))
     return domain_reputation_gate(
         scored, "doc_id", "source", "q", min_quality=0.59
     )

@@ -24,7 +24,7 @@ def write_jsonl_shards(
     n_shards: int = 16,
     mode: str = "overwrite",
 ) -> None:
-    """Write ``df`` as ``path/shard=K/*.txt`` JSONL shards.
+    """Write ``df`` as ``path/_shard=K/*.txt`` JSONL shards.
 
     Shard = id-hash bucket (stable across runs/engines); every column
     of ``df`` lands in the JSON object. Read back with

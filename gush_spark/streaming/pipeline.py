@@ -294,12 +294,17 @@ def curation_stream_pipeline(
         # branch and the anti-join's left side don't recompute it
         df = df.persist()
         try:
+            # gate on the unique content fingerprint, NOT url: two
+            # distinct-content pages sharing a url in one microbatch
+            # must be scored (and kept/dropped) per document, matching
+            # the batch operator's per-doc semantics
             flags = ngram_overlap(
-                df, None, "url", "extracted_text",
+                df, None, "fingerprint", "extracted_text",
                 threshold=contamination_threshold, bench_keys=bench_keys,
-            ).filter(F.col("contaminated")).select("url")
+            ).filter(F.col("contaminated")).select("fingerprint")
             sink.write_batch(
-                df.join(F.broadcast(flags), on="url", how="left_anti"), bid
+                df.join(F.broadcast(flags), on="fingerprint", how="left_anti"),
+                bid,
             )
         finally:
             df.unpersist()

@@ -18,7 +18,13 @@ def test_max_pii_requires_scrub():
 
 @pytest.mark.parametrize(
     "flags",
-    [["--scrub"], ["--scrub", "--max-pii", "2"], ["--bench-keys", "k.parquet"]],
+    [
+        ["--scrub"],
+        ["--scrub", "--max-pii", "2"],
+        ["--bench-keys", "k.parquet"],
+        ["--quality-threshold", "0.7"],
+        ["--lang", "de"],
+    ],
 )
 def test_curation_flags_rejected_on_other_pipelines(flags):
     with pytest.raises(SystemExit):

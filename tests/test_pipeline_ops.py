@@ -158,6 +158,27 @@ def test_multimodal_blob_features_and_error_row(spark):
     assert out[2]["decode_error"] == "null blob"
 
 
+def test_multimodal_catalog_query_is_jvm_only_and_equals_plumbing(spark):
+    """The catalog query computes blob_len/blob_md5 with F.length/F.md5
+    (JVM-expressible work stays JVM-side); the mapInPandas codec
+    plumbing must produce identical values — and the catalog plan must
+    contain no Python eval node."""
+    from gush_spark.queries_pipeline import q_multimodal_blob_features
+
+    jvm = q_multimodal_blob_features(spark, "/root/testdata/sf0.001")
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    via_pandas = with_blob_features(
+        docs.withColumn("blob", F.encode(F.col("text"), "UTF-8")),
+        "blob",
+        ["doc_id"],
+    ).select("doc_id", "blob_len", "blob_md5")
+    assert sorted(map(tuple, jvm.collect())) == sorted(
+        map(tuple, via_pandas.collect())
+    )
+
+
 def test_multimodal_codec_stubs_raise():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")

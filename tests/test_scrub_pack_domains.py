@@ -97,6 +97,38 @@ def test_map_side_form_equals_join_form(spark, line_docs):
     assert "Exchange" not in plan
 
 
+def test_map_side_form_equals_join_form_on_nullable_input(spark):
+    """Null arrays and null elements: both forms must agree — null
+    array -> ('', null, null); null element is never-frequent (kept,
+    counted, omitted from the rebuilt text like array_join)."""
+    import pyspark.sql.types as T
+
+    banner = "all rights reserved"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lines", T.ArrayType(T.StringType())),
+        ]
+    )
+    rows = [
+        (1, [banner, None, "keep me"]),
+        (2, None),
+        (3, [banner, "solo"]),
+        (4, [None, None]),
+        (5, [banner]),
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    a = remove_frequent_lines(docs, "doc_id", "lines", min_docs=3)
+    b = remove_frequent_lines(docs, "doc_id", "lines", min_docs=3, map_side=True)
+    got_a = sorted(map(tuple, a.collect()))
+    got_b = sorted(map(tuple, b.collect()))
+    assert got_a == got_b
+    by_id = {r[0]: r for r in got_a}
+    assert by_id[1] == (1, "keep me", 3, 1)  # null kept+counted, not joined
+    assert by_id[2] == (2, "", None, None)  # null array
+    assert by_id[4] == (4, "", 2, 0)
+
+
 def test_map_side_guard_trips_on_huge_frequent_set(spark, line_docs):
     with pytest.raises(ValueError, match="max_collected_keys"):
         remove_frequent_lines(
