@@ -161,11 +161,28 @@ def lsh_band_signatures(
     )
 
 
+def _resolve_banding(
+    bands: int | None, rows: int | None, threshold: float | None
+) -> tuple[int, int]:
+    """Banding resolution shared by the LSH operators: explicit
+    bands/rows always win; otherwise a similarity ``threshold`` in
+    (0, 1) derives them via ``lsh_params_for_threshold`` (the S-curve
+    midpoint selector — how a curation user tunes recall); otherwise
+    the fixed 4×4 default."""
+    if bands is None and rows is None and threshold is not None \
+            and 0.0 < threshold < 1.0:
+        return lsh_params_for_threshold(threshold)
+    return (
+        LSH_BANDS if bands is None else bands,
+        LSH_ROWS if rows is None else rows,
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
-    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    bands: int | None = None, rows: int | None = None,
     max_bucket: int | None = None, capped_stats: dict | None = None,
-    spread: int | None = 0,
+    spread: int | None = 0, threshold: float | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -173,12 +190,18 @@ def lsh_candidate_pairs(
     ever meet, which is what makes this sublinear in pairs at 10^12
     docs. distinct() collapses pairs that collide in multiple bands.
 
+    Banding: pass ``threshold=`` (target Jaccard) to derive (bands,
+    rows) via the S-curve midpoint selector ``lsh_params_for_threshold``
+    — the tuning knob a curation user actually has; explicit
+    ``bands``/``rows`` override it; neither → the fixed 4×4 default.
+
     Hot buckets (boilerplate pages sharing a band signature) make one
     bucket quadratic; ``max_bucket`` drops oversize buckets before the
     join with eager accounting in ``capped_stats`` (operators/skew.py).
     None (default) keeps the exact oracle-checked semantics."""
     from gush_spark.operators.skew import cap_hot_buckets
 
+    bands, rows = _resolve_banding(bands, rows, threshold)
     long = lsh_band_signatures(
         minhash_signatures(df, id_col, text_col, bands * rows, spread=spread),
         id_col, bands, rows,
@@ -198,7 +221,7 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.0,
-    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    bands: int | None = None, rows: int | None = None,
     max_bucket: int | None = None, capped_stats: dict | None = None,
     spread: int | None = 0,
 ) -> DataFrame:
@@ -206,9 +229,16 @@ def ngram_jaccard_pairs(
     standard two-phase near-dup pipeline (candidates are bounded, so the
     expensive set intersection runs on a tiny fraction of all pairs).
 
+    When ``bands``/``rows`` are not given, the candidate banding is
+    derived from the VERIFY ``threshold`` via the S-curve midpoint
+    selector (``lsh_params_for_threshold``) — recall near the verify
+    bar instead of a fixed banding; threshold 0 (exact all-candidates
+    semantics) keeps the 4×4 default.
+
     Joining the shingle arrays back in is broadcast-able when the
     candidate set is small; at crawl scale both joins shuffle on doc id.
     ``max_bucket``/``capped_stats`` forward to ``lsh_candidate_pairs``."""
+    bands, rows = _resolve_banding(bands, rows, threshold)
     cands = lsh_candidate_pairs(
         df, id_col, text_col, bands, rows, max_bucket, capped_stats, spread=spread
     )
@@ -309,10 +339,14 @@ def containment_pairs(
 def near_dup_clusters(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6,
     max_iterations: int = 20, spread: int | None = 0,
+    bands: int | None = None, rows: int | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate graph: every doc
     gets a ``cluster_id`` = the smallest doc id reachable through
     jaccard-≥-threshold edges (singletons cluster with themselves).
+    The candidate banding is selector-derived from ``threshold``
+    (``lsh_params_for_threshold``; 0.6 → 4×4) unless ``bands``/``rows``
+    override it.
 
     Iterative min-label propagation (the Pregel/GraphX pattern expressed
     in DataFrames): each round joins labels across edges and keeps the
@@ -329,7 +363,8 @@ def near_dup_clusters(
     truncated every few rounds with an EAGER localCheckpoint so no later
     action can re-execute the untruncated plan tree."""
     edges = ngram_jaccard_pairs(
-        df, id_col, text_col, threshold=threshold, spread=spread
+        df, id_col, text_col, threshold=threshold, spread=spread,
+        bands=bands, rows=rows,
     ).select("id_a", "id_b")
     # bidirectional edge list
     bidir = edges.unionByName(

@@ -47,9 +47,48 @@ def with_prior_event(
     return out
 
 
-def enrich_with_dim(fact: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
-    """J2: broadcast hash join against a small dimension table."""
-    return fact.join(F.broadcast(dim), on=on, how="left")
+def _parse_byte_size(s: str) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '1g', '-1')."""
+    s = s.strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if s.endswith("b"):
+        s = s[:-1]
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def enrich_with_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    broadcast_threshold: int | None = None,
+) -> DataFrame:
+    """J2: hash join against a dimension table — broadcast ONLY when the
+    dim's estimated size fits the broadcast budget.
+
+    An unconditional ``broadcast()`` hint OOMs the driver when someone
+    feeds a 10^9-row "dimension" (host metadata at web scale), so the
+    hint is size-gated: the dim's Catalyst size estimate
+    (``optimizedPlan().stats().sizeInBytes`` — plan-time, no job) is
+    compared against ``broadcast_threshold`` (default: the session's
+    ``spark.sql.autoBroadcastJoinThreshold``). Under it → explicit
+    broadcast hint (a cold-statistics catalog can't demote the join to
+    sort-merge); over it (or threshold -1 = broadcast disabled) →
+    ``shuffle_hash`` hint, which co-partitions both sides without the
+    driver collect AND without SMJ's per-partition sort of the fact
+    side."""
+    if broadcast_threshold is None:
+        raw = fact.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        broadcast_threshold = _parse_byte_size(raw)
+    est = int(
+        str(dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if broadcast_threshold >= 0 and est <= broadcast_threshold:
+        return fact.join(F.broadcast(dim), on=on, how="left")
+    return fact.join(dim.hint("shuffle_hash"), on=on, how="left")
 
 
 def as_of_join(

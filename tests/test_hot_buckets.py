@@ -94,3 +94,37 @@ def test_lsh_param_tuning():
 
     with _pytest.raises(ValueError):
         lsh_params_for_threshold(1.5)
+
+
+def test_threshold_derives_banding_at_call_sites(boilerplate_docs):
+    """The selector is WIRED, not just defined: passing threshold= to
+    lsh_candidate_pairs must produce exactly the pairs of the
+    selector-chosen explicit banding, and the 0.6 near-dup default
+    rides the committed 4x4 midpoint (so existing oracles are stable)."""
+    from gush_spark.operators.dedup import (
+        MINHASH_K,
+        lsh_params_for_threshold,
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    b, r = lsh_params_for_threshold(0.35, MINHASH_K)
+    assert (b, r) != (4, 4)  # a threshold that actually moves the banding
+    via_threshold = sorted(
+        map(tuple, lsh_candidate_pairs(
+            boilerplate_docs, "doc_id", "text", threshold=0.35
+        ).collect())
+    )
+    via_explicit = sorted(
+        map(tuple, lsh_candidate_pairs(
+            boilerplate_docs, "doc_id", "text", bands=b, rows=r
+        ).collect())
+    )
+    assert via_threshold == via_explicit
+    # the catalog default threshold selects the committed 4x4 banding
+    assert lsh_params_for_threshold(0.6, MINHASH_K) == (4, 4)
+    # verify-threshold derivation flows through the two-phase pipeline
+    low = ngram_jaccard_pairs(
+        boilerplate_docs, "doc_id", "text", threshold=0.35
+    )
+    assert {(x["id_a"], x["id_b"]) for x in low.collect()} >= {(100, 101)}
