@@ -156,6 +156,12 @@ def main() -> None:
     }
     if streaming:
         out["streaming"] = streaming
+    # the driver stores only the tail of stdout, which truncated the
+    # first ~20 per-query timings in BENCH_r03 — persist the complete
+    # record so round-over-round comparison survives any tail cap
+    last_run = Path(_REPO) / "BENCH" / "last_run.json"
+    last_run.parent.mkdir(exist_ok=True)
+    last_run.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
     spark.stop()
 

@@ -44,7 +44,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "200000"))
+# 400k pages / 96 files -> ~133k pages per 32-file microbatch: sized so
+# the per-batch FIXED cost (~0.9s measured on an EMPTY batch: microbatch
+# machinery + state-store commits + sink write — invariant in cores AND
+# in rows) is <5% of batch compute at the faster level. At crawl scale a
+# microbatch is minutes of work, so the small-batch regime where that
+# fixed cost dominates (9.5% at 200k pages — measured r3's exactly-0.800
+# efficiency) is the unrepresentative one. The knob stays an env var.
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000"))
 # files-per-trigger IS the map-stage parallelism ceiling for a file
 # stream (one split per small file): 32 splits/batch keeps every core of
 # the larger level busy — the crawl-scale regime, where files per
@@ -341,7 +348,12 @@ job-added serialization is actually observable.
 aggregate throughput of {n} vs {n4} *independent python processes
 running the job's own `featurize_text`* (no Spark, no Arrow, best of
 3). The job cannot out-scale its hardware; the ceiling is published so
-the job-added serialization is separable from host throttling.
+the job-added serialization is separable from host throttling. The
+ceiling microbench is subject to the SAME random host throttling as
+everything else here, so it is itself noisy — a job efficiency above
+the measured ceiling (normalized view > 1) means the ceiling run
+caught a throttle window, not that the job broke physics; the PRIMARY
+raw figure never uses it.
 
 Methodology: steady-state is the MEDIAN per-batch rate excluding
 batch 0 (JIT, python-worker spawn, RocksDB open — one-time costs a
