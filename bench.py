@@ -82,6 +82,26 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]], list
 
 
 def bench_streaming(spark) -> dict:
+    """Two runs of ``_stream_once`` with BOTH disclosed — the same
+    min-of-2-warm-runs convention as the query section, because a
+    single streaming sample inside one of this VM's random throttle
+    windows reads as a phantom regression (r03 recorded p95 7.0s in a
+    flagged window; the quiet figure was 2.1s). Headline fields are the
+    PER-METRIC best across the two runs (max steady rate, min p95 —
+    throttle stalls only ever worsen a metric, and the two can land in
+    different runs); both runs are disclosed verbatim under ``runs``.
+    ``throttle_suspect`` flags a >2x steady-rate spread."""
+    runs = [_stream_once(spark) for _ in range(2)]
+    rates = [r["steady_pages_per_sec"] or 0 for r in runs]
+    out = dict(max(runs, key=lambda r: r["steady_pages_per_sec"] or 0))
+    p95s = [r["p95_batch_sec"] for r in runs if r["p95_batch_sec"] is not None]
+    out["p95_batch_sec"] = min(p95s) if p95s else None
+    out["runs"] = runs
+    out["throttle_suspect"] = bool(min(rates) and max(rates) > 2 * min(rates))
+    return out
+
+
+def _stream_once(spark) -> dict:
     """Sustained throughput of the flagship pipeline on a generated
     pages table (deterministic, FIXTURES.md §1 shape)."""
     from gush_spark.config import GushSparkConfig
