@@ -2005,3 +2005,62 @@ def q_compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", ratio(F.col("text")).alias("compression_ratio")
     )
+
+
+@query(
+    "bloom_membership_report",
+    oracle=f"""
+    WITH {BASE},
+    corpus AS (SELECT md5(norm) AS key FROM base),
+    ks AS (SELECT i FROM (VALUES (0), (1), (2)) t(i)),
+    built AS (
+      SELECT CAST(floor(pos / 63.0) AS BIGINT) AS word_idx,
+             (1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bit
+      FROM (SELECT ('0x' || substring(md5(c.key || ':' || k.i), 1, 15))::BIGINT
+                     % 65536 AS pos
+            FROM corpus c CROSS JOIN ks k)),
+    bitmap AS (SELECT word_idx, bit_or(bit) AS word FROM built GROUP BY 1),
+    probes AS (
+      SELECT b.doc_id AS probe_id,
+             CASE WHEN b.doc_id % 2 = 0 THEN md5(b.norm)
+                  ELSE 'absent:' || b.doc_id END AS key,
+             b.doc_id % 2 = 0 AS is_member
+      FROM base b),
+    probe_bits AS (
+      SELECT p.probe_id, p.key, p.is_member,
+             CAST(floor(q.pos / 63.0) AS BIGINT) AS word_idx,
+             (1::BIGINT << CAST(q.pos % 63 AS INTEGER)) AS mask
+      FROM probes p CROSS JOIN ks k
+      CROSS JOIN LATERAL (SELECT ('0x' || substring(md5(p.key || ':' || k.i), 1, 15))::BIGINT
+                            % 65536 AS pos) q)
+    SELECT pb.probe_id, pb.key, pb.is_member,
+           bool_and((COALESCE(bm.word, 0) & pb.mask) = pb.mask) AS bloom_contains
+    FROM probe_bits pb LEFT JOIN bitmap bm ON pb.word_idx = bm.word_idx
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom-filter membership (operators/bloom.py): build a
+    65536-bit bitmap over the corpus content fingerprints (one
+    bit_or hash agg, ≤1024 rows out regardless of corpus size), then
+    probe a mixed member/non-member key set against the BROADCAST
+    bitmap — the bits-per-key membership pre-filter that replaces a
+    16-bytes-per-key exact broadcast when the reference set is the
+    10^12-key corpus index itself. False negatives are impossible
+    (every member probe must come back true — the oracle pins the
+    exact per-key bits, not just the property)."""
+    from gush_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    key = ta.md5_fingerprint(F.col("text"))
+    corpus = docs.select(key.alias("key"))
+    bitmap = bloom_build(corpus, "key")
+    probes = docs.select(
+        F.col("doc_id").alias("probe_id"),
+        F.when(F.col("doc_id") % 2 == 0, key)
+        .otherwise(F.concat(F.lit("absent:"), F.col("doc_id").cast("string")))
+        .alias("key"),
+        (F.col("doc_id") % 2 == 0).alias("is_member"),
+    )
+    out = bloom_probe(bitmap, probes, "key")
+    return out.select("probe_id", "key", "is_member", "bloom_contains")

@@ -1,0 +1,63 @@
+"""Bloom membership sketch (operators/bloom.py): no false negatives
+ever, bounded false positives, exact bit_or mergeability, and the
+broadcast probe plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gush_spark.operators.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+)
+
+
+def _keys(spark, lo, hi, tag="k"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(f"{tag}:"), F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_no_false_negatives_and_bounded_false_positives(spark):
+    members = _keys(spark, 0, 500)
+    bitmap = bloom_build(members, "key")
+    probes = members.withColumn("is_member", F.lit(True)).unionByName(
+        _keys(spark, 0, 500, tag="absent").withColumn("is_member", F.lit(False))
+    )
+    got = bloom_probe(bitmap, probes, "key").collect()
+    assert all(r["bloom_contains"] for r in got if r["is_member"]), \
+        "a Bloom filter must NEVER produce a false negative"
+    fps = sum(1 for r in got if not r["is_member"] and r["bloom_contains"])
+    # m=65536, k=3, n=500 -> per-probe FP ~1e-5; input is deterministic
+    assert fps <= 2, f"false-positive count {fps} far above the m/k/n expectation"
+
+
+def test_small_bitmap_actually_false_positives(spark):
+    """Sanity that the FP path is real (not everything-false): squeeze
+    m until collisions are forced, FNs must STILL be impossible."""
+    members = _keys(spark, 0, 300)
+    bitmap = bloom_build(members, "key", m_bits=256)
+    probes = members.withColumn("is_member", F.lit(True)).unionByName(
+        _keys(spark, 0, 300, tag="absent").withColumn("is_member", F.lit(False))
+    )
+    got = bloom_probe(bitmap, probes, "key", m_bits=256).collect()
+    assert all(r["bloom_contains"] for r in got if r["is_member"])
+    fps = sum(1 for r in got if not r["is_member"] and r["bloom_contains"])
+    assert fps > 0, "256 bits for 300 keys must saturate into false positives"
+
+
+def test_merge_equals_build_on_union(spark):
+    a, b = _keys(spark, 0, 200), _keys(spark, 150, 400)
+    merged = {(r["word_idx"], r["word"]) for r in
+              bloom_merge(bloom_build(a, "key"), bloom_build(b, "key")).collect()}
+    direct = {(r["word_idx"], r["word"]) for r in
+              bloom_build(a.unionByName(b), "key").collect()}
+    assert merged == direct
+
+
+def test_probe_broadcasts_bitmap(spark):
+    members = _keys(spark, 0, 100)
+    out = bloom_probe(bloom_build(members, "key"), members, "key")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
