@@ -19,6 +19,12 @@ Scale design (100 TB corpus vs a ~10^4..10^6-ngram benchmark):
   md5 (collisions at 2^-128 — absorbed into the overlap estimate).
 - If the benchmark ever outgrew broadcast, the same plan degrades to a
   shuffled semi-join on the 16-byte key; the operator is agnostic.
+- For a reference set too big even for that — decontaminating against
+  the 10^12-key corpus index itself — ``ngram_overlap_bloom`` probes a
+  mergeable Bloom bitmap (operators/bloom.py) instead: bits-per-key
+  rather than 16 bytes-per-key in the broadcast, zero false negatives
+  (no contaminated page slips through), false positives only ever
+  OVER-estimate overlap — the safe direction for a contamination gate.
 
 Reference parity: the reference filters events against config-driven
 blacklists (``/root/reference/src/main/scala/io/simao/gush/util/
@@ -55,6 +61,75 @@ def benchmark_ngram_keys(
         bench.select(F.explode(shingles(F.col(text_col), k)).alias("s"))
         .select(F.md5("s").alias("sk"))
         .distinct()
+    )
+
+
+def benchmark_bloom_bitmap(
+    bench: DataFrame,
+    text_col: str,
+    k: int = SHINGLE_K,
+    bloom_k: int | None = None,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """Bloom bitmap over the benchmark's distinct shingle keys — the
+    reference-set artifact when exact keys are too big to broadcast.
+    Maintained incrementally via ``bloom.bloom_merge`` as the reference
+    set grows (new benchmark / newly ingested corpus increments)."""
+    from gush_spark.operators import bloom
+
+    return bloom.bloom_build(
+        benchmark_ngram_keys(bench, text_col, k),
+        "sk",
+        k=bloom_k if bloom_k is not None else bloom.BLOOM_K,
+        m_bits=m_bits if m_bits is not None else bloom.BLOOM_M_BITS,
+    )
+
+
+def ngram_overlap_bloom(
+    docs: DataFrame,
+    bench_bitmap: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    threshold: float = 0.5,
+    bloom_k: int | None = None,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """``ngram_overlap`` with the membership test served by a broadcast
+    Bloom bitmap instead of the exact key set. Same report schema;
+    ``n_matched``/``overlap`` are UPPER BOUNDS (bloom false positives
+    over-count matches — never under), so ``contaminated`` can only err
+    toward dropping a clean page, never toward leaking a benchmark
+    page. Probe cost ∝ distinct doc shingles, map-only after the
+    m/8-byte bitmap broadcast."""
+    from gush_spark.operators import bloom
+
+    doc_sh = _doc_shingle_keys(docs, id_col, text_col, k)
+    probed = bloom.bloom_probe(
+        bench_bitmap,
+        doc_sh,
+        "sk",
+        k=bloom_k if bloom_k is not None else bloom.BLOOM_K,
+        m_bits=m_bits if m_bits is not None else bloom.BLOOM_M_BITS,
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(
+            F.sum(F.col("bloom_contains").cast("long")), F.lit(0)
+        ).alias("n_matched"),
+    )
+    ids = docs.select(id_col)
+    return (
+        ids.join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.coalesce(
+                F.col("n_matched") / F.col("n_shingles"), F.lit(0.0)
+            ).alias("overlap"),
+        )
+        .withColumn("contaminated", F.col("overlap") >= F.lit(threshold))
     )
 
 

@@ -2064,3 +2064,66 @@ def q_bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bloom_probe(bitmap, probes, "key")
     return out.select("probe_id", "key", "is_member", "bloom_contains")
+
+
+@query(
+    "decontaminate_overlap_bloom",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES},
+    dsh AS (SELECT doc_id, md5(s) AS sk FROM sh),
+    bench AS (SELECT DISTINCT sk FROM dsh WHERE doc_id % 50 = 0),
+    ks AS (SELECT i FROM (VALUES (0), (1), (2)) t(i)),
+    built AS (
+      SELECT CAST(floor(pos / 63.0) AS BIGINT) AS word_idx,
+             (1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bit
+      FROM (SELECT ('0x' || substring(md5(b.sk || ':' || k.i), 1, 15))::BIGINT
+                     % 65536 AS pos
+            FROM bench b CROSS JOIN ks k)),
+    bitmap AS (SELECT word_idx, bit_or(bit) AS word FROM built GROUP BY 1),
+    dk AS (SELECT DISTINCT sk FROM dsh),
+    probe_bits AS (
+      SELECT d.sk,
+             CAST(floor(q.pos / 63.0) AS BIGINT) AS word_idx,
+             (1::BIGINT << CAST(q.pos % 63 AS INTEGER)) AS mask
+      FROM dk d CROSS JOIN ks k
+      CROSS JOIN LATERAL (SELECT ('0x' || substring(md5(d.sk || ':' || k.i), 1, 15))::BIGINT
+                            % 65536 AS pos) q),
+    probed AS (
+      SELECT pb.sk,
+             bool_and((COALESCE(bm.word, 0) & pb.mask) = pb.mask) AS hit
+      FROM probe_bits pb LEFT JOIN bitmap bm ON pb.word_idx = bm.word_idx
+      GROUP BY 1),
+    per AS (SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN p.hit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_matched
+            FROM dsh d JOIN probed p ON d.sk = p.sk GROUP BY 1),
+    scored AS (SELECT i.doc_id,
+                      coalesce(p.n_shingles, 0) AS n_shingles,
+                      coalesce(p.n_matched, 0) AS n_matched,
+                      coalesce(p.n_matched / p.n_shingles, 0.0) AS overlap
+               FROM (SELECT doc_id FROM documents) i
+               LEFT JOIN per p ON i.doc_id = p.doc_id)
+    SELECT doc_id, n_shingles, n_matched, overlap,
+           overlap >= 0.5 AS contaminated
+    FROM scored
+    """,
+)
+def q_decontaminate_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-served decontamination (operators/decontaminate.py
+    ngram_overlap_bloom): same gate as decontaminate_overlap but the
+    benchmark membership test runs against a broadcast Bloom bitmap —
+    bits-per-key instead of 16 bytes-per-key, the form that still
+    broadcasts when the reference set is the 10^12-key corpus index.
+    The oracle replicates the exact bitmap bits, so any false positives
+    are IDENTICAL on both engines (deterministic, hash-pinned), and a
+    pytest pins n_matched >= the exact operator's per doc."""
+    from gush_spark.operators.decontaminate import (
+        benchmark_bloom_bitmap,
+        ngram_overlap_bloom,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    bitmap = benchmark_bloom_bitmap(bench, "text")
+    return ngram_overlap_bloom(docs, bitmap, "doc_id", "text", threshold=0.5)

@@ -61,3 +61,33 @@ def test_probe_broadcasts_bitmap(spark):
     out = bloom_probe(bloom_build(members, "key"), members, "key")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_overlap_upper_bounds_exact_overlap(spark):
+    """The bloom-served decontamination gate can only OVER-estimate:
+    per doc, n_matched_bloom >= n_matched_exact, and every doc the
+    exact gate flags is flagged by the bloom gate too (no benchmark
+    page can leak through a bloom false positive)."""
+    from gush_spark.operators.decontaminate import (
+        benchmark_bloom_bitmap,
+        ngram_overlap,
+        ngram_overlap_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    exact = {r["doc_id"]: r for r in
+             ngram_overlap(docs, bench, "doc_id", "text").collect()}
+    bitmap = benchmark_bloom_bitmap(bench, "text")
+    bloomed = {r["doc_id"]: r for r in
+               ngram_overlap_bloom(docs, bitmap, "doc_id", "text").collect()}
+    assert set(exact) == set(bloomed)
+    for i, e in exact.items():
+        b = bloomed[i]
+        assert b["n_shingles"] == e["n_shingles"]
+        assert b["n_matched"] >= e["n_matched"], "bloom must never under-count"
+        if e["contaminated"]:
+            assert b["contaminated"], "exact-flagged doc slipped the bloom gate"
+    # at the default m the gate decisions should actually coincide here
+    assert all(bloomed[i]["contaminated"] == e["contaminated"]
+               for i, e in exact.items())
