@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
              "benchmark_ngram_keys) — gate out contaminated pages",
     )
     ap.add_argument(
+        "--bench-bloom", default=None,
+        help="curation pipeline: parquet of a Bloom bitmap (word_idx, "
+             "word — operators/decontaminate.benchmark_bloom_bitmap) "
+             "for reference sets too big to broadcast exactly; "
+             "mutually exclusive with --bench-keys",
+    )
+    ap.add_argument(
         "--quality-threshold", type=float, default=0.5,
         help="curation pipeline: minimum quality_score to keep a page",
     )
@@ -104,11 +111,14 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.max_pii is not None and not args.scrub:
         ap.error("--max-pii requires --scrub (the gate runs on scrubbed text)")
+    if args.bench_keys and args.bench_bloom:
+        ap.error("--bench-keys and --bench-bloom are mutually exclusive")
     if args.pipeline != "curation":
         for flag, val, default in (
             ("--scrub", args.scrub, False),
             ("--max-pii", args.max_pii, None),
             ("--bench-keys", args.bench_keys, None),
+            ("--bench-bloom", args.bench_bloom, None),
             ("--quality-threshold", args.quality_threshold, 0.5),
             ("--lang", args.lang, "en"),
         ):
@@ -138,6 +148,8 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["max_pii"] = args.max_pii
         if args.bench_keys:
             kwargs["bench_keys"] = spark.read.parquet(args.bench_keys)
+        if args.bench_bloom:
+            kwargs["bench_bitmap"] = spark.read.parquet(args.bench_bloom)
     def start():
         return pipeline(
             spark,

@@ -223,6 +223,7 @@ def curation_stream_pipeline(
     scrub: bool = False,
     max_pii: int | None = None,
     bench_keys=None,
+    bench_bitmap=None,
     contamination_threshold: float = 0.5,
 ):
     """Crawl-time corpus curation: pages stream → blacklist filters →
@@ -246,7 +247,12 @@ def curation_stream_pipeline(
     (operators/decontaminate.benchmark_ngram_keys); the gate runs
     inside foreachBatch where the microbatch is a plain batch frame, so
     the verified batch operator applies as-is — the bench side is
-    broadcast, no stream state."""
+    broadcast, no stream state. ``bench_bitmap`` (mutually exclusive
+    with ``bench_keys``) is a Bloom bitmap
+    (operators/decontaminate.benchmark_bloom_bitmap) for reference sets
+    too big to broadcast exactly — bits per key, overlap an upper
+    bound, so the stream can over-drop a clean page but never leak a
+    benchmark page."""
     from gush_spark.functions import text_analysis as ta
     from gush_spark.streaming.dedup import dedup_pages_stream
 
@@ -283,11 +289,17 @@ def curation_stream_pipeline(
         )
     )
 
+    if bench_keys is not None and bench_bitmap is not None:
+        raise ValueError("pass bench_keys OR bench_bitmap, not both")
+
     def _gate(df, bid):
-        if bench_keys is None:
+        if bench_keys is None and bench_bitmap is None:
             sink.write_batch(df, bid)
             return
-        from gush_spark.operators.decontaminate import ngram_overlap
+        from gush_spark.operators.decontaminate import (
+            ngram_overlap,
+            ngram_overlap_bloom,
+        )
 
         # the microbatch lineage above (pandas-UDF extraction, dedup
         # state, scrub regexes) is expensive — persist so the flags
@@ -298,10 +310,17 @@ def curation_stream_pipeline(
             # distinct-content pages sharing a url in one microbatch
             # must be scored (and kept/dropped) per document, matching
             # the batch operator's per-doc semantics
-            flags = ngram_overlap(
-                df, None, "fingerprint", "extracted_text",
-                threshold=contamination_threshold, bench_keys=bench_keys,
-            ).filter(F.col("contaminated")).select("fingerprint")
+            if bench_bitmap is not None:
+                scored = ngram_overlap_bloom(
+                    df, bench_bitmap, "fingerprint", "extracted_text",
+                    threshold=contamination_threshold,
+                )
+            else:
+                scored = ngram_overlap(
+                    df, None, "fingerprint", "extracted_text",
+                    threshold=contamination_threshold, bench_keys=bench_keys,
+                )
+            flags = scored.filter(F.col("contaminated")).select("fingerprint")
             sink.write_batch(
                 df.join(F.broadcast(flags), on="fingerprint", how="left_anti"),
                 bid,

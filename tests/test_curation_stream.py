@@ -223,3 +223,55 @@ def test_gated_curation_resume_equals_uninterrupted(spark, tmp_path, tmp_dirs):
     on_time_resumed = set(resumed[~resumed["url"].isin(late_urls)]["fingerprint"])
     assert on_time_resumed == on_time_expected
     assert set(resumed["fingerprint"]) <= expected
+
+
+def test_bloom_gated_stream_equals_keys_gated_stream(spark, pages_dir, tmp_path):
+    """The Bloom-served decontamination gate in the streaming pipeline:
+    on the same pages and the same benchmark set, the bloom-gated
+    stream's surviving fingerprints equal the exact-keys-gated
+    stream's (at the default bitmap size no false positive flips a
+    decision here; the upper-bound property itself is pinned in
+    tests/test_bloom.py), and the contaminated pages are gone."""
+    from gush_spark.operators.decontaminate import (
+        benchmark_bloom_bitmap,
+        benchmark_ngram_keys,
+    )
+    from gush_spark.streaming.source import read_pages_batch as _rpb
+
+    batch = _rpb(spark, pages_dir)
+    bench = batch.limit(3).select(F.col("text"))
+    keys = benchmark_ngram_keys(bench, "text")
+    bitmap = benchmark_bloom_bitmap(bench, "text")
+
+    results = {}
+    for name, kw in (
+        ("keys", {"bench_keys": keys}),
+        ("bloom", {"bench_bitmap": bitmap}),
+    ):
+        query, sink = curation_stream_pipeline(
+            spark, pages_dir,
+            str(tmp_path / f"sink_{name}"), str(tmp_path / f"ckpt_{name}"),
+            config=CFG, available_now=True, quality_threshold=0.0, lang="de",
+            contamination_threshold=0.5, **kw,
+        )
+        query.awaitTermination(180)
+        results[name] = sink.read_all_appends(spark).toPandas()
+
+    got_keys = set(results["keys"]["fingerprint"])
+    got_bloom = set(results["bloom"]["fingerprint"])
+    assert got_bloom == got_keys
+    # the gate actually dropped something: the benchmark pages themselves
+    ungated_fps = set(
+        with_extracted_text(batch).filter(F.col("extract_error").isNull())
+        .select(ta.md5_fingerprint(F.col("extracted_text")).alias("f"))
+        .toPandas()["f"]
+    )
+    assert got_bloom < ungated_fps
+
+
+def test_bench_keys_and_bitmap_both_rejected(spark, pages_dir, tmp_dirs):
+    with pytest.raises(ValueError, match="not both"):
+        curation_stream_pipeline(
+            spark, pages_dir, tmp_dirs["sink"], tmp_dirs["checkpoint"],
+            config=CFG, bench_keys=spark.range(1), bench_bitmap=spark.range(1),
+        )

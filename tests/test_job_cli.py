@@ -22,6 +22,7 @@ def test_max_pii_requires_scrub():
         ["--scrub"],
         ["--scrub", "--max-pii", "2"],
         ["--bench-keys", "k.parquet"],
+        ["--bench-bloom", "b.parquet"],
         ["--quality-threshold", "0.7"],
         ["--lang", "de"],
     ],
@@ -29,6 +30,12 @@ def test_max_pii_requires_scrub():
 def test_curation_flags_rejected_on_other_pipelines(flags):
     with pytest.raises(SystemExit):
         main(["--pipeline", "featurize", *BASE, *flags])
+
+
+def test_bench_keys_and_bloom_mutually_exclusive():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "curation", *BASE,
+              "--bench-keys", "k.parquet", "--bench-bloom", "b.parquet"])
 
 
 def test_unknown_pipeline_rejected():
