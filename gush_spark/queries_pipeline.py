@@ -2127,3 +2127,36 @@ def q_decontaminate_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     bitmap = benchmark_bloom_bitmap(bench, "text")
     return ngram_overlap_bloom(docs, bitmap, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "document_chunks",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    sized AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    ex AS (
+      SELECT s.doc_id, s.ws, g.ci
+      FROM sized s CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0,
+          CAST(CASE WHEN s.n <= 128 THEN 0
+               ELSE floor((s.n - 128 + 95) / 96) END AS BIGINT))) AS ci) g)
+    SELECT doc_id,
+           ci AS chunk_id,
+           ci * 96 AS start_token,
+           CAST(len(list_slice(ws, ci * 96 + 1, ci * 96 + 128)) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(ws, ci * 96 + 1, ci * 96 + 128), ' ')
+             AS chunk_text
+    FROM ex
+    """,
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py):
+    128-token windows at stride 96 (32-token overlap) — the
+    embedding/long-context window-prep pass, map-only with zero
+    shuffle (chunk indices explode from a per-row sequence; each chunk
+    is a slice of the bound-once words array)."""
+    from gush_spark.operators.chunking import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=128, stride=96)
