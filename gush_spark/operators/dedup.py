@@ -260,6 +260,64 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def minhash_estimate_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.0,
+    bands: int | None = None, rows: int | None = None,
+    max_bucket: int | None = None, capped_stats: dict | None = None,
+    spread: int | None = 0,
+) -> DataFrame:
+    """Signature-only near-dup scoring: Jaccard ESTIMATED as the
+    fraction of matching MinHash components over the LSH candidate
+    pairs. P(mh_j(A) == mh_j(B)) = J(A, B) per family, so the mean of
+    the k match indicators is an unbiased estimator (sd √(J(1-J)/k)).
+
+    This is the 10^12-doc verify tier: ``ngram_jaccard_pairs`` joins
+    the shingle ARRAYS back through the candidate join — a text-scale
+    payload; here only the k longs per doc (computed for banding
+    anyway) cross the wire. The price is estimator variance (k=16 →
+    sd ≈ 0.12 at J = 0.5) — production raises k, and the exact verify
+    remains the final-adjudication tier. At scale the signature table
+    is a materialized artifact (same argument as
+    incremental.corpus_band_index), so the three logical reads of
+    ``sigs`` below are scans of stored k-long rows, never text."""
+    from gush_spark.operators.skew import cap_hot_buckets
+
+    bands, rows = _resolve_banding(bands, rows, threshold)
+    k = bands * rows
+    sigs = minhash_signatures(df, id_col, text_col, k, spread=spread)
+    long = lsh_band_signatures(sigs, id_col, bands, rows)
+    long = cap_hot_buckets(long, ["band", "band_sig"], max_bucket, capped_stats)
+    a = long.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = long.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    cands = (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)],
+    )
+    n_match = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(k)
+    )
+    out = (
+        cands.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (n_match.cast("double") / F.lit(k)).alias("est_jaccard"),
+        )
+    )
+    return out.filter(F.col("est_jaccard") >= threshold)
+
+
 def containment_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.0,
     min_shared: int = 2,

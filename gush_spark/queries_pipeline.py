@@ -2160,3 +2160,23 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=128, stride=96)
+
+
+@query(
+    "minhash_estimate_pairs",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}, {CAND}
+    SELECT id_a, id_b,
+           CAST(CAST(x.mh0 = y.mh0 AS INTEGER) + CAST(x.mh1 = y.mh1 AS INTEGER) + CAST(x.mh2 = y.mh2 AS INTEGER) + CAST(x.mh3 = y.mh3 AS INTEGER) + CAST(x.mh4 = y.mh4 AS INTEGER) + CAST(x.mh5 = y.mh5 AS INTEGER) + CAST(x.mh6 = y.mh6 AS INTEGER) + CAST(x.mh7 = y.mh7 AS INTEGER) + CAST(x.mh8 = y.mh8 AS INTEGER) + CAST(x.mh9 = y.mh9 AS INTEGER) + CAST(x.mh10 = y.mh10 AS INTEGER) + CAST(x.mh11 = y.mh11 AS INTEGER) + CAST(x.mh12 = y.mh12 AS INTEGER) + CAST(x.mh13 = y.mh13 AS INTEGER) + CAST(x.mh14 = y.mh14 AS INTEGER) + CAST(x.mh15 = y.mh15 AS INTEGER)
+                AS DOUBLE) / 16 AS est_jaccard
+    FROM cand JOIN sigs x ON x.doc_id = id_a JOIN sigs y ON y.doc_id = id_b
+    """,
+)
+def q_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only near-dup verify (dedup.minhash_estimate_pairs):
+    Jaccard estimated from matching MinHash components over the LSH
+    candidates — only k longs per doc cross the verify join, never the
+    shingle arrays; the 10^12-doc scoring tier with exact verify kept
+    for final adjudication."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_estimate_pairs(docs, "doc_id", "text", spread=None)

@@ -264,3 +264,27 @@ def test_containment_hash_keys_equals_string_keys(spark, docs):
     }
     assert by_string == by_hash
     assert len(by_string) >= 2  # non-trivial: 1-2-3 cluster + 6⊂7
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """Signature-only estimate vs exact shingle Jaccard on the same
+    candidate pairs: identical docs estimate exactly 1.0, and every
+    near-dup estimate sits within 3 standard errors (k=16) of exact."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight").split()
+    rows = [(1, " ".join(base)), (2, " ".join(base))]  # identical pair
+    for i in range(3, 8):  # near-dups: one word substituted per doc
+        w = list(base)
+        w[i] = f"sub{i}"
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in dedup.minhash_estimate_pairs(docs, "doc_id", "text").collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text").collect()}
+    assert est, "candidate pairs expected"
+    assert set(est) == set(exact), "same LSH candidates on both paths"
+    assert est[(1, 2)] == 1.0
+    for pair, j in exact.items():
+        se = (j * (1 - j) / 16) ** 0.5
+        assert abs(est[pair] - j) <= 3 * se + 1e-9, (pair, est[pair], j)
