@@ -167,6 +167,65 @@ def incremental_near_dup_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def incremental_near_dup_estimate(
+    new: DataFrame, corpus: DataFrame, id_col: str, text_col: str,
+    threshold: float = 0.0,
+    bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
+    max_bucket: int | None = None, capped_stats: dict | None = None,
+    broadcast_new: bool = True, spread: int | None = 0,
+) -> DataFrame:
+    """Signature-only twin of ``incremental_near_dup_pairs``: the
+    verify step estimates Jaccard from matching MinHash components
+    (dedup.minhash_estimate_pairs rationale) instead of joining the
+    corpus TEXT back for exact shingle intersection.
+
+    Why this is the true 10^12-corpus daily path: the exact variant
+    must re-read corpus text for every candidate id; here the
+    corpus-side artifact is the SIGNATURE table (k longs per doc,
+    maintained by the append job like the band index) — the daily run
+    touches zero corpus text. The new side broadcasts only bounded
+    projections: band signatures, candidate id pairs, and k-long
+    signatures."""
+    k = bands * rows
+    new_sigs = dedup.minhash_signatures(new, id_col, text_col, k, spread=spread)
+    new_bands = dedup.lsh_band_signatures(new_sigs, id_col, bands, rows).select(
+        F.col(id_col).alias("new_id"), "band", "band_sig"
+    )
+    # in production both are stored artifacts of the corpus append job
+    cor_sigs = dedup.minhash_signatures(corpus, id_col, text_col, k, spread=spread)
+    idx = dedup.lsh_band_signatures(cor_sigs, id_col, bands, rows)
+    from gush_spark.operators.skew import cap_hot_buckets
+
+    idx = cap_hot_buckets(idx, ["band", "band_sig"], max_bucket, capped_stats)
+    cands = (
+        idx.select(F.col(id_col).alias("corpus_id"), "band", "band_sig")
+        .join(_maybe_broadcast(new_bands, broadcast_new), ["band", "band_sig"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = new_sigs.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)],
+    )
+    sb = cor_sigs.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)],
+    )
+    n_match = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(k)
+    )
+    out = (
+        sb.join(_maybe_broadcast(cands, broadcast_new), "corpus_id")
+        .join(_maybe_broadcast(sa, broadcast_new), "new_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (n_match.cast("double") / F.lit(k)).alias("est_jaccard"),
+        )
+    )
+    return out.filter(F.col("est_jaccard") >= threshold)
+
+
 def incremental_curate(
     new: DataFrame, corpus: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.6,

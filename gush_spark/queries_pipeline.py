@@ -2180,3 +2180,29 @@ def q_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for final adjudication."""
     docs = load(spark, sf_dir, "documents")
     return dedup.minhash_estimate_pairs(docs, "doc_id", "text", spread=None)
+
+
+@query(
+    "incremental_near_dup_estimate",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS},
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+             FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig
+             WHERE n.{_NEWPRED} AND c.{_CORPRED})
+    SELECT new_id, corpus_id,
+           CAST(CAST(x.mh0 = y.mh0 AS INTEGER) + CAST(x.mh1 = y.mh1 AS INTEGER) + CAST(x.mh2 = y.mh2 AS INTEGER) + CAST(x.mh3 = y.mh3 AS INTEGER) + CAST(x.mh4 = y.mh4 AS INTEGER) + CAST(x.mh5 = y.mh5 AS INTEGER) + CAST(x.mh6 = y.mh6 AS INTEGER) + CAST(x.mh7 = y.mh7 AS INTEGER) + CAST(x.mh8 = y.mh8 AS INTEGER) + CAST(x.mh9 = y.mh9 AS INTEGER) + CAST(x.mh10 = y.mh10 AS INTEGER) + CAST(x.mh11 = y.mh11 AS INTEGER) + CAST(x.mh12 = y.mh12 AS INTEGER) + CAST(x.mh13 = y.mh13 AS INTEGER) + CAST(x.mh14 = y.mh14 AS INTEGER) + CAST(x.mh15 = y.mh15 AS INTEGER)
+                AS DOUBLE) / 16 AS est_jaccard
+    FROM cand JOIN sigs x ON x.doc_id = new_id JOIN sigs y ON y.doc_id = corpus_id
+    """,
+)
+def q_incremental_near_dup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only batch-vs-corpus near-dup
+    (incremental.incremental_near_dup_estimate): candidates from the
+    corpus band index, verify from the stored k-long signature table —
+    the daily increment touches zero corpus text."""
+    from gush_spark.operators import incremental
+
+    new, corpus = _split_docs(spark, sf_dir)
+    return incremental.incremental_near_dup_estimate(
+        new, corpus, "doc_id", "text", threshold=0.0, spread=None
+    )

@@ -103,3 +103,26 @@ def test_corpus_side_never_shuffles_raw_text(new_batch, corpus):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "fingerprint" in m.group(1) or "text" not in m.group(1)
     assert "Exchange hashpartitioning(text" not in plan
+
+
+def test_incremental_estimate_matches_candidates_and_bounds(new_batch, corpus):
+    """Signature-only variant: same candidate pairs as the exact form,
+    exact dup estimates exactly 1.0, near-dup estimate within 3
+    standard errors (k=16) of the exact jaccard."""
+    exact = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental.incremental_near_dup_pairs(
+            new_batch, corpus, "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    est = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in incremental.incremental_near_dup_estimate(
+            new_batch, corpus, "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert est[(1, 100)] == 1.0
+    for pair, j in exact.items():
+        se = (j * (1 - j) / 16) ** 0.5
+        assert abs(est[pair] - j) <= 3 * se + 1e-9, (pair, est[pair], j)
