@@ -53,9 +53,27 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+def _warm_session(spark) -> None:
+    """Session-level warmup BEFORE any timed query: JVM JIT, codegen
+    caches, the noop sink, parquet reader init and the Python worker
+    pool. Without this, whatever query happens to be registered FIRST
+    absorbs the cold-start (measured: incremental_exact_dedup 1.4s at
+    position 1 vs 0.85s warm, same session) — and the driver-window
+    rotation now puts real operators first, so the charge would land on
+    them and read as a phantom round-over-round regression."""
+    import __spark_entry__ as entrypoint
+
+    qs = entrypoint.queries()
+    # one scan-heavy JVM query, one events query, one Arrow-UDF query
+    for name in ("exact_dedup", "word_frequencies", "compression_ratio_scores"):
+        if name in qs:
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+
 def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]], list[str]]:
     import __spark_entry__ as entrypoint
 
+    _warm_session(spark)
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     suspect: list[str] = []
@@ -167,7 +185,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "timing": "min_of_2_warm_runs",
+        "timing": "min_of_2_warm_runs_after_session_warmup",
         "queries": timings,
         "query_runs": runs,
         "throttle_suspect": suspect,
