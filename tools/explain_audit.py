@@ -263,6 +263,28 @@ def main() -> int:
         "top-k rank filter not pushed to WindowGroupLimit",
     )
 
+    # round-4 operators: bloom probe broadcasts the bitmap; chunking is
+    # map-only; the signature-only verify never reads text columns
+    from gush_spark.operators.bloom import bloom_build, bloom_probe
+    from gush_spark.operators.chunking import chunk_documents
+    from gush_spark.operators.dedup import minhash_estimate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    keys = docs.select(F.md5("text").alias("key"))
+    p = plan_of(bloom_probe(bloom_build(keys, "key"), keys, "key"))
+    check("bloom.probe_bitmap_broadcast",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+          "bitmap not broadcast")
+    p = plan_of(chunk_documents(docs, "doc_id", "text"))
+    check("chunking.zero_shuffle", "Exchange" not in p, "chunking shuffles")
+    p = plan_of(minhash_estimate_pairs(docs, "doc_id", "text", spread=None))
+    # the verify joins must carry signature longs, not the text column:
+    # `text` may appear only under scans/minhash aggs, never in a join
+    join_lines = [ln for ln in p.splitlines() if "Join" in ln]
+    check("estimate.no_text_in_verify_join",
+          join_lines and not any("text" in ln for ln in join_lines),
+          "text column crossed the verify join")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
