@@ -230,6 +230,7 @@ def incremental_curate(
     new: DataFrame, corpus: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.6,
     broadcast_new: bool = True, spread: int | None = 0,
+    use_estimate: bool = False,
 ) -> DataFrame:
     """The composite append decision per new doc: drop exact dups
     (corpus or within-batch), drop near-dups of the corpus
@@ -239,23 +240,41 @@ def incremental_curate(
     Returns (id, in_corpus, batch_rank, near_corpus, near_batch,
     is_kept) — the full audit trail, so a curation run can report WHY
     each page was rejected (the error-channel convention of
-    functions/extract.py applied to dedup)."""
+    functions/extract.py applied to dedup).
+
+    ``use_estimate=True`` runs BOTH near-dup verifies signature-only
+    (``incremental_near_dup_estimate`` / ``minhash_estimate_pairs``) —
+    the all-signature daily path where the run touches zero corpus
+    text; the threshold then applies to the Jaccard ESTIMATE, so
+    borderline pairs can flip within estimator noise (sd √(J(1-J)/k))
+    while exact dups (estimate exactly 1.0) never do."""
     ex = incremental_exact_dedup(
         new, corpus, id_col, text_col, broadcast_new=broadcast_new, spread=spread
     )
-    near_c = (
-        incremental_near_dup_pairs(
+    if use_estimate:
+        corpus_pairs = incremental_near_dup_estimate(
             new, corpus, id_col, text_col, threshold=threshold,
             broadcast_new=broadcast_new, spread=spread,
         )
+        batch_pairs = dedup.minhash_estimate_pairs(
+            new, id_col, text_col, threshold=threshold, spread=spread
+        )
+    else:
+        corpus_pairs = incremental_near_dup_pairs(
+            new, corpus, id_col, text_col, threshold=threshold,
+            broadcast_new=broadcast_new, spread=spread,
+        )
+        batch_pairs = dedup.ngram_jaccard_pairs(
+            new, id_col, text_col, threshold=threshold, spread=spread
+        )
+    near_c = (
+        corpus_pairs
         .select(F.col("new_id").alias(id_col))
         .distinct()
         .withColumn("_near_c", F.lit(True))
     )
     near_b = (
-        dedup.ngram_jaccard_pairs(
-            new, id_col, text_col, threshold=threshold, spread=spread
-        )
+        batch_pairs
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_near_b", F.lit(True))

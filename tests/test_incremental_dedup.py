@@ -126,3 +126,27 @@ def test_incremental_estimate_matches_candidates_and_bounds(new_batch, corpus):
     for pair, j in exact.items():
         se = (j * (1 - j) / 16) ** 0.5
         assert abs(est[pair] - j) <= 3 * se + 1e-9, (pair, est[pair], j)
+
+
+def test_incremental_curate_estimate_tier_agrees_here(new_batch, corpus):
+    """use_estimate=True (the all-signature daily path) must produce
+    the same keep/drop decisions as the exact tier when the threshold
+    sits far from the pairs' Jaccard relative to the k=16 estimator
+    noise (0.3 here vs J≈0.75 near-dups: >3 standard errors clear; at
+    thresholds within the noise band — e.g. 0.6 vs J=0.75 — the tiers
+    legitimately diverge, which is the documented trade)."""
+    exact = {
+        r["doc_id"]: tuple(r)
+        for r in incremental.incremental_curate(
+            new_batch, corpus, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    est = {
+        r["doc_id"]: tuple(r)
+        for r in incremental.incremental_curate(
+            new_batch, corpus, "doc_id", "text", threshold=0.3,
+            use_estimate=True,
+        ).collect()
+    }
+    assert est == exact
+    assert not est[2][-1], "near-dup of corpus must be dropped"
