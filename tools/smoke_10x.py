@@ -45,6 +45,12 @@ HEAVY = [
     "curation_report_v2",
     "packed_training_sequences",
     "mixture_resample",
+    # round-4 operators
+    "bloom_membership_report",
+    "decontaminate_overlap_bloom",
+    "document_chunks",
+    "minhash_estimate_pairs",
+    "incremental_near_dup_estimate",
 ]
 
 N_VARIANTS = 10
