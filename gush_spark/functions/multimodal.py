@@ -7,11 +7,16 @@ input_hint): Spark never interprets the bytes JVM-side; decode /
 feature-extract runs as Arrow-batched ``mapInPandas`` — the same hot
 path as html extraction (gush_spark/functions/extract.py).
 
-The actual codec calls (PIL/librosa/ffmpeg) are NOT available in this
-environment, so the decode step is stubbed behind
-``NotImplementedError`` with a clearly-marked deterministic fallback
-(`blob_features`: content digest + length — everything a codec-free
-pipeline can honestly compute). The Spark-side contract — schema,
+Compressed-format codecs (PIL/librosa/ffmpeg for JPEG/PNG/MP3/MP4) are
+NOT available in this environment, so those decode steps are stubbed
+behind ``NotImplementedError`` with a clearly-marked deterministic
+fallback (`blob_features`: content digest + length — everything a
+codec-free pipeline can honestly compute). The UNCOMPRESSED formats
+need no external codec and decode for real: ``functions/media.py``
+parses WAV/PCM (stdlib ``wave``) and 24/32-bit BMP (``struct``) and
+extracts pinned-value features through the identical mapInPandas
+plumbing — proof the contract carries real decoders; swapping in PIL
+at deploy time changes one function. The Spark-side contract — schema,
 Arrow batch shape, partition-preserving mapInPandas, error-column
 convention (P10 analog: errors are data, the stream survives) — is
 real and tested.
@@ -38,14 +43,17 @@ BLOB_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image(blob: bytes) -> "object":
-    """STUB — image decode requires PIL/opencv, absent in this container.
-    At deploy time this returns an ndarray(h, w, c); the mapInPandas
-    plumbing around it is already exercised by blob_features."""
+    """STUB — compressed-image decode (JPEG/PNG) requires PIL/opencv,
+    absent in this container. At deploy time this returns an
+    ndarray(h, w, c); uncompressed BMP decodes for real TODAY via
+    functions/media.decode_bmp through the same plumbing."""
     raise NotImplementedError("image codec not available in this environment")
 
 
 def decode_audio(blob: bytes) -> "object":
-    """STUB — audio decode requires soundfile/librosa, absent here."""
+    """STUB — compressed-audio decode (MP3/OGG) requires
+    soundfile/librosa, absent here; PCM WAV decodes for real via
+    functions/media.decode_wav."""
     raise NotImplementedError("audio codec not available in this environment")
 
 

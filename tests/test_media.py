@@ -1,0 +1,91 @@
+"""Real stdlib decoders for uncompressed media (functions/media.py):
+WAV/PCM and BMP blobs synthesized in-test, exact feature values, error
+rows for malformed input, and the partition-preserving plan."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+from gush_spark.functions.media import (
+    with_audio_features,
+    with_image_features,
+)
+
+
+def _wav_bytes(freq=440, rate=8000, n=800, ch=1, width=2):
+    t = np.arange(n)
+    x = np.sin(2 * np.pi * freq * t / rate)
+    pcm = (x * 32767).astype("<i2").tobytes() * ch if ch == 1 else None
+    if ch == 2:
+        inter = np.repeat((x * 32767).astype("<i2"), 2)
+        pcm = inter.tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def _bmp_bytes(w, h, rgb, top_down=False):
+    """Solid-color uncompressed 24-bit BMP."""
+    stride = (w * 3 + 3) & ~3
+    row = bytes(rgb[::-1]) * w + b"\x00" * (stride - w * 3)
+    pixels = row * h
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def test_wav_features_exact(spark):
+    blobs = [
+        (1, _wav_bytes()),                      # mono 16-bit sine
+        (2, _wav_bytes(ch=2)),                  # stereo
+        (3, b"RIFFnotawav"),                    # malformed
+        (4, None),                              # null
+    ]
+    df = spark.createDataFrame(blobs, "id long, blob binary")
+    out = {r["id"]: r for r in with_audio_features(df, "blob", ["id"]).collect()}
+    a = out[1]
+    assert (a["n_channels"], a["sample_rate"], a["n_frames"]) == (1, 8000, 800)
+    assert abs(a["duration_s"] - 0.1) < 1e-12
+    # RMS of a full-scale sine ≈ 1/sqrt(2); ZCR ≈ 2*f/rate
+    assert abs(a["rms"] - 0.7071) < 0.01
+    assert abs(a["zero_crossing_rate"] - 2 * 440 / 8000) < 0.01
+    assert out[2]["n_channels"] == 2 and abs(out[2]["rms"] - a["rms"]) < 1e-6
+    assert out[3]["decode_error"] and out[3]["rms"] is None
+    assert out[4]["decode_error"] == "null blob"
+
+
+def test_bmp_features_exact_both_row_orders(spark):
+    blobs = [
+        (1, _bmp_bytes(5, 3, (255, 0, 0))),            # solid red, bottom-up
+        (2, _bmp_bytes(5, 3, (0, 128, 0), top_down=True)),
+        (3, b"BMgarbage"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(blobs, "id long, blob binary")
+    out = {r["id"]: r for r in with_image_features(df, "blob", ["id"]).collect()}
+    r1 = out[1]
+    assert (r1["width"], r1["height"], r1["n_channels"]) == (5, 3, 3)
+    assert r1["mean_r"] == 1.0 and r1["mean_g"] == 0.0 and r1["mean_b"] == 0.0
+    r2 = out[2]
+    assert abs(r2["mean_g"] - 128 / 255) < 1e-9 and r2["mean_r"] == 0.0
+    assert out[3]["decode_error"] and out[3]["width"] is None
+    assert out[4]["decode_error"] == "null blob"
+
+
+def test_media_plumbing_is_partition_preserving(spark):
+    df = spark.createDataFrame([(1, _wav_bytes())], "id long, blob binary")
+    plan = with_audio_features(df, "blob", ["id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
