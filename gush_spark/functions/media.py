@@ -81,6 +81,11 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     h = abs(h)
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError("bad bmp: implausible dimensions")
+    # pixel data must start AFTER the file header (14) + info header:
+    # an offset pointing back into the headers would "decode" header
+    # bytes as pixels and return confidently wrong features
+    if data_off < 14 + hdr_size:
+        raise ValueError("bad bmp: pixel offset inside the headers")
     bytes_px = bpp // 8
     row_stride = (w * bytes_px + 3) & ~3
     need = data_off + row_stride * h

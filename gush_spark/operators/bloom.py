@@ -55,13 +55,21 @@ def _position(key: Column, i: Column, m_bits: int) -> Column:
 def bloom_build(
     df: DataFrame, key_col: str, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS
 ) -> DataFrame:
-    """Build the bitmap: (word_idx, word) rows, one per word with at
-    least one bit set. Words pack 63 bits per long — the sign bit stays
-    clear so DuckDB's CHECKED left-shift (which errors on 1 << 63) can
-    replicate the bitmap bit-for-bit for the oracle. ≤ m_bits/63 rows
-    total — broadcastable — and the agg is map-side combinable (bit_or
-    is associative and commutative, so partial bitmaps merge like HLL
-    registers)."""
+    """Build the bitmap: (word_idx, word, m_bits, k) rows, one per word
+    with at least one bit set. Words pack 63 bits per long — the sign
+    bit stays clear so DuckDB's CHECKED left-shift (which errors on
+    1 << 63) can replicate the bitmap bit-for-bit for the oracle.
+    ≤ m_bits/63 rows total — broadcastable — and the agg is map-side
+    combinable (bit_or is associative and commutative, so partial
+    bitmaps merge like HLL registers).
+
+    The build PARAMETERS travel WITH the bitmap (constant ``m_bits``
+    and ``k`` columns): a probe against a bitmap built with different
+    parameters would produce silent FALSE NEGATIVES (wrong words, wrong
+    bits — the one failure a Bloom gate must never have), so
+    ``bloom_probe`` reads the parameters from the bitmap itself and a
+    round-tripped parquet bitmap (job.py --bench-bloom) stays
+    self-describing."""
     pos = _position(F.col(key_col), F.col("_i"), m_bits)
     return (
         df.select(F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_i"),
@@ -76,18 +84,47 @@ def bloom_build(
         )
         .groupBy("word_idx")
         .agg(F.bit_or("_bit").alias("word"))
+        .select(
+            "word_idx", "word",
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k).cast("long").alias("k"),
+        )
     )
+
+
+def bitmap_params(bitmap: DataFrame) -> tuple[int, int]:
+    """Read (m_bits, k) off a self-describing bitmap; raises if the
+    frame carries mixed parameters (e.g. two incompatible bitmaps
+    unioned) or lacks the parameter columns (not a bloom_build
+    output)."""
+    if "m_bits" not in bitmap.columns or "k" not in bitmap.columns:
+        raise ValueError(
+            "bitmap lacks m_bits/k columns — not a bloom_build output"
+        )
+    rows = bitmap.select("m_bits", "k").distinct().limit(3).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"bitmap carries {len(rows)} distinct (m_bits, k) parameter "
+            "pairs — refusing to probe (mismatched bitmaps would produce "
+            "silent false negatives)"
+        )
+    return int(rows[0]["m_bits"]), int(rows[0]["k"])
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union semantics: bit_or the two bitmaps word-by-word. Bloom(A) ∪
     Bloom(B) == Bloom(A ∪ B) exactly (same hashes, same m) — the
     property that lets a daily increment fold into the historical
-    filter without re-reading history (pinned by test)."""
+    filter without re-reading history (pinned by test). Grouping
+    includes the parameter columns, so merging bitmaps built with
+    DIFFERENT parameters yields duplicate word_idx groups that
+    ``bitmap_params`` rejects at the next probe instead of silently
+    corrupting membership."""
     return (
         a.unionByName(b)
-        .groupBy("word_idx")
+        .groupBy("word_idx", "m_bits", "k")
         .agg(F.bit_or("word").alias("word"))
+        .select("word_idx", "word", "m_bits", "k")
     )
 
 
@@ -95,17 +132,30 @@ def bloom_probe(
     bitmap: DataFrame,
     probes: DataFrame,
     key_col: str,
-    k: int = BLOOM_K,
-    m_bits: int = BLOOM_M_BITS,
+    k: int | None = None,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """Append ``bloom_contains`` to ``probes``: true iff all k bits are
     set. No false negatives ever; false-positive rate ≈ (1-e^{-kn/m})^k.
+
+    The probe parameters come FROM THE BITMAP (``bitmap_params``);
+    passing ``k``/``m_bits`` explicitly is allowed only as an assertion
+    — a mismatch with the bitmap's own parameters raises instead of
+    probing the wrong bits (which would silently void the
+    no-false-negative guarantee).
 
     Plan shape: the k positions explode from the probe side, join the
     BROADCAST bitmap on word_idx (≤ m/63 rows), and a groupBy on the
     probe key checks every bit landed — the probed corpus shuffles only
     its own (key, word_idx) pairs, never text, and the bitmap never
     shuffles at all."""
+    bm_m, bm_k = bitmap_params(bitmap)
+    if m_bits is not None and m_bits != bm_m:
+        raise ValueError(f"m_bits={m_bits} != bitmap's m_bits={bm_m}")
+    if k is not None and k != bm_k:
+        raise ValueError(f"k={k} != bitmap's k={bm_k}")
+    m_bits, k = bm_m, bm_k
+    bitmap = bitmap.select("word_idx", "word")
     pos = _position(F.col(key_col), F.col("_i"), m_bits)
     exploded = (
         probes.select(F.col(key_col)).distinct()

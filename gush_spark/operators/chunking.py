@@ -47,6 +47,12 @@ def chunk_documents(
     """
     if stride < 1 or chunk_tokens < 1:
         raise ValueError("chunk_tokens and stride must be >= 1")
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride={stride} > chunk_tokens={chunk_tokens} would leave "
+            "tokens covered by NO chunk — the every-token-covered "
+            "contract forbids gaps"
+        )
     ws = words_of(F.col(text_col))
     # bind the words array once: every downstream expression references
     # the materialized column, not the normalize/split chain

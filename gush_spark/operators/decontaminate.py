@@ -101,16 +101,16 @@ def ngram_overlap_bloom(
     over-count matches — never under), so ``contaminated`` can only err
     toward dropping a clean page, never toward leaking a benchmark
     page. Probe cost ∝ distinct doc shingles, map-only after the
-    m/8-byte bitmap broadcast."""
+    m/8-byte bitmap broadcast.
+
+    The bloom parameters are read from the self-describing bitmap
+    (bloom.bitmap_params); ``bloom_k``/``m_bits`` are assertions only —
+    a mismatch raises rather than probing the wrong bits."""
     from gush_spark.operators import bloom
 
     doc_sh = _doc_shingle_keys(docs, id_col, text_col, k)
     probed = bloom.bloom_probe(
-        bench_bitmap,
-        doc_sh,
-        "sk",
-        k=bloom_k if bloom_k is not None else bloom.BLOOM_K,
-        m_bits=m_bits if m_bits is not None else bloom.BLOOM_M_BITS,
+        bench_bitmap, doc_sh, "sk", k=bloom_k, m_bits=m_bits
     )
     per_doc = probed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),

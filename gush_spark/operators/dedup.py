@@ -269,7 +269,15 @@ def minhash_estimate_pairs(
     """Signature-only near-dup scoring: Jaccard ESTIMATED as the
     fraction of matching MinHash components over the LSH candidate
     pairs. P(mh_j(A) == mh_j(B)) = J(A, B) per family, so the mean of
-    the k match indicators is an unbiased estimator (sd √(J(1-J)/k)).
+    the k match indicators is an unbiased estimator (sd √(J(1-J)/k)) —
+    UNCONDITIONALLY. Conditioned on LSH candidacy it is NOT: a
+    candidate matched at least one full band, so every reported
+    estimate has a hard floor of ``rows/k`` (4/16 = 0.25 at the
+    default banding) and low-similarity accidental candidates are
+    systematically over-estimated. Thresholds at or below ``rows/k``
+    therefore filter nothing; meaningful thresholds sit above the
+    floor, where the bias shrinks fast (the other k-rows components
+    are unconditioned).
 
     This is the 10^12-doc verify tier: ``ngram_jaccard_pairs`` joins
     the shingle ARRAYS back through the candidate join — a text-scale

@@ -110,7 +110,7 @@ def incremental_exact_dedup(
 def incremental_near_dup_pairs(
     new: DataFrame, corpus: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.0,
-    bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
+    bands: int | None = None, rows: int | None = None,
     max_bucket: int | None = None, capped_stats: dict | None = None,
     broadcast_new: bool = True, spread: int | None = 0,
 ) -> DataFrame:
@@ -124,9 +124,15 @@ def incremental_near_dup_pairs(
     bounded candidate id set. Hot buckets (boilerplate band signatures
     shared by millions of corpus pages) are capped on the INDEX side
     via ``max_bucket`` — a signature that common identifies template
-    text, not a duplicate of today's page."""
+    text, not a duplicate of today's page.
+
+    Banding resolves like the self-join operators (dedup._resolve_
+    banding): explicit ``bands``/``rows`` win, else derived from
+    ``threshold`` via the S-curve selector — so the two near-dup gates
+    inside ``incremental_curate`` can never band inconsistently."""
     from gush_spark.operators.skew import cap_hot_buckets
 
+    bands, rows = dedup._resolve_banding(bands, rows, threshold)
     new_sigs = dedup.minhash_signatures(
         new, id_col, text_col, bands * rows, spread=spread
     )
@@ -170,7 +176,7 @@ def incremental_near_dup_pairs(
 def incremental_near_dup_estimate(
     new: DataFrame, corpus: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.0,
-    bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
+    bands: int | None = None, rows: int | None = None,
     max_bucket: int | None = None, capped_stats: dict | None = None,
     broadcast_new: bool = True, spread: int | None = 0,
 ) -> DataFrame:
@@ -186,6 +192,7 @@ def incremental_near_dup_estimate(
     touches zero corpus text. The new side broadcasts only bounded
     projections: band signatures, candidate id pairs, and k-long
     signatures."""
+    bands, rows = dedup._resolve_banding(bands, rows, threshold)
     k = bands * rows
     new_sigs = dedup.minhash_signatures(new, id_col, text_col, k, spread=spread)
     new_bands = dedup.lsh_band_signatures(new_sigs, id_col, bands, rows).select(

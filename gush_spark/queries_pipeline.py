@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gush_spark.functions import text_analysis as ta
-from gush_spark.functions.multimodal import with_blob_features
 from gush_spark.operators import dedup, similarity
 from gush_spark.queries import load, query
 

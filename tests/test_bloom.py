@@ -91,3 +91,27 @@ def test_bloom_overlap_upper_bounds_exact_overlap(spark):
     # at the default m the gate decisions should actually coincide here
     assert all(bloomed[i]["contaminated"] == e["contaminated"]
                for i, e in exact.items())
+
+
+def test_probe_parameters_come_from_the_bitmap(spark):
+    """The failure a Bloom gate must never have is a silent false
+    negative from probing with the wrong parameters: the bitmap is
+    self-describing, a probe against a non-default bitmap needs no
+    arguments to be correct, explicit mismatching arguments raise, and
+    a merge of incompatible bitmaps is rejected at the next probe."""
+    import pytest as _pytest
+
+    members = _keys(spark, 0, 300)
+    big = bloom_build(members, "key", m_bits=1 << 20)
+    got = {r["key"]: r["bloom_contains"]
+           for r in bloom_probe(big, members, "key").collect()}
+    assert all(got.values()), "self-configured probe must see every member"
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(big, members, "key", m_bits=65536)
+    with _pytest.raises(ValueError, match="k="):
+        bloom_probe(big, members, "key", k=5)
+    mixed = bloom_merge(big, bloom_build(members, "key", m_bits=256))
+    with _pytest.raises(ValueError, match="distinct"):
+        bloom_probe(mixed, members, "key")
+    with _pytest.raises(ValueError, match="bloom_build"):
+        bloom_probe(members.withColumnRenamed("key", "word_idx"), members, "key")
