@@ -73,6 +73,11 @@ _DRIVER_WINDOW_FIRST = [
     "compression_ratio_scores", "ann_topk_ivf_kmeans", "ann_topk_ivf",
     "ann_topk_lsh", "ann_topk_lsh_multiprobe", "hash_split_sample",
     "multimodal_blob_features",
+    # round-4 additions (registered after the catalog core — rotated in
+    # so their first driver-witnessed round is the round they shipped)
+    "bloom_membership_report", "decontaminate_overlap_bloom",
+    "document_chunks", "minhash_estimate_pairs",
+    "incremental_near_dup_estimate",
 ]
 
 
