@@ -96,7 +96,16 @@ def bitmap_params(bitmap: DataFrame) -> tuple[int, int]:
     """Read (m_bits, k) off a self-describing bitmap; raises if the
     frame carries mixed parameters (e.g. two incompatible bitmaps
     unioned) or lacks the parameter columns (not a bloom_build
-    output)."""
+    output).
+
+    The read is a (tiny: ≤3-row) Spark job, so the result is memoized
+    on the DataFrame object — a streaming gate probing the same bitmap
+    every microbatch (pipeline.curation_pipeline's foreachBatch) pays
+    the job once, not once per batch. Safe because DataFrames are
+    immutable: the object's parameter columns can never change."""
+    cached = getattr(bitmap, "_gush_bloom_params", None)
+    if cached is not None:
+        return cached
     if "m_bits" not in bitmap.columns or "k" not in bitmap.columns:
         raise ValueError(
             "bitmap lacks m_bits/k columns — not a bloom_build output"
@@ -108,7 +117,9 @@ def bitmap_params(bitmap: DataFrame) -> tuple[int, int]:
             "pairs — refusing to probe (mismatched bitmaps would produce "
             "silent false negatives)"
         )
-    return int(rows[0]["m_bits"]), int(rows[0]["k"])
+    params = int(rows[0]["m_bits"]), int(rows[0]["k"])
+    bitmap._gush_bloom_params = params
+    return params
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
