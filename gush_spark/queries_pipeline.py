@@ -2205,3 +2205,92 @@ def q_incremental_near_dup_estimate(spark: SparkSession, sf_dir: str) -> DataFra
     return incremental.incremental_near_dup_estimate(
         new, corpus, "doc_id", "text", threshold=0.0, spread=None
     )
+
+
+@query(
+    "duplicate_span_report",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS wkey
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) - 6, 1)) AS i) r
+      WHERE len(w) >= 8
+    ),
+    d AS (SELECT wkey, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY wkey),
+    p AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+      FROM g JOIN d USING (wkey) GROUP BY g.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CASE WHEN COALESCE(p.n_windows, 0) > 0
+                THEN CAST(p.n_dup_windows AS DOUBLE) / p.n_windows
+                ELSE 0.0 END AS dup_fraction
+    FROM documents doc LEFT JOIN p USING (doc_id)
+    """,
+)
+def q_duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span profile (operators/spans.py,
+    Lee et al. ACL 2022 re-expressed as windowed rolling-hash): the
+    fraction of each doc's 8-token windows that recur verbatim in
+    other documents — the exact-substring dedup signal that
+    document-level near-dup cannot see. Shuffles carry only (16-byte
+    digest, doc_id) pairs; the digest join reuses the count stage's
+    exchange (plan-audit pinned)."""
+    from gush_spark.operators.spans import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", window_tokens=8, stride=1)
+
+
+@query(
+    "winnowed_dup_report",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 6),
+                            i -> md5(array_to_string(w[i:i+7], ' '))) AS hs
+      FROM t WHERE len(w) >= 8
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 2),
+               j -> list_aggregate(hs[j:j+3], 'min')))) AS wkey
+      FROM h WHERE len(hs) >= 4
+    ),
+    d AS (SELECT wkey, count(DISTINCT doc_id) AS n_docs FROM fp GROUP BY wkey),
+    p AS (
+      SELECT fp.doc_id,
+             CAST(count(*) AS BIGINT) AS n_fingerprints,
+             CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_fingerprints
+      FROM fp JOIN d USING (wkey) GROUP BY fp.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(p.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+           CAST(COALESCE(p.n_dup_fingerprints, 0) AS BIGINT)
+             AS n_dup_fingerprints,
+           CASE WHEN COALESCE(p.n_fingerprints, 0) > 0
+                THEN CAST(p.n_dup_fingerprints AS DOUBLE) / p.n_fingerprints
+                ELSE 0.0 END AS dup_fraction
+    FROM documents doc LEFT JOIN p USING (doc_id)
+    """,
+)
+def q_winnowed_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint duplication profile (operators/spans.py,
+    Schleimer et al. SIGMOD 2003): content-defined span fingerprints —
+    min of every 4 consecutive 8-gram digests — so copies are caught
+    at ANY alignment while exploding ~2/5 the rows of exhaustive
+    windows; the crawl-scale tier of duplicate_span_report."""
+    from gush_spark.operators.spans import winnowed_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return winnowed_duplicate_spans(
+        docs, "doc_id", "text", window_tokens=8, winnow=4
+    )

@@ -285,6 +285,21 @@ def main() -> int:
           join_lines and not any("text" in ln for ln in join_lines),
           "text column crossed the verify join")
 
+    # duplicate-span profile: the token-window explosion (the expensive
+    # interpreted map stage) must run exactly once, and the partial agg
+    # must sit BELOW the first exchange so only reduced (digest, doc)
+    # pairs ever shuffle
+    from gush_spark.operators.spans import duplicate_spans
+
+    p = plan_of(duplicate_spans(docs, "doc_id", "text"))
+    n_gen = len(re.findall(r"\+- Generate ", p))
+    check("spans.single_generate", n_gen == 1,
+          f"expected 1 Generate tree node, saw {n_gen}")
+    first_exchange = p.find("Exchange")
+    check("spans.partial_agg_below_first_exchange",
+          first_exchange != -1 and "partial_count" in p[first_exchange:],
+          "raw window stream reached an exchange un-combined")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0

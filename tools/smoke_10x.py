@@ -51,6 +51,8 @@ HEAVY = [
     "document_chunks",
     "minhash_estimate_pairs",
     "incremental_near_dup_estimate",
+    "duplicate_span_report",
+    "winnowed_dup_report",
 ]
 
 N_VARIANTS = 10
