@@ -217,3 +217,99 @@ def winnowed_duplicate_spans(
         F.col("n_dup_windows").alias("n_dup_fingerprints"),
         "dup_fraction",
     )
+
+
+def positional_span_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """(id, pos, wkey) — like ``span_keys`` (stride 1) but keeping the
+    window's 1-based start token position, for operators that act ON
+    the text (removal) rather than just scoring it."""
+    if window_tokens < 1:
+        raise ValueError("window_tokens must be >= 1")
+    bound = df.withColumn("_w", F.split(F.col(text_col), " "))
+    grams = F.when(
+        F.size(F.col("_w")) >= window_tokens,
+        F.transform(
+            F.sequence(
+                F.lit(1), F.size(F.col("_w")) - F.lit(window_tokens - 1)
+            ),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(
+                    F.array_join(F.slice(F.col("_w"), i, window_tokens), " ")
+                ).alias("wkey"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wkey:string>>"))
+    ex = bound.select(F.col(id_col), F.explode(grams).alias("_g"))
+    return ex.select(
+        id_col, F.col("_g.pos").alias("pos"), F.col("_g.wkey").alias("wkey")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION to the report's signal (Lee et al. remove, not just
+    measure): delete every token covered by at least one window shared
+    verbatim with ≥ ``min_docs`` documents, and return each input row
+    with ``clean_text`` (surviving tokens re-joined), ``n_tokens``
+    and ``n_removed``. Original-order, whitespace-normalized; docs
+    with nothing duplicated (or too short to window) come back intact;
+    null text stays null.
+
+    Plan: positional keys reduce per (digest, doc, pos) exactly like
+    the report (one exchange for the explosion, window count per
+    digest, never a corpus-sized broadcast); the duplicated starts
+    fold to ONE array per doc (bounded by the doc's own token count),
+    expand to a covered-position set with array ops, and a single
+    indexed filter drops covered tokens. Everything after the fold is
+    per-row array work — no shuffle touches text except the final
+    (id → clean_text) join keyed by id."""
+    keys = positional_span_keys(df, id_col, text_col, window_tokens)
+    from pyspark.sql import Window
+
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("wkey"))
+    # reduce to one row per (digest, doc) carrying all its start
+    # positions, so the per-digest window sees distinct docs only
+    per_key_doc = keys.groupBy("wkey", id_col).agg(
+        F.collect_list("pos").alias("_starts")
+    )
+    dup_starts = (
+        per_key_doc.withColumn("_n_docs", n_docs)
+        .where(F.col("_n_docs") >= min_docs)
+        .groupBy(id_col)
+        .agg(F.flatten(F.collect_list("_starts")).alias("_dup_starts"))
+    )
+    joined = df.join(dup_starts, id_col, "left").withColumn(
+        "_w", F.split(F.col(text_col), " ")
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("_dup_starts", F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(window_tokens - 1)),
+            )
+        )
+    )
+    bound = joined.withColumn("_covered", covered)
+    kept = F.filter(
+        F.col("_w"),
+        lambda x, i: ~F.array_contains(F.col("_covered"), i + F.lit(1)),
+    )
+    return bound.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size("_w").cast("long")).alias("n_tokens"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size("_covered").cast("long")).alias("n_removed"),
+    )

@@ -78,7 +78,7 @@ _DRIVER_WINDOW_FIRST = [
     "bloom_membership_report", "decontaminate_overlap_bloom",
     "document_chunks", "minhash_estimate_pairs",
     "incremental_near_dup_estimate",
-    "duplicate_span_report", "winnowed_dup_report",
+    "duplicate_span_report", "winnowed_dup_report", "span_scrubbed_docs",
 ]
 
 

@@ -2294,3 +2294,51 @@ def q_winnowed_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed_duplicate_spans(
         docs, "doc_id", "text", window_tokens=8, winnow=4
     )
+
+
+@query(
+    "span_scrubbed_docs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS wkey
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) - 6, 1)) AS i) r
+      WHERE len(w) >= 8
+    ),
+    d AS (
+      SELECT wkey FROM (
+        SELECT wkey, count(DISTINCT doc_id) AS nd FROM g GROUP BY wkey
+      ) WHERE nd >= 2
+    ),
+    s AS (
+      SELECT g.doc_id,
+             list_distinct(flatten(list_transform(
+               list(g.pos), p -> range(p, p + 8)))) AS covered
+      FROM g JOIN d USING (wkey) GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN t.w IS NULL THEN NULL
+                -- duckdb array_to_string([]) is NULL; spark's is ''
+                ELSE COALESCE(array_to_string(
+                  list_filter(t.w,
+                    (x, i) -> NOT list_contains(
+                      COALESCE(s.covered, []), CAST(i AS BIGINT))), ' '), '')
+           END AS clean_text,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CASE WHEN t.w IS NULL THEN NULL
+                ELSE CAST(COALESCE(len(s.covered), 0) AS BIGINT)
+           END AS n_removed
+    FROM t LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators/spans.py, the action to
+    duplicate_span_report's signal, per Lee et al. ACL 2022): every
+    token covered by a window shared verbatim with >= 2 documents is
+    cut; originals come back whitespace-normalized with removal
+    counts. Per-doc covered positions fold to one bounded array; no
+    corpus-sized set is ever broadcast."""
+    from gush_spark.operators.spans import remove_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", window_tokens=8)

@@ -144,3 +144,50 @@ def test_parameter_validation(spark):
         span_keys(docs, stride=0)
     with pytest.raises(ValueError):
         winnowed_span_keys(docs, winnow=0)
+
+
+def _removal(spark, rows, **kw):
+    from gush_spark.operators.spans import remove_duplicate_spans
+    docs = _docs(spark, rows)
+    return _by_id(remove_duplicate_spans(docs, **kw))
+
+
+def test_removal_cuts_exactly_the_shared_run(spark):
+    """The copied 4-token run (and only it) is cut from both docs;
+    the fully-original doc comes back byte-identical."""
+    shared = "lorem ipsum dolor sit"
+    original = "entirely original words nothing shared here at all"
+    got = _removal(spark, [
+        (1, f"alpha beta gamma {shared} delta epsilon"),
+        (2, f"one two three four five {shared}"),
+        (3, original),
+    ], window_tokens=4)
+    assert got[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert got[1]["n_removed"] == 4 and got[1]["n_tokens"] == 9
+    assert got[2]["clean_text"] == "one two three four five"
+    assert got[3]["clean_text"] == original and got[3]["n_removed"] == 0
+
+
+def test_removal_overlapping_windows_cover_the_whole_run(spark):
+    """A shared run longer than one window: overlapping dup windows
+    union into one covered range — no token of the run survives, and
+    no token outside it is touched."""
+    run = " ".join(f"s{i}" for i in range(7))  # 7 shared tokens, W=4
+    got = _removal(spark, [
+        (1, f"keep1 {run} keep2"),
+        (2, f"other head {run}"),
+    ], window_tokens=4)
+    assert got[1]["clean_text"] == "keep1 keep2"
+    assert got[1]["n_removed"] == 7
+
+
+def test_removal_identical_docs_empty_out(spark):
+    text = "the same text in every copy of this page"
+    got = _removal(spark, [(1, text), (2, text)], window_tokens=4)
+    assert got[1]["clean_text"] == "" and got[1]["n_removed"] == 9
+
+
+def test_removal_short_and_null_docs_pass_through(spark):
+    got = _removal(spark, [(1, "too short"), (2, None)], window_tokens=4)
+    assert got[1]["clean_text"] == "too short" and got[1]["n_removed"] == 0
+    assert got[2]["clean_text"] is None and got[2]["n_removed"] is None

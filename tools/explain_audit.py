@@ -300,6 +300,16 @@ def main() -> int:
           first_exchange != -1 and "partial_count" in p[first_exchange:],
           "raw window stream reached an exchange un-combined")
 
+    # span removal: same single-explosion discipline, and the final
+    # text-bearing join is keyed by the doc id (the only shuffle that
+    # may carry text)
+    from gush_spark.operators.spans import remove_duplicate_spans
+
+    p = plan_of(remove_duplicate_spans(docs, "doc_id", "text"))
+    n_gen = len(re.findall(r"\+- Generate ", p))
+    check("spans.removal_single_generate", n_gen == 1,
+          f"expected 1 Generate tree node, saw {n_gen}")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0

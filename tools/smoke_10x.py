@@ -53,6 +53,7 @@ HEAVY = [
     "incremental_near_dup_estimate",
     "duplicate_span_report",
     "winnowed_dup_report",
+    "span_scrubbed_docs",
 ]
 
 N_VARIANTS = 10
