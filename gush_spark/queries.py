@@ -79,6 +79,7 @@ _DRIVER_WINDOW_FIRST = [
     "document_chunks", "minhash_estimate_pairs",
     "incremental_near_dup_estimate",
     "duplicate_span_report", "winnowed_dup_report", "span_scrubbed_docs",
+    "grouped_split_sample", "mojibake_report",
 ]
 
 

@@ -2342,3 +2342,85 @@ def q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, "doc_id", "text", window_tokens=8)
+
+
+@query(
+    "grouped_split_sample",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           bucket
+    FROM (
+      SELECT doc_id, source,
+             ('0x' || substring(md5(source), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents)
+    """,
+)
+def q_grouped_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash bucket is keyed by
+    the GROUP (source/domain), not the document — every page of a
+    source lands in one split, so near-duplicates and templated
+    siblings (which cluster within a source) can never straddle the
+    train/test boundary the way a per-doc split lets them
+    (hash_split_sample is the per-doc form; this is the one to use
+    when split integrity matters more than exact proportions).
+    Content-independent and deterministic: stable under retries,
+    engines, repartitioning, and corpus growth — new pages of a known
+    source join its existing split. Map-only, zero shuffle: the split
+    is a projection, exactly like the per-doc form."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id", "source",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        bucket.alias("bucket"),
+    )
+
+
+@query(
+    "mojibake_report",
+    oracle=None,  # set below: the pattern constant is interpolated
+)
+def q_mojibake_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection (functions/encoding.py): pure-JVM
+    regexp_count of the classic UTF-8-as-cp1252 artifact sequences
+    (single- AND double-encoded signatures) — the 100 TB prefilter
+    that keeps the ftfy-style repair UDF off the clean majority. The
+    synthetic corpus is clean, so the oracle pins the zero-count
+    ground truth; the repair semantics are pinned by
+    tests/test_encoding.py goldens."""
+    from gush_spark.functions.encoding import mojibake_markers
+
+    docs = load(spark, sf_dir, "documents")
+    n = mojibake_markers(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_markers"),
+        (n > 0).alias("suspect"),
+    )
+
+
+def _mojibake_oracle() -> str:
+    from gush_spark.functions.encoding import MOJIBAKE_PATTERN
+
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}'))
+                AS BIGINT) AS n_markers,
+           len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}')) > 0
+             AS suspect
+    FROM documents
+    """
+
+
+from gush_spark.queries import _ORACLES as _ORACLE_REGISTRY
+
+_ORACLE_REGISTRY["mojibake_report"] = _mojibake_oracle()

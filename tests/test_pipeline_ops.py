@@ -288,3 +288,20 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     for pair, j in exact.items():
         se = (j * (1 - j) / 16) ** 0.5
         assert abs(est[pair] - j) <= 3 * se + 1e-9, (pair, est[pair], j)
+
+
+def test_grouped_split_never_straddles_a_source(spark):
+    """Leakage-safety invariant of grouped_split_sample: every page of
+    a source lands in exactly one split (near-dups cluster within a
+    source, so a per-doc split would leak them across train/test)."""
+    from gush_spark.queries import all_queries
+
+    out = all_queries()["grouped_split_sample"](spark, "/root/testdata/sf0.001")
+    from pyspark.sql import functions as F
+
+    per_source = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_source.where(F.col("n_splits") > 1).count() == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
