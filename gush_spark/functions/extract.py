@@ -137,15 +137,42 @@ def extract_udf(htmls: pd.Series) -> pd.DataFrame:
     return _extract_batch(htmls)
 
 
-def with_extracted_text(df: DataFrame, html_col: str = "html") -> DataFrame:
+@F.pandas_udf(EXTRACT_SCHEMA)
+def extract_fixing_udf(htmls: pd.Series) -> pd.DataFrame:
+    """``extract_udf`` + mojibake repair FUSED into the same Arrow
+    batch: the text is already Python-side for extraction, so the
+    ftfy-style pass (functions/encoding.repair_text — lossless
+    sloppy-cp1252→utf-8 rounds, accepted only when strictly
+    marker-reducing) costs zero extra JVM↔Python transfer. Repairing
+    BEFORE the text leaves the UDF means the dedup fingerprint sees
+    repaired bytes — a mojibake copy of a page dedupes against its
+    clean twin (pinned by test). The default ``extract_udf`` stays
+    byte-exact to the goldens; this variant is opt-in
+    (with_extracted_text(fix_encoding=True), job.py --fix-encoding)."""
+    from gush_spark.functions.encoding import repair_text
+
+    out = _extract_batch(htmls)
+    out["text"] = out["text"].map(
+        lambda t: repair_text(t) if t is not None else None
+    )
+    return out
+
+
+def with_extracted_text(
+    df: DataFrame, html_col: str = "html", fix_encoding: bool = False
+) -> DataFrame:
     """Append extraction output columns to a pages DataFrame.
 
     Plan shape: cheap column filters should already be applied upstream
     so Catalyst keeps them below this ArrowEvalPython node (the Spark
     analog of gush's prefilter-then-parse ordering,
     SqlToBinlog.scala:12-15).
+
+    ``fix_encoding=True`` swaps in ``extract_fixing_udf`` — mojibake
+    repair fused into the extraction batch.
     """
-    ext = extract_udf(F.col(html_col)).alias("_ext")
+    udf = extract_fixing_udf if fix_encoding else extract_udf
+    ext = udf(F.col(html_col)).alias("_ext")
     return df.withColumn("_ext", ext).select(
         "*",
         F.col("_ext.text").alias("extracted_text"),

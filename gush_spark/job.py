@@ -108,6 +108,12 @@ def main(argv: list[str] | None = None) -> int:
         help="curation pipeline: keep pages whose predicted language "
              "matches (lang-ID is the n-gram stopword profile)",
     )
+    ap.add_argument(
+        "--fix-encoding", action="store_true",
+        help="curation pipeline: repair UTF-8-as-cp1252 mojibake inside "
+             "the extraction batch, BEFORE the dedup fingerprint "
+             "(functions/encoding; lossless rounds only)",
+    )
     args = ap.parse_args(argv)
     if args.max_pii is not None and not args.scrub:
         ap.error("--max-pii requires --scrub (the gate runs on scrubbed text)")
@@ -121,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--bench-bloom", args.bench_bloom, None),
             ("--quality-threshold", args.quality_threshold, 0.5),
             ("--lang", args.lang, "en"),
+            ("--fix-encoding", args.fix_encoding, False),
         ):
             if val != default:
                 ap.error(f"{flag} only applies to --pipeline curation")
@@ -143,6 +150,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.pipeline == "curation":
         kwargs["quality_threshold"] = args.quality_threshold
         kwargs["lang"] = args.lang
+        if args.fix_encoding:
+            kwargs["fix_encoding"] = True
         if args.scrub:
             kwargs["scrub"] = True
             kwargs["max_pii"] = args.max_pii

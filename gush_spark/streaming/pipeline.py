@@ -33,11 +33,17 @@ from gush_spark.streaming.sink import IdempotentKeyedSink
 from gush_spark.streaming.source import read_page_events_stream, read_pages_stream
 
 
-def extracted_pages(pages: DataFrame, config: GushSparkConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Filters-then-extraction plan prefix shared by batch and streaming."""
+def extracted_pages(
+    pages: DataFrame,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    fix_encoding: bool = False,
+) -> DataFrame:
+    """Filters-then-extraction plan prefix shared by batch and
+    streaming. ``fix_encoding`` fuses mojibake repair into the
+    extraction Arrow batch (functions/extract.extract_fixing_udf)."""
     df = pages.withColumn("host", host_of(F.col("url")))
     df = blacklist_filter(df, config)  # pushable predicates BEFORE the UDF
-    return with_extracted_text(df)
+    return with_extracted_text(df, fix_encoding=fix_encoding)
 
 
 def windowed_host_counts(extracted: DataFrame, config: GushSparkConfig = DEFAULT_CONFIG,
@@ -225,12 +231,19 @@ def curation_stream_pipeline(
     bench_keys=None,
     bench_bitmap=None,
     contamination_threshold: float = 0.5,
+    fix_encoding: bool = False,
 ):
     """Crawl-time corpus curation: pages stream → blacklist filters →
-    vectorized extraction → streaming exact dedup (watermark-bounded
-    state, first occurrence wins) → optional PII scrub → quality +
-    language gates (pure column expressions) → optional benchmark-
-    decontamination gate → exactly-once append sink of curated docs.
+    vectorized extraction (optionally fused with mojibake repair) →
+    streaming exact dedup (watermark-bounded state, first occurrence
+    wins) → optional PII scrub → quality + language gates (pure column
+    expressions) → optional benchmark-decontamination gate →
+    exactly-once append sink of curated docs.
+
+    ``fix_encoding=True`` repairs UTF-8-as-cp1252 mojibake INSIDE the
+    extraction Arrow batch (zero extra transfer) and, critically,
+    BEFORE the dedup fingerprint — a corrupted copy of a clean page
+    dedupes against it instead of slipping past as distinct bytes.
 
     The streaming twin of the batch ``curation_pipeline`` catalog query:
     the batch pass sweeps the corpus (including near-dup clustering,
@@ -257,7 +270,7 @@ def curation_stream_pipeline(
     from gush_spark.streaming.dedup import dedup_pages_stream
 
     stream = read_pages_stream(spark, pages_path, config.max_files_per_trigger)
-    extracted = extracted_pages(stream, config)
+    extracted = extracted_pages(stream, config, fix_encoding=fix_encoding)
     deduped = dedup_pages_stream(
         extracted.filter(F.col("extract_error").isNull()),
         watermark_delay=config.watermark_delay,

@@ -275,3 +275,69 @@ def test_bench_keys_and_bitmap_both_rejected(spark, pages_dir, tmp_dirs):
             spark, pages_dir, tmp_dirs["sink"], tmp_dirs["checkpoint"],
             config=CFG, bench_keys=spark.range(1), bench_bitmap=spark.range(1),
         )
+
+
+def test_fix_encoding_dedupes_mojibake_against_clean_twin(spark, tmp_path, tmp_dirs):
+    """--fix-encoding repairs INSIDE the extraction batch, before the
+    dedup fingerprint: a cp1252-mojibake copy of a clean page dedupes
+    against it and the sink holds the REPAIRED text. Without the flag
+    the corrupt copy slips past dedup as distinct bytes (control)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gush_spark.sources.fixtures import EPOCH0, PAGES_ARROW_SCHEMA, render_html
+
+    def _sloppy_decode(b: bytes) -> str:
+        out = []
+        for byte in b:
+            try:
+                out.append(bytes([byte]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(byte))
+        return "".join(out)
+
+    clean = "the café by the sea serves the crowd — the menu is the same"
+    mojibake = _sloppy_decode(clean.encode("utf-8"))
+    assert mojibake != clean
+    other = "a statement about the weather in the north of the country"
+    rows = []
+    for i, txt in enumerate([clean, mojibake, other]):
+        rows.append({
+            "url": f"https://host{i:04d}.example/p{i}",
+            "warc_ts": EPOCH0 + dt.timedelta(seconds=10 * i),
+            "html": render_html([txt]),
+            "text": txt,
+            "lang": "en",
+            "case": "plain",
+        })
+    d = tmp_path / "moji_pages"
+    d.mkdir()
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(rows), schema=PAGES_ARROW_SCHEMA, preserve_index=False
+    )
+    pq.write_table(tbl, d / "part-00000.parquet")
+
+    query, sink = curation_stream_pipeline(
+        spark, str(d), tmp_dirs["sink"], tmp_dirs["checkpoint"],
+        config=CFG, available_now=True, quality_threshold=0.0, lang="en",
+        fix_encoding=True,
+    )
+    query.awaitTermination(180)
+    got = sink.read_all_appends(spark).toPandas()
+    assert len(got) == 2, "repaired copy must dedupe against the clean twin"
+    texts = set(got["extracted_text"])
+    assert clean in texts and other in texts
+    assert mojibake not in texts
+
+    # control: without the flag, the corrupt copy survives as distinct
+    query2, sink2 = curation_stream_pipeline(
+        spark, str(d), str(tmp_path / "sink2"), str(tmp_path / "ckpt2"),
+        config=CFG, available_now=True, quality_threshold=0.0, lang="en",
+    )
+    query2.awaitTermination(180)
+    got2 = sink2.read_all_appends(spark).toPandas()
+    assert len(got2) == 3
+    assert mojibake in set(got2["extracted_text"])

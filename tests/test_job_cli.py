@@ -25,6 +25,7 @@ def test_max_pii_requires_scrub():
         ["--bench-bloom", "b.parquet"],
         ["--quality-threshold", "0.7"],
         ["--lang", "de"],
+        ["--fix-encoding"],
     ],
 )
 def test_curation_flags_rejected_on_other_pipelines(flags):
