@@ -24,7 +24,7 @@ compare lexicographically on hex strings; jaccard is int/int → double.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gush_spark.functions.text_analysis import md5_fingerprint, norm_text, words_of
@@ -607,3 +607,50 @@ def lsh_params_for_threshold(
         options,
         key=lambda br: (abs(lsh_threshold(br[0], br[1]) - threshold), -br[0]),
     )
+
+
+def best_per_cluster(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    keep_only: bool = True,
+) -> DataFrame:
+    """Canonical-document selection over duplicate clusters — the
+    SemDeDup-style "keep the best copy" step (Abbas et al., *SemDeDup*,
+    2023 keep one doc per semantic cluster; Penedo et al., *RefinedWeb*,
+    2023 keep one per MinHash cluster): given ``clusters`` =
+    ``(id, cluster_id)`` (e.g. ``near_dup_clusters`` output) and
+    ``scored`` = ``(id, score)`` (e.g. ``quality_features``'
+    ``quality_score``), pick per cluster the highest-scoring member,
+    ties broken by smallest id — fully deterministic.
+
+    Output: ``(cluster_id, id, score, n_members)`` for the canonical
+    row of every cluster (``keep_only=False`` keeps all members and
+    adds ``is_canonical`` instead — the audit view).
+
+    Scale: ONE shuffle on ``cluster_id``; both the membership count and
+    the rank ride the same window partitioning, and with ``keep_only``
+    the rank-1 filter plan uses WindowGroupLimit (per-partition top-1
+    below the exchange), so no cluster's full membership ever sorts
+    globally. Near-dup clusters are small by construction; a
+    pathological mega-cluster (one page mirrored everywhere) is exactly
+    the row you want reduced to one canonical representative.
+    """
+    j = clusters.join(scored, id_col)
+    by_cluster = Window.partitionBy("cluster_id")
+    rk = F.row_number().over(
+        by_cluster.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    )
+    n = F.count(F.lit(1)).over(by_cluster)
+    out = j.select(
+        "cluster_id",
+        F.col(id_col),
+        F.col(score_col),
+        n.cast("long").alias("n_members"),
+        rk.alias("_rk"),
+    )
+    if keep_only:
+        return out.filter(F.col("_rk") == 1).drop("_rk")
+    return out.withColumn("is_canonical", F.col("_rk") == 1).drop("_rk")

@@ -80,6 +80,9 @@ _DRIVER_WINDOW_FIRST = [
     "incremental_near_dup_estimate",
     "duplicate_span_report", "winnowed_dup_report", "span_scrubbed_docs",
     "grouped_split_sample", "mojibake_report",
+    # round-4 second wave: distribution-level curation
+    "lm_likelihood_scores", "dsir_importance_scores", "dsir_resample",
+    "canonical_best_docs",
 ]
 
 

@@ -2424,3 +2424,176 @@ def _mojibake_oracle() -> str:
 from gush_spark.queries import _ORACLES as _ORACLE_REGISTRY
 
 _ORACLE_REGISTRY["mojibake_report"] = _mojibake_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 4 (cont.): distribution-level curation — in-domain LM likelihood
+# (CCNet), hashed-n-gram importance resampling (DSIR), and quality-argmax
+# canonical selection over near-dup clusters (RefinedWeb/SemDeDup keep-best).
+# Shared oracle fragments: lang/source-aware base + the md5-of-md5 bigram
+# keying that operators/lm.py and operators/importance.py define.
+# ---------------------------------------------------------------------------
+BASEL = f"basel AS (SELECT doc_id, lang, source, {NORM} AS norm FROM documents)"
+WLANG = (
+    "wlang AS (SELECT doc_id, lang, source, string_split(norm, ' ') AS ws "
+    "FROM basel)"
+)
+# bigram gram keys md5(md5(w_i)||md5(w_{i+1})), context keys md5(w_i)
+_BG_LIST = (
+    "list_transform(generate_series(1, len(ws)-1), "
+    "i -> md5(md5(ws[i])||md5(ws[i+1])))"
+)
+_CTX_LIST = "list_transform(generate_series(1, len(ws)-1), i -> md5(ws[i]))"
+_UG_LIST = "list_transform(generate_series(1, len(ws)), i -> md5(ws[i]))"
+# DSIR hashed feature buckets: 60-bit md5 prefix folded mod B
+_DSIR_B = 1024
+_FEAT_LIST = (
+    f"list_concat("
+    f"list_transform(generate_series(1, len(ws)), "
+    f"i -> ('0x'||substring(md5(ws[i]), 1, 15))::BIGINT % {_DSIR_B}), "
+    f"list_transform(generate_series(1, len(ws)-1), "
+    f"i -> ('0x'||substring(md5(md5(ws[i])||md5(ws[i+1])), 1, 15))::BIGINT"
+    f" % {_DSIR_B}))"
+)
+_DSIR_CTES = f"""{BASEL}, {WLANG},
+    feats AS (SELECT doc_id, lang, unnest({_FEAT_LIST}) AS b FROM wlang),
+    tc AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+    rc AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+    tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) + {_DSIR_B} FROM tc) AS st,
+                   (SELECT CAST(sum(cr) AS BIGINT) + {_DSIR_B} FROM rc) AS sr),
+    dsir AS (
+      SELECT doc_id, count(*) AS n,
+             sum((coalesce(ct, 0) + 1) * sr) AS num,
+             sum((coalesce(cr, 0) + 1) * st) AS den
+      FROM feats LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot
+      GROUP BY doc_id)"""
+
+
+@query(
+    "lm_likelihood_scores",
+    oracle=f"""
+    WITH {BASEL}, {WLANG},
+    refbg AS (SELECT unnest({_BG_LIST}) AS gk FROM wlang WHERE lang = 'en'),
+    refctx AS (SELECT unnest({_CTX_LIST}) AS h1 FROM wlang WHERE lang = 'en'),
+    model AS (SELECT gk, count(*) AS c FROM refbg GROUP BY gk),
+    ctx AS (SELECT h1, count(*) AS cc FROM refctx GROUP BY h1),
+    vocab AS (SELECT count(DISTINCT u) AS V
+              FROM (SELECT unnest({_UG_LIST}) AS u FROM wlang WHERE lang = 'en')),
+    docbg AS (SELECT doc_id, unnest({_BG_LIST}) AS gk, unnest({_CTX_LIST}) AS h1
+              FROM wlang),
+    scored AS (
+      SELECT doc_id, count(*) AS n,
+             sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS m,
+             sum(((coalesce(c, 0) + 1) * 1000000000) // (coalesce(cc, 0) + V))
+               AS s
+      FROM docbg LEFT JOIN model USING (gk) LEFT JOIN ctx USING (h1)
+      CROSS JOIN vocab
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(m, 0) AS BIGINT) AS matched_bigrams,
+           CAST(coalesce(s, 0) AS BIGINT) AS sum_p9
+    FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+    """,
+)
+def q_lm_likelihood_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style in-domain likelihood: train an add-one bigram LM on
+    the lang='en' slice, score EVERY doc in exact fixed point
+    (operators/lm.py — see its docstring for the 100 TB join shape)."""
+    from gush_spark.operators import lm
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    model, ctx, vocab = lm.train_bigram_lm(ref, "doc_id", "text")
+    return lm.score_with_bigram_lm(docs, model, ctx, vocab, "doc_id", "text")
+
+
+@query(
+    "dsir_importance_scores",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT d.doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_feats,
+           CAST(coalesce(num, 0) AS BIGINT) AS aff_num,
+           CAST(coalesce(den, 0) AS BIGINT) AS aff_den
+    FROM documents d LEFT JOIN dsir ON d.doc_id = dsir.doc_id
+    """,
+)
+def q_dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance affinity of every doc toward the
+    lang='en' target slice, in exact cross-multiplied integers
+    (operators/importance.py)."""
+    from gush_spark.operators import importance
+
+    docs = load(spark, sf_dir, "documents")
+    counts, tot = importance.fit_bucket_distributions(
+        docs, F.col("lang") == "en", "doc_id", "text"
+    )
+    return importance.importance_scores(docs, counts, tot, "doc_id", "text")
+
+
+@query(
+    "dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN dsir ON d.doc_id = dsir.doc_id
+    WHERE n > 0 AND num * 1000 >= den * 980
+    """,
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-threshold selection at ratio >= 0.980: on this
+    synthetic corpus (all langs share one 31-word vocabulary, so the
+    distributional signal is weak by construction) this still keeps
+    ~69% of the en target slice vs ~32% of every other lang — the
+    enrichment DSIR promises, driven purely by hashed-feature counts."""
+    from gush_spark.operators import importance
+
+    docs = load(spark, sf_dir, "documents")
+    counts, tot = importance.fit_bucket_distributions(
+        docs, F.col("lang") == "en", "doc_id", "text"
+    )
+    kept = importance.importance_resample(
+        docs, counts, tot, "doc_id", "text", min_ratio_permille=980
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+@query(
+    "canonical_best_docs",
+    oracle=f"""
+    WITH RECURSIVE {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}, {CAND},
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3),
+    {_JEDGES},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jedges
+              UNION ALL SELECT id_b, id_a FROM jedges),
+    walk(id, lbl) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT e.dst, w2.lbl FROM walk w2 JOIN edges e ON e.src = w2.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+    {_quality_feat_cte()},
+    ranked AS (
+      SELECT cluster_id, c.doc_id, quality_score,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality_score DESC, c.doc_id ASC) AS rk
+      FROM clusters c JOIN quality USING (doc_id))
+    SELECT cluster_id, doc_id, quality_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_canonical_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best canonical selection: near-dup clusters -> per cluster
+    the highest-quality member wins (ties to smallest id) — the
+    RefinedWeb/SemDeDup step that upgrades 'keep lowest id' to 'keep
+    the best copy' (dedup.best_per_cluster)."""
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup.near_dup_clusters(
+        docs, "doc_id", "text", threshold=0.6, spread=None
+    )
+    feats = ta.quality_features(F.col("text"))
+    scored = docs.select("doc_id", feats["quality_score"].alias("quality_score"))
+    return dedup.best_per_cluster(clusters, scored, "doc_id", "quality_score")

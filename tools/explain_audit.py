@@ -310,6 +310,47 @@ def main() -> int:
     check("spans.removal_single_generate", n_gen == 1,
           f"expected 1 Generate tree node, saw {n_gen}")
 
+    # round-4 second wave: LM likelihood, DSIR importance, keep-best
+    # canonical selection
+    from gush_spark.operators import importance as importance_ops
+    from gush_spark.operators import lm as lm_ops
+    from gush_spark.operators.dedup import best_per_cluster
+
+    # LM scoring: raw text must never cross an exchange (gram keys are
+    # built map-only; the only text-bearing stages are scans)
+    ref = docs.filter(F.col("lang") == "en")
+    model, lm_ctx, vocab = lm_ops.train_bigram_lm(ref, "doc_id", "text")
+    p = plan_of(
+        lm_ops.score_with_bigram_lm(docs, model, lm_ctx, vocab, "doc_id", "text")
+    )
+    bad = rawtext_exchange(p)
+    check("lm.no_rawtext_exchange", bad is None, bad or "")
+
+    # DSIR scoring: the fitted counts table and totals are broadcast
+    # (scoring = broadcast join + per-doc agg; no bucket-keyed shuffle
+    # join), and no raw text crosses an exchange
+    counts, tot = importance_ops.fit_bucket_distributions(
+        docs, F.col("lang") == "en", "doc_id", "text"
+    )
+    p = plan_of(
+        importance_ops.importance_scores(docs, counts, tot, "doc_id", "text")
+    )
+    check("dsir.counts_broadcast_join",
+          "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" in p,
+          "expected broadcast counts join + broadcast totals cross join")
+    bad = rawtext_exchange(p)
+    check("dsir.no_rawtext_exchange", bad is None, bad or "")
+    counts.unpersist()
+
+    # keep-best canonical selection: the rank-1 filter must plan as
+    # WindowGroupLimit (per-partition top-1 below the exchange), one
+    # cluster-keyed shuffle total
+    clusters = docs.select("doc_id", (F.col("doc_id") % 50).alias("cluster_id"))
+    scored = docs.select("doc_id", F.length("text").cast("double").alias("s"))
+    p = plan_of(best_per_cluster(clusters, scored, "doc_id", "s"))
+    check("canonical.window_group_limit", "WindowGroupLimit" in p,
+          "rank-1 filter did not plan as WindowGroupLimit")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
