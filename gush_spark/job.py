@@ -114,11 +114,25 @@ def main(argv: list[str] | None = None) -> int:
              "the extraction batch, BEFORE the dedup fingerprint "
              "(functions/encoding; lossless rounds only)",
     )
+    ap.add_argument(
+        "--lm-ref", default=None,
+        help="curation pipeline: parquet of a trusted reference corpus "
+             "(doc_id, text) — trains the in-domain bigram LM at startup "
+             "(operators/lm.train_bigram_lm) and gates pages on mean "
+             "bigram log-probability",
+    )
+    ap.add_argument(
+        "--lm-min-logp", type=float, default=None,
+        help="curation pipeline: minimum mean bigram log-probability "
+             "under the --lm-ref model to keep a page (requires --lm-ref)",
+    )
     args = ap.parse_args(argv)
     if args.max_pii is not None and not args.scrub:
         ap.error("--max-pii requires --scrub (the gate runs on scrubbed text)")
     if args.bench_keys and args.bench_bloom:
         ap.error("--bench-keys and --bench-bloom are mutually exclusive")
+    if args.lm_min_logp is not None and not args.lm_ref:
+        ap.error("--lm-min-logp requires --lm-ref (the model to score under)")
     if args.pipeline != "curation":
         for flag, val, default in (
             ("--scrub", args.scrub, False),
@@ -128,6 +142,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--quality-threshold", args.quality_threshold, 0.5),
             ("--lang", args.lang, "en"),
             ("--fix-encoding", args.fix_encoding, False),
+            ("--lm-ref", args.lm_ref, None),
+            ("--lm-min-logp", args.lm_min_logp, None),
         ):
             if val != default:
                 ap.error(f"{flag} only applies to --pipeline curation")
@@ -159,6 +175,13 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["bench_keys"] = spark.read.parquet(args.bench_keys)
         if args.bench_bloom:
             kwargs["bench_bitmap"] = spark.read.parquet(args.bench_bloom)
+        if args.lm_ref:
+            from gush_spark.operators.lm import train_bigram_lm
+
+            ref = spark.read.parquet(args.lm_ref)
+            kwargs["lm_model"] = train_bigram_lm(ref, "doc_id", "text")
+            if args.lm_min_logp is not None:
+                kwargs["lm_min_logp"] = args.lm_min_logp
     def start():
         return pipeline(
             spark,

@@ -232,6 +232,8 @@ def curation_stream_pipeline(
     bench_bitmap=None,
     contamination_threshold: float = 0.5,
     fix_encoding: bool = False,
+    lm_model=None,
+    lm_min_logp: float = -7.0,
 ):
     """Crawl-time corpus curation: pages stream → blacklist filters →
     vectorized extraction (optionally fused with mojibake repair) →
@@ -265,7 +267,16 @@ def curation_stream_pipeline(
     (operators/decontaminate.benchmark_bloom_bitmap) for reference sets
     too big to broadcast exactly — bits per key, overlap an upper
     bound, so the stream can over-drop a clean page but never leak a
-    benchmark page."""
+    benchmark page.
+
+    ``lm_model`` is an optional ``(model, ctx, vocab)`` triple from
+    ``operators/lm.train_bigram_lm`` — a STATIC in-domain LM trained
+    offline on a trusted corpus. The gate drops pages whose mean bigram
+    log-probability under it falls below ``lm_min_logp`` (the CCNet
+    head/middle/tail cut). It runs inside foreachBatch like the
+    decontamination gate: the model tables are broadcast, the only
+    microbatch shuffle is the per-fingerprint score aggregation — no
+    stream state."""
     from gush_spark.functions import text_analysis as ta
     from gush_spark.streaming.dedup import dedup_pages_stream
 
@@ -306,38 +317,52 @@ def curation_stream_pipeline(
         raise ValueError("pass bench_keys OR bench_bitmap, not both")
 
     def _gate(df, bid):
-        if bench_keys is None and bench_bitmap is None:
+        if bench_keys is None and bench_bitmap is None and lm_model is None:
             sink.write_batch(df, bid)
             return
-        from gush_spark.operators.decontaminate import (
-            ngram_overlap,
-            ngram_overlap_bloom,
-        )
 
         # the microbatch lineage above (pandas-UDF extraction, dedup
-        # state, scrub regexes) is expensive — persist so the flags
-        # branch and the anti-join's left side don't recompute it
+        # state, scrub regexes) is expensive — persist so every gate
+        # branch reads it once instead of recomputing it
         df = df.persist()
         try:
-            # gate on the unique content fingerprint, NOT url: two
-            # distinct-content pages sharing a url in one microbatch
-            # must be scored (and kept/dropped) per document, matching
-            # the batch operator's per-doc semantics
-            if bench_bitmap is not None:
-                scored = ngram_overlap_bloom(
-                    df, bench_bitmap, "fingerprint", "extracted_text",
-                    threshold=contamination_threshold,
+            kept = df
+            if lm_model is not None:
+                from gush_spark.operators.lm import lm_gate
+
+                model, lm_ctx, vocab = lm_model
+                # fingerprint is the per-document key (dedup upstream
+                # guarantees uniqueness within the batch)
+                kept = lm_gate(
+                    kept, model, lm_ctx, vocab, "fingerprint",
+                    "extracted_text", min_mean_logp=lm_min_logp,
                 )
-            else:
-                scored = ngram_overlap(
-                    df, None, "fingerprint", "extracted_text",
-                    threshold=contamination_threshold, bench_keys=bench_keys,
+            if bench_keys is not None or bench_bitmap is not None:
+                from gush_spark.operators.decontaminate import (
+                    ngram_overlap,
+                    ngram_overlap_bloom,
                 )
-            flags = scored.filter(F.col("contaminated")).select("fingerprint")
-            sink.write_batch(
-                df.join(F.broadcast(flags), on="fingerprint", how="left_anti"),
-                bid,
-            )
+
+                # gate on the unique content fingerprint, NOT url: two
+                # distinct-content pages sharing a url in one microbatch
+                # must be scored (and kept/dropped) per document,
+                # matching the batch operator's per-doc semantics
+                if bench_bitmap is not None:
+                    scored = ngram_overlap_bloom(
+                        kept, bench_bitmap, "fingerprint", "extracted_text",
+                        threshold=contamination_threshold,
+                    )
+                else:
+                    scored = ngram_overlap(
+                        kept, None, "fingerprint", "extracted_text",
+                        threshold=contamination_threshold,
+                        bench_keys=bench_keys,
+                    )
+                flags = scored.filter(F.col("contaminated")).select("fingerprint")
+                kept = kept.join(
+                    F.broadcast(flags), on="fingerprint", how="left_anti"
+                )
+            sink.write_batch(kept, bid)
         finally:
             df.unpersist()
 

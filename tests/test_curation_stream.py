@@ -341,3 +341,55 @@ def test_fix_encoding_dedupes_mojibake_against_clean_twin(spark, tmp_path, tmp_d
     got2 = sink2.read_all_appends(spark).toPandas()
     assert len(got2) == 3
     assert mojibake in set(got2["extracted_text"])
+
+
+def test_lm_gated_stream_equals_batch_lm_gate(spark, pages_dir, tmp_dirs):
+    """In-domain LM gate composed into the streaming pipeline: a static
+    bigram model (trained offline on the batch view — the trusted-corpus
+    stand-in) drops low-likelihood pages inside foreachBatch; the
+    surviving fingerprint set equals the batch reference applying the
+    same quality/lang gates and the same LM threshold."""
+    from gush_spark.operators import lm
+
+    batch = with_extracted_text(
+        read_pages_batch(spark, pages_dir).withColumn("host", host_of(F.col("url")))
+    ).filter(F.col("extract_error").isNull())
+    docs = batch.select(
+        ta.md5_fingerprint(F.col("extracted_text")).alias("fingerprint"),
+        "extracted_text",
+    ).dropDuplicates(["fingerprint"])
+    model, ctx, vocab = lm.train_bigram_lm(docs, "fingerprint", "extracted_text")
+
+    # batch reference: the stream's own pre-gate filters, then LM scores
+    feats = ta.quality_features(F.col("extracted_text"))
+    scores = ta.lang_scores(F.col("extracted_text"))
+    ref = docs.select(
+        "fingerprint", "extracted_text",
+        feats["quality_score"].alias("quality_score"),
+        scores["pred_lang"].alias("pred_lang"),
+    ).filter((F.col("quality_score") >= 0.3) & (F.col("pred_lang") == "de"))
+    scored = lm.score_with_bigram_lm(
+        ref, model, ctx, vocab, "fingerprint", "extracted_text",
+        with_logprob=True,
+    ).toPandas()
+    mlps = sorted(scored["mean_logp"].dropna().unique())
+    assert len(mlps) >= 4, "fixture produced too few distinct LM scores"
+    # threshold in the GAP between two mid-distribution values, so no
+    # doc sits exactly on the cut (FP summation order stays harmless)
+    thr = (mlps[len(mlps) // 2 - 1] + mlps[len(mlps) // 2]) / 2.0
+    expected_kept = set(
+        scored[scored["mean_logp"].notna() & (scored["mean_logp"] >= thr)][
+            "fingerprint"
+        ]
+    )
+    assert expected_kept and len(expected_kept) < len(scored)
+
+    query, sink = curation_stream_pipeline(
+        spark, pages_dir, tmp_dirs["sink"], tmp_dirs["checkpoint"],
+        config=CFG, available_now=True, quality_threshold=0.3, lang="de",
+        lm_model=(model, ctx, vocab), lm_min_logp=thr,
+    )
+    query.awaitTermination(180)
+    got = sink.read_all_appends(spark).toPandas()
+    assert got["fingerprint"].is_unique
+    assert set(got["fingerprint"]) == expected_kept

@@ -26,11 +26,18 @@ def test_max_pii_requires_scrub():
         ["--quality-threshold", "0.7"],
         ["--lang", "de"],
         ["--fix-encoding"],
+        ["--lm-ref", "ref.parquet"],
+        ["--lm-ref", "ref.parquet", "--lm-min-logp", "-6.5"],
     ],
 )
 def test_curation_flags_rejected_on_other_pipelines(flags):
     with pytest.raises(SystemExit):
         main(["--pipeline", "featurize", *BASE, *flags])
+
+
+def test_lm_min_logp_requires_lm_ref():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "curation", *BASE, "--lm-min-logp", "-6.5"])
 
 
 def test_bench_keys_and_bloom_mutually_exclusive():
