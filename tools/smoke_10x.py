@@ -54,6 +54,11 @@ HEAVY = [
     "duplicate_span_report",
     "winnowed_dup_report",
     "span_scrubbed_docs",
+    # round-4 second wave
+    "lm_likelihood_scores",
+    "dsir_importance_scores",
+    "dsir_resample",
+    "canonical_best_docs",
 ]
 
 N_VARIANTS = 10
@@ -85,7 +90,9 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
     )
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+def run_suite(
+    spark, sf_dir: str, names: list[str] | None = None
+) -> dict[str, tuple[float, int]]:
     """Per query: min of 2 timed runs (same rationale as bench.py — this
     host throttles 2-5x in multi-second windows; the min is the
     quiet-host figure)."""
@@ -93,7 +100,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
 
     qs = all_queries()
     out = {}
-    for name in HEAVY:
+    for name in names or HEAVY:
         best, rows = float("inf"), 0
         for _ in range(2):
             t0 = time.perf_counter()
@@ -106,17 +113,18 @@ def run_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/smoke10x"
+    names = sys.argv[3:] or HEAVY  # optional subset for incremental probes
     from gush_spark.session import build_session
 
     spark = build_session("smoke_10x", cores=32, shuffle_partitions=64)
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     build_fixture(spark, sf_dir, out_dir)
-    run_suite(spark, sf_dir)  # discarded warm-up: JIT + scan cache
-    base = run_suite(spark, sf_dir)
-    big = run_suite(spark, out_dir)
+    run_suite(spark, sf_dir, names)  # discarded warm-up: JIT + scan cache
+    base = run_suite(spark, sf_dir, names)
+    big = run_suite(spark, out_dir, names)
     print("| query | 1x rows | 10x rows | rows ratio | 1x wall s | 10x wall s | wall ratio |")
     print("|---|---|---|---|---|---|---|")
-    for name in HEAVY:
+    for name in names:
         (bt, br), (gt, gr) = base[name], big[name]
         print(
             f"| {name} | {br} | {gr} | {gr / max(br, 1):.2f}x "
