@@ -10,28 +10,33 @@ Per document:
 - ``top_bigram_frac``     — occurrences of the most frequent word 2-gram
                             / (n_tokens - 1) (the number of bigram slots)
 
-Scale design: one posexplode of the words array, tokens hashed to their
-md5 MAP-SIDE so the exchange carries (doc, pos, 16-byte key) and never
-token text; bigram keys are md5-of-adjacent-md5s built with ONE
-``lead()`` window per doc (per-doc sort, codegen); then two map-side-
-combinable hash aggregations — (doc, n, key) counts, then per-doc
-maxima. The scores only ever use COUNTS, so hashing the keys cannot
-change the result (md5 collisions at 2^-128).
+Scale design: MAP-ONLY gram construction — ``arrays_zip(ws, slice(ws,
+2, n-1))`` pairs every token with its successor in pure codegen
+(operators/lm.zipped_token_pairs), tokens hashed to their md5 before
+anything shuffles, so the one exchange before the final per-doc
+aggregation carries (doc, n, 16-byte key) partial counts and never
+token text or positions; bigram keys are md5-of-adjacent-md5s. Two
+map-side-combinable hash aggregations total — (doc, n, key) counts,
+then per-doc maxima (n_tokens is recovered as the sum of unigram
+counts, so nothing needs to ride alongside the explode). The scores
+only ever use COUNTS, so hashing the keys cannot change the result
+(md5 collisions at 2^-128).
 
 Deliberately ZERO higher-order lambdas: an earlier form built the gram
 array with ``transform``/``sequence`` lambdas, which Spark evaluates
 interpreted (no codegen inside lambda bodies) — measured 16.7 s at
-sf0.1 vs ~1s for this window form. Same lesson as
-functions/page_features.py: hot per-row loops either stay in codegen
-or go to a fused pandas UDF, never interpreted HOFs.
+sf0.1 vs ~1s. A second iteration used posexplode + a ``lead()`` window
+per doc — correct, but it paid a corpus-wide (doc, pos, hash) exchange
+just to pair adjacent tokens; the zip form deletes that exchange
+outright. Same lesson as functions/page_features.py: hot per-row loops
+either stay in codegen or go to a fused pandas UDF, never interpreted
+HOFs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from gush_spark.functions.text_analysis import words_of
 
 
 def repetition_scores(
@@ -47,31 +52,23 @@ def repetition_scores(
     explode doesn't run serial.
     """
     from gush_spark.operators.dedup import _spread
+    from gush_spark.operators.lm import zipped_token_pairs
 
     df = _spread(df, spread)
-    ws = words_of(F.col(text_col))
-    toks = df.select(
+    hashed = zipped_token_pairs(df, id_col, text_col).select(
         F.col(id_col),
-        F.size(ws).cast("long").alias("n_tokens"),
-        F.posexplode(ws).alias("pos", "w"),
-    ).select(id_col, "n_tokens", "pos", F.md5("w").alias("h"))
-    nxt = F.lead("h").over(Window.partitionBy(id_col).orderBy("pos"))
-    keyed = toks.select(
-        id_col,
-        "n_tokens",
-        F.col("h").alias("uk"),
-        F.md5(F.concat(F.col("h"), nxt)).alias("bk"),  # null when no next token
+        F.md5("pr._ws").alias("_h1"),
+        F.md5("pr._nxt").alias("_h2"),  # null at the last token
     )
-    # one generator row per gram: (n=1, unigram key) + (n=2, bigram key)
-    grams = keyed.select(
+    # one generator row per gram: (n=1, unigram key) + (n=2, bigram key;
+    # md5(concat) of the null successor is null and is filtered)
+    grams = hashed.select(
         id_col,
-        "n_tokens",
-        F.expr("stack(2, 1, uk, 2, bk)").alias("n", "gk"),
+        F.expr("stack(2, 1, _h1, 2, md5(concat(_h1, _h2)))").alias("n", "gk"),
     ).filter(F.col("gk").isNotNull())
-    counts = grams.groupBy(id_col, "n_tokens", "n", "gk").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    per_doc = counts.groupBy(id_col, "n_tokens").agg(
+    counts = grams.groupBy(id_col, "n", "gk").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("n_tokens"),
         F.max(F.when(F.col("n") == 1, F.col("c"))).alias("_umax"),
         F.sum(F.when(F.col("n") == 1, F.lit(1))).alias("_udistinct"),
         F.max(F.when(F.col("n") == 2, F.col("c"))).alias("_bmax"),

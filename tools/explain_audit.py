@@ -342,6 +342,17 @@ def main() -> int:
     check("dsir.no_rawtext_exchange", bad is None, bad or "")
     counts.unpersist()
 
+    # repetition scores: gram construction is map-only (no per-doc
+    # window, no position exchange) — exactly the two agg exchanges
+    from gush_spark.operators.repetition import repetition_scores
+
+    p = plan_of(repetition_scores(docs, "doc_id", "text"))
+    n_ex = len(re.findall(r"\) Exchange", p))
+    check("repetition.two_exchanges_no_window",
+          n_ex == 2 and ") Window" not in p,
+          f"expected 2 exchanges / 0 windows, saw {n_ex} / "
+          f"{p.count(') Window')}")
+
     # keep-best canonical selection: the rank-1 filter must plan as
     # WindowGroupLimit (per-partition top-1 below the exchange), one
     # cluster-keyed shuffle total
