@@ -432,13 +432,48 @@ def near_dup_clusters(
         df, id_col, text_col, threshold=threshold, spread=spread,
         bands=bands, rows=rows,
     ).select("id_a", "id_b")
+    return min_label_components(df, id_col, edges, max_iterations=max_iterations)
+
+
+def min_label_components(
+    vertices: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected edge list ``(id_a, id_b)`` (each edge listed once) —
+    the engine behind ``near_dup_clusters``, factored out so any
+    similarity graph (text jaccard, embedding cosine) can be clustered
+    with the same convergence/lineage discipline (see the
+    ``near_dup_clusters`` docstring for why convergence rides the
+    propagation action and why lineage is eagerly checkpointed).
+    Returns ``(id_col, cluster_id)`` with cluster_id = the smallest
+    reachable vertex id.
+
+    Only EDGE-TOUCHED vertices enter the iteration: a vertex with no
+    neighbor can never change label, so the overwhelming singleton
+    majority of a 10^12-page corpus is appended afterwards as its own
+    cluster via one anti-join instead of riding every propagation
+    round's join+agg (at crawl scale that's the difference between
+    shuffling the dup-graph and shuffling the corpus, per round)."""
     # bidirectional edge list
     bidir = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
-    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    # round 1 for free: labels start as identity, so the first
+    # neighbor-min needs no label join — it's a plain min over the edge
+    # list, and its groupBy defines the touched vertex set in the same
+    # shuffle (no separate distinct)
+    labels = (
+        bidir.groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("id_b").alias("_nbr"))
+        .select("id", F.least(F.col("id"), F.col("_nbr")).alias("label"))
+        .persist()
+    )
     materialized = labels
-    for it in range(max_iterations):
+    for it in range(max_iterations - 1):
         neighbor_min = (
             bidir.join(labels, bidir.id_b == labels.id)
             .groupBy(F.col("id_a").alias("id"))
@@ -472,7 +507,14 @@ def near_dup_clusters(
         if changed == 0:
             break
     bidir.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    singletons = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(labels.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("label"))
+    )
+    return labels.unionByName(singletons).select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
 
 
 def canonical_per_cluster(

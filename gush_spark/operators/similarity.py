@@ -304,6 +304,8 @@ def kmeans_cells(
     vec_col: str = "embedding",
     n_cells: int = 10,
     iters: int = 2,
+    assign_quantized: bool = False,
+    spread: int | None = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd's k-means coarse quantizer → (assignments
     ``(id, cell)``, centroids ``(cell, rep_vec)``).
@@ -323,9 +325,27 @@ def kmeans_cells(
     Scale shape per iteration: one broadcast join (corpus × n_cells
     reps) + one posexplode/groupBy(cell, dim) agg — shuffle rows =
     n_cells × dim, map-side combined. Train on a sample at crawl scale;
-    assignment of the full corpus is the same broadcast join."""
+    assignment of the full corpus is the same broadcast join.
+
+    ``assign_quantized=True`` swaps the assignment SCORE from the
+    interpreted double-cosine fold to a fully-codegen integer dot:
+    ``Σ_i floor(x_i·Q) · floor(c_i/|c|·Q)`` over an exploded
+    (pos-keyed) broadcast join, argmax'd per vector with ``max_by`` —
+    monotone in cosine up to the 2^-20 quantization step, and the LONG
+    sum is order-independent so the DuckDB oracle can fold it
+    sequentially and still match bit-for-bit. Interpreted
+    ``aggregate``/``zip_with`` lambdas per (vector × cell) pair are the
+    dominant cost of a large-k quantizer in one JVM (per-element
+    boxing); the quantized path keeps the whole assignment inside
+    whole-stage codegen. The two paths may place boundary vectors in
+    different (equally near) cells, so pick ONE per pipeline —
+    SemDeDup-style large-k partitioning uses the quantized path, the
+    IVF top-k query keeps the exact-cosine path."""
     from pyspark.sql import Window
 
+    from gush_spark.operators.dedup import _spread
+
+    vectors = _spread(vectors, spread)
     qvec = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * KMEANS_QUANT).cast("long")
     )
@@ -358,21 +378,63 @@ def kmeans_cells(
     assign_w = Window.partitionBy(id_col).orderBy(
         F.col("_score").desc(), F.col("cell")
     )
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        if not assign_quantized:
+            c = cents_df.withColumn("c_norm", l2_norm(F.col("c_vec")))
+            return (
+                base.join(F.broadcast(c))
+                .select(
+                    F.col(id_col), "_qvec", "cell",
+                    cosine_with_norms(
+                        F.col(vec_col), F.col("c_vec"),
+                        F.col("_vnorm"), F.col("c_norm"),
+                    ).alias("_score"),
+                )
+                .withColumn("_rn", F.row_number().over(assign_w))
+                .filter(F.col("_rn") == 1)
+                .select(F.col(id_col), "_qvec", "cell")
+            )
+        # codegen path: normalized centroid coords quantized to longs
+        # (n_cells × dim rows — the transform lambda runs interpreted
+        # over those few rows only), exploded vector coords joined on
+        # pos, integer products summed map-side, argmax via max_by on
+        # (score, -cell) — highest score, ties to smallest cell
+        cn = cents_df.select(
+            "cell",
+            F.posexplode(
+                F.transform(
+                    F.col("c_vec"),
+                    lambda x: F.floor(
+                        x / l2_norm(F.col("c_vec")) * F.lit(KMEANS_QUANT)
+                    ),
+                )
+            ).alias("pos", "cnq"),
+        )
+        ex = base.select(F.col(id_col), F.posexplode("_qvec").alias("pos", "aq"))
+        best = (
+            ex.join(F.broadcast(cn), on="pos")
+            .groupBy(id_col, "cell")
+            .agg(F.sum(F.col("aq") * F.col("cnq")).alias("_score"))
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    "cell", F.struct(F.col("_score"), (-F.col("cell")).alias("_nc"))
+                ).alias("cell")
+            )
+        )
+        return base.select(F.col(id_col), "_qvec").join(best, on=id_col)
+
     assigned = None
     for _ in range(iters):
-        c = cents.withColumn("c_norm", l2_norm(F.col("c_vec")))
-        assigned = (
-            base.join(F.broadcast(c))
-            .select(
-                F.col(id_col), "_qvec", "cell",
-                cosine_with_norms(
-                    F.col(vec_col), F.col("c_vec"), F.col("_vnorm"), F.col("c_norm")
-                ).alias("_score"),
-            )
-            .withColumn("_rn", F.row_number().over(assign_w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col(id_col), "_qvec", "cell")
-        )
+        prev = assigned
+        # persist each round's assignment: the _pin collect right below
+        # materializes it into cache, so the next consumer (the update
+        # here, lab/edge joins downstream) reads it instead of replaying
+        # the N x k scoring join
+        assigned = _assign(cents).persist()
+        if prev is not None:
+            prev.unpersist()
         dim_sums = (
             assigned.select("cell", F.posexplode("_qvec").alias("pos", "qv"))
             .groupBy("cell", "pos")
@@ -466,3 +528,208 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def cosine_contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination — the
+    companion to the n-gram overlap gate (operators/decontaminate.py):
+    paraphrased or lightly-reworded benchmark items share few exact
+    n-grams but sit next to the original in embedding space. Per corpus
+    vector: the max cosine to ANY benchmark vector, and a contaminated
+    flag at ``threshold``.
+
+    Scale shape — the decontamination invariant holds here too: the
+    benchmark side is broadcast (eval sets are thousands of rows; the
+    corpus is the 10^12 side), scoring is map-only over the corpus scan
+    plus one per-id max aggregation (map-side combined: the bench-many
+    rows per id reduce to one partial before the only exchange, which
+    carries ``(id, cos)`` — the corpus is never re-shuffled by vector
+    payload). The bench join is LEFT outer on a literal-true condition,
+    so an EMPTY benchmark degenerates to one null row per vector
+    instead of an empty inner cross join — vectors with nothing to
+    compare against keep ``max_cos`` null and ``contaminated`` false
+    (report, don't guess) with no corpus-vs-corpus rejoin. Per-vector
+    norms are folded once per side, not per pair. Cosines are rounded
+    to 6dp before the max/threshold so the flag is reproducible across
+    engines (max of identical doubles is order-independent).
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_cn")
+    )
+    b = bench.select(
+        F.col(vec_col).alias("_bvec"), l2_norm(F.col(vec_col)).alias("_bn")
+    )
+    scored = c.join(F.broadcast(b), F.lit(True), "left").select(
+        id_col,
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("_bvec"), F.col("_cn"), F.col("_bn")
+            ),
+            6,
+        ).alias("_cos"),
+    )
+    return scored.groupBy(id_col).agg(F.max("_cos").alias("max_cos")).select(
+        id_col,
+        "max_cos",
+        F.coalesce(F.col("max_cos") >= F.lit(threshold), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )
+
+
+def semantic_dup_clusters(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.8,
+    n_cells: int = 10,
+    iters: int = 2,
+    max_iterations: int = 20,
+    spread: int | None = 0,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """SemDeDup-style semantic duplicate clustering (Abbas et al.,
+    *SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication*, 2023): k-means-partition the embedding space
+    (the deterministic quantizer from ``kmeans_cells``), compare
+    vectors pairwise ONLY within a cell, connect pairs with cosine ≥
+    ``threshold``, and return connected components.
+
+    Returns ``(clusters (id, sem_cluster_id), assignments (id, cell),
+    centroids (cell, rep_vec))`` — assignments/centroids ride along so
+    the keep-policy can score members against their cell center
+    without re-training.
+
+    Scale: the quadratic pair stage is per-CELL, not global — exactly
+    the SemDeDup argument: k-means with large k makes within-cluster
+    all-pairs tractable (their 100M-doc run used k≈11k). The pair join
+    shuffles on cell id; per-vector norms fold once before the join;
+    components come from the shared min-label propagation
+    (operators/dedup.min_label_components). ``threshold`` compares
+    6dp-rounded cosines — reproducible across engines.
+    """
+    from gush_spark.operators.dedup import min_label_components
+
+    edges, assignments, centroids = semantic_edges(
+        vectors, id_col, vec_col,
+        threshold=threshold, n_cells=n_cells, iters=iters, spread=spread,
+    )
+    clusters = min_label_components(
+        vectors, id_col, edges, max_iterations=max_iterations
+    ).withColumnRenamed("cluster_id", "sem_cluster_id")
+    return clusters, assignments, centroids
+
+
+def semantic_edges(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.8,
+    n_cells: int = 10,
+    iters: int = 2,
+    spread: int | None = 0,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The within-cell similarity-edge stage of ``semantic_dup_clusters``
+    (factored out so the plan-shape audit can pin the pair join's scale
+    shape — cell-keyed equi-join, never a global cross join — without
+    running the component loop). Returns ``(edges (id_a, id_b),
+    assignments (id, cell), centroids (cell, rep_vec))``."""
+    assignments, centroids = kmeans_cells(
+        vectors, id_col, vec_col, n_cells=n_cells, iters=iters,
+        assign_quantized=True, spread=spread,
+    )
+    # (id, cell) pairs — persisted because BOTH the pair join here and
+    # the keep-policy's centroid scoring read them, and each read would
+    # otherwise replay the N×k assignment cosine join (at real scale
+    # assignments would be materialized to a table between stages)
+    assignments = assignments.persist()
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
+    ).join(assignments, id_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"), "cell",
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"), "cell",
+    )
+    edges = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_with_norms(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    return edges, assignments, centroids
+
+
+def semantic_canonical_vecs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.8,
+    n_cells: int = 10,
+    iters: int = 2,
+    spread: int | None = 0,
+) -> DataFrame:
+    """The SemDeDup keep policy over ``semantic_dup_clusters``: per
+    semantic cluster keep ONE representative — the member with the
+    LOWEST cosine to its k-means cell centroid (the paper's
+    "low similarity to centroid" choice: the most peripheral copy
+    carries the most residual information), ties broken by smallest id.
+    Output: ``(sem_cluster_id, id, score, n_members)`` where score is
+    the (negated-for-argmax) centroid cosine — one row per cluster.
+
+    Composition: clusters + centroid scores + dedup.best_per_cluster —
+    the same WindowGroupLimit keep-best machinery as the text-side
+    ``canonical_best_docs``."""
+    from gush_spark.operators.dedup import best_per_cluster
+
+    clusters, assignments, centroids = semantic_dup_clusters(
+        vectors, id_col, vec_col,
+        threshold=threshold, n_cells=n_cells, iters=iters, spread=spread,
+    )
+    cents = centroids.withColumn("_cnorm", l2_norm(F.col("rep_vec")))
+    scored = (
+        vectors.select(
+            F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
+        )
+        .join(assignments, id_col)
+        .join(F.broadcast(cents), on="cell")
+        .select(
+            id_col,
+            (
+                -F.round(
+                    cosine_with_norms(
+                        F.col(vec_col), F.col("rep_vec"),
+                        F.col("_n"), F.col("_cnorm"),
+                    ),
+                    6,
+                )
+            ).alias("neg_centroid_cos"),
+        )
+    )
+    out = best_per_cluster(
+        clusters.withColumnRenamed("sem_cluster_id", "cluster_id"),
+        scored, id_col, "neg_centroid_cos",
+    )
+    return out.withColumnRenamed("cluster_id", "sem_cluster_id")

@@ -703,11 +703,18 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ivf_sql(n_cells: int, iters: int, n_probe: int, k: int) -> str:
-    """DuckDB replica of similarity.kmeans_cells + _ivf_search, one CTE
-    pair per unrolled Lloyd's iteration. Bit-equality hinges on the
+def _kmeans_parts(
+    n_cells: int, iters: int, quantized_assign: bool = False
+) -> list[str]:
+    """DuckDB replica of similarity.kmeans_cells, one CTE pair per
+    unrolled Lloyd's iteration, ending with ``reps (cell, rep_vec)``
+    and ``lab (vec_id, embedding, cell)``. Bit-equality hinges on the
     quantized-long centroid update: integer sums are order-independent,
-    so both engines train the SAME centroids (similarity.KMEANS_QUANT)."""
+    so both engines train the SAME centroids (similarity.KMEANS_QUANT).
+    ``quantized_assign`` replicates the assign_quantized=True score
+    (integer dot of floor-quantized coords — the LONG fold here equals
+    Spark's groupBy sum regardless of order). Shared by the IVF top-k
+    and SemDeDup oracles."""
     q = similarity.KMEANS_QUANT
     parts = [
         f"qv AS (SELECT vec_id, embedding, list_transform(embedding,"
@@ -717,13 +724,34 @@ def _kmeans_ivf_sql(n_cells: int, iters: int, n_probe: int, k: int) -> str:
         f" FROM embeddings ORDER BY vec_id LIMIT {n_cells})",
     ]
     for i in range(iters):
-        parts.append(
-            f"a{i + 1} AS (SELECT vec_id, qvec, cell FROM ("
-            f"SELECT v.vec_id, v.qvec, c.cell,"
-            f" row_number() OVER (PARTITION BY v.vec_id"
-            f" ORDER BY {_cos_sql('v.embedding', 'c.c_vec')} DESC, c.cell) AS rn"
-            f" FROM qv v CROSS JOIN c{i} c) WHERE rn = 1)"
-        )
+        if quantized_assign:
+            cnorm = (
+                "sqrt(" + _dot_sql("c_vec", "c_vec") + ")"
+            )
+            iqdot = (
+                "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+                " list_transform(generate_series(1, len(v.qvec)),"
+                " i -> v.qvec[i] * c.cn[i])), (x, y) -> x + y)"
+            )
+            parts.append(
+                f"cn{i} AS (SELECT cell, list_transform(c_vec,"
+                f" x -> floor(x / {cnorm} * {q})::BIGINT) AS cn FROM c{i})"
+            )
+            parts.append(
+                f"a{i + 1} AS (SELECT vec_id, qvec, cell FROM ("
+                f"SELECT v.vec_id, v.qvec, c.cell,"
+                f" row_number() OVER (PARTITION BY v.vec_id"
+                f" ORDER BY {iqdot} DESC, c.cell) AS rn"
+                f" FROM qv v CROSS JOIN cn{i} c) WHERE rn = 1)"
+            )
+        else:
+            parts.append(
+                f"a{i + 1} AS (SELECT vec_id, qvec, cell FROM ("
+                f"SELECT v.vec_id, v.qvec, c.cell,"
+                f" row_number() OVER (PARTITION BY v.vec_id"
+                f" ORDER BY {_cos_sql('v.embedding', 'c.c_vec')} DESC, c.cell) AS rn"
+                f" FROM qv v CROSS JOIN c{i} c) WHERE rn = 1)"
+            )
         parts.append(
             f"s{i + 1} AS (SELECT cell, pos, sum(val) AS s, count(*) AS n FROM ("
             f"SELECT cell, unnest(qvec) AS val,"
@@ -740,6 +768,11 @@ def _kmeans_ivf_sql(n_cells: int, iters: int, n_probe: int, k: int) -> str:
         f"lab AS (SELECT v.vec_id, v.embedding, a.cell"
         f" FROM embeddings v JOIN a{iters} a USING (vec_id))"
     )
+    return parts
+
+
+def _kmeans_ivf_sql(n_cells: int, iters: int, n_probe: int, k: int) -> str:
+    parts = _kmeans_parts(n_cells, iters)
     parts.append(
         "qq AS (SELECT vec_id AS query_id, embedding AS q_vec"
         " FROM embeddings WHERE vec_id < 8)"
@@ -2597,3 +2630,120 @@ def q_canonical_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = ta.quality_features(F.col("text"))
     scored = docs.select("doc_id", feats["quality_score"].alias("quality_score"))
     return dedup.best_per_cluster(clusters, scored, "doc_id", "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) curation: cosine decontamination and
+# SemDeDup clustering/keep — the vector-side twins of the n-gram
+# decontamination gate and the text near-dup canonical selection.
+# ---------------------------------------------------------------------------
+_SEM_CELLS, _SEM_ITERS, _SEM_TAU = 48, 1, 0.4
+
+
+def _semantic_cluster_parts() -> list[str]:
+    """kmeans cells + within-cell cosine edges + recursive min-label
+    walk — the shared CTE stack for both SemDeDup oracles. Threshold
+    compares 6dp-rounded cosines, same as the Spark side."""
+    parts = _kmeans_parts(_SEM_CELLS, _SEM_ITERS, quantized_assign=True)
+    parts.append(
+        f"pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+        f" FROM lab a JOIN lab b ON a.cell = b.cell AND a.vec_id < b.vec_id"
+        f" WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6)"
+        f" >= {_SEM_TAU})"
+    )
+    parts.append(
+        "sedges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)"
+    )
+    parts.append(
+        "walk(id, lbl) AS (SELECT vec_id, vec_id FROM embeddings"
+        " UNION SELECT e.dst, w2.lbl FROM walk w2"
+        " JOIN sedges e ON e.src = w2.id)"
+    )
+    parts.append(
+        "sclusters AS (SELECT id AS vec_id, min(lbl) AS sem_cluster_id"
+        " FROM walk GROUP BY id)"
+    )
+    return parts
+
+
+@query(
+    "semantic_decontaminate",
+    oracle=f"""
+    WITH bench AS (SELECT embedding AS bvec FROM embeddings
+                   WHERE vec_id % 25 = 0),
+    scored AS (SELECT vec_id,
+                      round({_cos_sql("embedding", "bvec")}, 6) AS c
+               FROM embeddings CROSS JOIN bench),
+    per AS (SELECT vec_id, max(c) AS max_cos FROM scored GROUP BY vec_id)
+    SELECT e.vec_id, max_cos,
+           coalesce(max_cos >= 0.45, FALSE) AS contaminated
+    FROM embeddings e LEFT JOIN per ON e.vec_id = per.vec_id
+    """,
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: max cosine of every
+    corpus vector to the benchmark set (the vec_id%25 slice — the
+    planted 'benchmark appears verbatim in the crawl' case scores 1.0
+    and is flagged; 0.45 also catches genuinely-near vectors on this
+    random-embedding fixture whose max cross-pair cosine is ~0.51)."""
+    vecs = load(spark, sf_dir, "embeddings")
+    bench = vecs.filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_contamination_report(
+        vecs, bench, threshold=0.45
+    )
+
+
+@query(
+    "semantic_dup_clusters",
+    oracle="WITH RECURSIVE "
+    + ",\n".join(_semantic_cluster_parts())
+    + "\nSELECT vec_id, sem_cluster_id FROM sclusters",
+)
+def q_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup clustering: k-means cells (deterministic quantizer),
+    within-cell cosine>=0.4 edges, connected components. 0.4 sits
+    below this fixture's max pair cosine (~0.51) but above the random
+    bulk, so real clusters form while the graph stays below
+    percolation (a lower cut on near-random vectors grows giant
+    high-diameter components and the propagation rounds with them;
+    real text embeddings would cut at ~0.95+). Cells sized ~sqrt(N)
+    keep the quadratic stage per-cell."""
+    vecs = load(spark, sf_dir, "embeddings")
+    clusters, _, _ = similarity.semantic_dup_clusters(
+        vecs, threshold=_SEM_TAU, n_cells=_SEM_CELLS, iters=_SEM_ITERS,
+        spread=None,
+    )
+    return clusters
+
+
+@query(
+    "semantic_canonical_vecs",
+    oracle="WITH RECURSIVE "
+    + ",\n".join(_semantic_cluster_parts())
+    + f""",
+    cscored AS (SELECT l.vec_id,
+                       -round({_cos_sql("l.embedding", "r.rep_vec")}, 6)
+                         AS neg_centroid_cos
+                FROM lab l JOIN reps r USING (cell)),
+    ranked AS (SELECT c.sem_cluster_id, s.vec_id, s.neg_centroid_cos,
+                      count(*) OVER (PARTITION BY c.sem_cluster_id)
+                        AS n_members,
+                      row_number() OVER (PARTITION BY c.sem_cluster_id
+                                         ORDER BY s.neg_centroid_cos DESC,
+                                                  s.vec_id ASC) AS rk
+               FROM sclusters c JOIN cscored s USING (vec_id))
+    SELECT sem_cluster_id, vec_id, neg_centroid_cos,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_semantic_canonical_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep policy: one representative per semantic cluster —
+    the member FARTHEST from its k-means centroid (the paper's
+    low-centroid-similarity choice), ties to smallest id."""
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_canonical_vecs(
+        vecs, threshold=_SEM_TAU, n_cells=_SEM_CELLS, iters=_SEM_ITERS,
+        spread=None,
+    )

@@ -362,6 +362,52 @@ def main() -> int:
     check("canonical.window_group_limit", "WindowGroupLimit" in p,
           "rank-1 filter did not plan as WindowGroupLimit")
 
+    # round-4 third wave: embedding-space curation (SemDeDup family).
+    from gush_spark.operators import similarity as sim_ops
+
+    def vec_exchange(p: str) -> str | None:
+        for m in re.finditer(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p):
+            if "embedding#" in m.group(1):
+                return f"embedding array crosses an Exchange: {m.group(1)[:120]}"
+        return None
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    # cosine decontamination: bench side broadcast (the corpus is the
+    # 10^12 side), scoring map-only — embedding arrays never shuffle;
+    # only (id, cos) rows reach the per-id max exchange
+    bench_v = emb.filter(F.col("vec_id") % 25 == 0)
+    p = plan_of(sim_ops.cosine_contamination_report(emb, bench_v))
+    check("semantic.bench_broadcast",
+          "BroadcastNestedLoopJoin" in p
+          and not any(j in p for j in (
+              "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "CartesianProduct")),
+          "expected ONLY the broadcast bench join (no corpus rejoin)")
+    bad = vec_exchange(p)
+    check("semantic.decontaminate_no_vector_exchange", bad is None, bad or "")
+
+    # SemDeDup pair stage: the quadratic compare must be a CELL-keyed
+    # equi-join (hashpartitioning on the kmeans cell) — never a global
+    # cross/nested-loop join over the corpus
+    edges, assignments, _ = sim_ops.semantic_edges(
+        emb, n_cells=16, iters=1, spread=None
+    )
+    p = plan_of(edges)
+    check("semantic.pair_join_cell_keyed",
+          "hashpartitioning(cell" in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "CartesianProduct" not in p,
+          "within-cell pair join is not a cell-keyed equi-join")
+    # quantized k-means assignment stays codegen: zip_with may appear
+    # only as per-ROW norm folds (self-dot) and the per-candidate-PAIR
+    # verify — never the vector×centroid dot, the exact path's N×k
+    # interpreted signature
+    check("semantic.quantized_assign_no_vector_x_centroid_lambda",
+          not re.search(r"zip_with\(embedding#\d+L?, c_vec#", p),
+          "interpreted vector x centroid zip_with in the assignment plan")
+    assignments.unpersist()
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
