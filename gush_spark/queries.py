@@ -83,9 +83,11 @@ _DRIVER_WINDOW_FIRST = [
     # round-4 second wave: distribution-level curation
     "lm_likelihood_scores", "dsir_importance_scores", "dsir_resample",
     "canonical_best_docs",
-    # round-4 third wave: embedding-space curation (SemDeDup)
+    # round-4 third wave: embedding-space curation (SemDeDup) and
+    # keyword extraction / cluster topics
     "semantic_decontaminate", "semantic_dup_clusters",
     "semantic_canonical_vecs",
+    "tfidf_top_terms", "bm25_top_terms", "cluster_topic_report",
 ]
 
 

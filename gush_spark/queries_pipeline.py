@@ -2747,3 +2747,113 @@ def q_semantic_canonical_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs, threshold=_SEM_TAU, n_cells=_SEM_CELLS, iters=_SEM_ITERS,
         spread=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# keyword extraction: TF-IDF / BM25 top terms and the cluster-topic
+# corpus map (operators/keywords.py)
+# ---------------------------------------------------------------------------
+from gush_spark.operators import keywords as kw  # noqa: E402
+
+# the synthetic corpus shares one 31-word vocabulary, so the realistic
+# default stopword cut (max_df_frac=0.5) would empty the result — the
+# catalog queries use 0.9 and keep the operator defaults web-realistic
+_KW_MAXDF = 0.9
+_TF_CTES = (
+    "toks AS (SELECT doc_id, unnest(string_split("
+    + NORM
+    + ", ' ')) AS term FROM documents),\n"
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+    " WHERE term <> '' GROUP BY doc_id, term),\n"
+    "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
+)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH {_TF_CTES},
+    n AS (SELECT count(*) AS _n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * round(ln((_n + 1.0) / (df + 1.0)) + 1.0, 6), 6)
+               AS tfidf
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+      WHERE df >= 2 AND df <= _n * {_KW_MAXDF})
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 smoothed-TF-IDF terms with the corpus-relative
+    stopword cut; the 6dp-rounded idf keeps the hash engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    return kw.tfidf_top_terms(docs, k=5, min_df=2, max_df_frac=_KW_MAXDF)
+
+
+@query(
+    "bm25_top_terms",
+    oracle=f"""
+    WITH {_TF_CTES},
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+           GROUP BY doc_id),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS _n,
+                   (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS _toks),
+    scored AS (
+      SELECT tf.doc_id, term, tf, df, dl,
+             round(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5)), 6)
+                   * ((tf * {kw.BM25_K1 + 1.0!r}) /
+                      (tf + {kw.BM25_K1!r} * ({1.0 - kw.BM25_B!r}
+                       + {kw.BM25_B!r} * (dl / (_toks / _n))))), 6) AS score
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+      WHERE df >= 2 AND df <= _n * {_KW_MAXDF})
+    SELECT doc_id, term, tf, df, dl, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 BM25 term weights (saturated tf +
+    length-normalized); constants folded in Python and inlined
+    identically on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    return kw.bm25_top_terms(docs, k=5, min_df=2, max_df_frac=_KW_MAXDF)
+
+
+_TOPIC_CELLS, _TOPIC_ITERS = 12, 1
+
+
+@query(
+    "cluster_topic_report",
+    oracle="WITH "
+    + ",\n".join(_kmeans_parts(_TOPIC_CELLS, _TOPIC_ITERS, quantized_assign=True))
+    + f""",
+    {_TF_CTES},
+    ctf AS (SELECT cell, term, CAST(sum(tf) AS BIGINT) AS tf
+            FROM tf t JOIN lab l ON t.doc_id = l.vec_id
+            GROUP BY cell, term),
+    cft AS (SELECT term, count(*) AS cf FROM ctf GROUP BY term),
+    scored AS (
+      SELECT cell, term, tf, cf,
+             round(tf * round(ln(({float(_TOPIC_CELLS)!r} + 1.0)
+               / (cf + 1.0)) + 1.0, 6), 6) AS score
+      FROM ctf JOIN cft USING (term))
+    SELECT cell, term, tf, cf, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY cell
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def q_cluster_topic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus map: label each k-means embedding cell with its top-5
+    characteristic terms (cell tf × cluster-frequency idf). Documents
+    join embeddings on doc_id = vec_id."""
+    docs = load(spark, sf_dir, "documents")
+    vecs = load(spark, sf_dir, "embeddings")
+    return kw.cluster_topic_report(
+        docs, vecs, n_cells=_TOPIC_CELLS, iters=_TOPIC_ITERS, k=5,
+        spread=None,
+    )

@@ -399,6 +399,20 @@ def main() -> int:
           and "BroadcastNestedLoopJoin" not in p
           and "CartesianProduct" not in p,
           "within-cell pair join is not a cell-keyed equi-join")
+    # keyword extraction: tokenization is map-only (raw text never
+    # crosses an exchange — only (doc, term, count) partials shuffle)
+    # and the per-doc top-k plans as WindowGroupLimit
+    from gush_spark.operators import keywords as kw_ops
+
+    p = plan_of(kw_ops.tfidf_top_terms(docs, max_df_frac=0.9))
+    bad = rawtext_exchange(p)
+    check("keywords.tfidf_no_rawtext_exchange", bad is None, bad or "")
+    check("keywords.tfidf_window_group_limit", "WindowGroupLimit" in p,
+          "top-k rank filter not pushed to WindowGroupLimit")
+    p = plan_of(kw_ops.bm25_top_terms(docs, max_df_frac=0.9))
+    bad = rawtext_exchange(p)
+    check("keywords.bm25_no_rawtext_exchange", bad is None, bad or "")
+
     # quantized k-means assignment stays codegen: zip_with may appear
     # only as per-ROW norm folds (self-dot) and the per-candidate-PAIR
     # verify — never the vector×centroid dot, the exact path's N×k

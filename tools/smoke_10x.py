@@ -89,6 +89,32 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
         f"{out_dir}/documents.parquet"
     )
 
+    # embeddings 10x for the semantic (SemDeDup) probes: variant j>0
+    # adds a deterministic per-(id, coord, j) offset large enough that
+    # variant families are cosine-disjoint — ~10 independent copies of
+    # the original neighborhood structure, like the text fixture
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ne = emb.count()
+    evariants = []
+    for j in range(N_VARIANTS):
+        v = emb
+        if j > 0:
+            v = emb.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, i) -> x + "
+                    f"sin(cast(vec_id * 37 + i * 13 + {j} * 101 as double))"
+                    " * 2.0)"
+                ),
+            )
+        evariants.append(v.withColumn("vec_id", F.col("vec_id") + F.lit(j * ne)))
+    ebig = evariants[0]
+    for v in evariants[1:]:
+        ebig = ebig.unionByName(v)
+    ebig.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
 
 def run_suite(
     spark, sf_dir: str, names: list[str] | None = None
@@ -130,6 +156,36 @@ def main() -> None:
             f"| {name} | {br} | {gr} | {gr / max(br, 1):.2f}x "
             f"| {bt} | {gt} | {gt / max(bt, 0.1):.2f}x |"
         )
+
+    # semantic dedup probe: k-means cell count scales WITH the corpus
+    # (k ∝ N keeps per-cell size — and so the quadratic pair stage —
+    # constant per row; the price is the N×k assignment term, which is
+    # pure codegen integer work; see SURVEY §16). Run outside the
+    # catalog because the catalog query pins k for its sf0.01 oracle.
+    from gush_spark.operators.similarity import semantic_dup_clusters
+
+    def sem(sf: str, k: int) -> tuple[float, int]:
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            clusters, assignments, _ = semantic_dup_clusters(
+                emb, threshold=0.4, n_cells=k, iters=1, spread=None
+            )
+            rows = clusters.count()
+            assignments.unpersist()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 1), rows
+
+    n1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    k1 = max(8, int(n1 ** 0.5))
+    sem(sf_dir, k1)  # warm-up
+    (bt, br) = sem(sf_dir, k1)
+    (gt, gr) = sem(out_dir, k1 * N_VARIANTS)
+    print(
+        f"| semantic_dup_clusters[k∝N: {k1}→{k1 * N_VARIANTS}] | {br} | {gr} "
+        f"| {gr / max(br, 1):.2f}x | {bt} | {gt} | {gt / max(bt, 0.1):.2f}x |"
+    )
     spark.stop()
 
 
