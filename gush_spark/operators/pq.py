@@ -1,0 +1,196 @@
+"""Product quantization (PQ) for embedding compression and ADC top-k —
+the storage/scale path of the similarity-search family (Jégou et al.,
+*Product Quantization for Nearest Neighbor Search*, TPAMI 2011): split
+each D-dim vector into M subvectors, k-means each subspace
+independently, store a vector as M small code ids (64 floats → 4
+bytes here), and answer queries with asymmetric distance computation
+(ADC) — per query one M×K lookup table, per candidate a sum of M table
+lookups instead of a D-term float dot.
+
+No reference analog (the reference has no vector surface); this is the
+IVF companion: at 100 TB the corpus embeddings don't fit hot storage
+uncompressed, so IVF partitions the candidate set and PQ shrinks what
+each probe reads ~64×.
+
+Determinism/exactness contract (same discipline as
+``similarity.kmeans_cells``, taken one step further — EVERYTHING is
+integer):
+- coordinates quantize once: ``xq = floor(x · 2^20)`` as long;
+- init: subspace codebooks seed from the ``k`` lowest-id vectors'
+  subvector slices; the code id IS the seed vector's id (the
+  ``kmeans_cells`` cell-id convention);
+- assignment: integer squared L2 ``Σ (xq−cq)²`` (longs — order-free),
+  argmin with ties to the smallest code id;
+- update: ``cq = floor(sum/count)`` — floor of an exact rational;
+- ADC: lookup tables and distances are the same integer sums.
+So Spark and DuckDB agree bit-for-bit with no FP-order or
+transcendental hazard anywhere, and results are invariant to input
+partitioning.
+
+Scale shape:
+- quantize/slice is map-only (one posexplode — no raw-vector shuffle);
+- training joins the exploded coords against a BROADCAST codebook
+  (M·K·(D/M) = K·D rows — KBs), partial-aggregated before the only
+  exchange, which carries reduced ``(id, m, code, partial)`` rows;
+- codebooks pin to the driver between iterations (``_pin``) exactly
+  like k-means centroids — KBs, cuts lineage replay;
+- encode is one more broadcast-join pass; codes are M longs per
+  vector — the 64× wire/storage win;
+- ADC broadcasts the per-query LUTs (Q·M·K rows) against the CODES
+  table only — the float corpus is never read at query time, which is
+  the entire point of PQ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gush_spark.operators.similarity import KMEANS_QUANT
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codes per subspace
+
+
+def _subcoords(
+    vectors: DataFrame, id_col: str, vec_col: str, subdim: int
+) -> DataFrame:
+    """Map-only ``(id, m, pos, xq)``: subspace index, position within
+    the subspace, floor-quantized coordinate."""
+    return vectors.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("_p", "_x"),
+    ).select(
+        F.col(id_col),
+        F.expr(f"_p div {subdim}").cast("long").alias("m"),
+        (F.col("_p") % subdim).cast("long").alias("pos"),
+        F.floor(F.col("_x").cast("double") * KMEANS_QUANT).alias("xq"),
+    )
+
+
+def _assign(sub: DataFrame, codebook: DataFrame, id_col: str) -> DataFrame:
+    """Nearest code per (vector, subspace) by integer squared L2 —
+    ``(id, m, code)``. Codebook is broadcast; the diff-square partials
+    combine map-side before the (id, m, code)-keyed exchange."""
+    d = F.col("xq") - F.col("cq")
+    return (
+        sub.join(F.broadcast(codebook), ["m", "pos"])
+        .groupBy(id_col, "m", "code")
+        .agg(F.sum(d * d).alias("_d"))
+        .groupBy(id_col, "m")
+        .agg(
+            F.min_by(
+                "code", F.struct(F.col("_d"), F.col("code"))
+            ).alias("code")
+        )
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Train the M per-subspace codebooks → ``(m, code, pos, cq)``
+    (long-form, quantized-long coords; K·D rows total — broadcast it).
+    ``dim`` defaults to the first vector's length (one tiny action).
+    Train on a sample at crawl scale; encoding the full corpus is the
+    same broadcast join."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    subdim = dim // m
+    spark = vectors.sparkSession
+    sub = _subcoords(vectors, id_col, vec_col, subdim).persist()
+
+    def _pin(cdf: DataFrame) -> DataFrame:
+        rows = cdf.collect()
+        return spark.createDataFrame(rows, cdf.schema)
+
+    seed_ids = vectors.select(F.col(id_col)).orderBy(id_col).limit(k)
+    codebook = _pin(
+        sub.join(F.broadcast(seed_ids), id_col)
+        .select(F.col(id_col).alias("code"), "m", "pos", F.col("xq").alias("cq"))
+    )
+    for _ in range(iters):
+        assigned = _assign(sub, codebook, id_col)
+        codebook = _pin(
+            sub.join(assigned, [id_col, "m"])
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("xq").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select(
+                "m", "code", "pos",
+                F.floor(F.col("_s") / F.col("_n")).alias("cq"),
+            )
+        )
+    sub.unpersist()
+    return codebook
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int | None = None,
+) -> DataFrame:
+    """Encode every vector against a trained codebook →
+    ``(id, m, code)`` long-form PQ codes (M rows per vector)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    n_m = codebook.select(F.max("m")).first()[0] + 1
+    sub = _subcoords(vectors, id_col, vec_col, dim // n_m)
+    return _assign(sub, codebook, id_col)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-``k``: per query build the M×K integer
+    LUT (exact squared L2 from the RAW query to every centroid), then
+    score every encoded vector as the sum of M lookups —
+    ``(query_id, neighbor_id, adc_dist, rank)``, nearest first, ties to
+    the smallest neighbor id.
+
+    The float corpus is never touched: the only corpus-sized input is
+    the CODES table, joined against the broadcast LUTs and reduced to
+    ``(query, id, partial-sum)`` before its exchange. Queries ride the
+    same quantization as training, so the distances are exact integers
+    both engines can reproduce."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    n_m = codebook.select(F.max("m")).first()[0] + 1
+    qsub = _subcoords(queries, id_col, vec_col, dim // n_m).select(
+        F.col(id_col).alias("query_id"), "m", "pos", F.col("xq").alias("qq")
+    )
+    d = F.col("qq") - F.col("cq")
+    lut = (
+        qsub.join(F.broadcast(codebook), ["m", "pos"])
+        .groupBy("query_id", "m", "code")
+        .agg(F.sum(d * d).alias("_d"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

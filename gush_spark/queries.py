@@ -71,8 +71,10 @@ _DRIVER_WINDOW_FIRST = [
     "script_profile_report", "frequent_phrases", "frequent_phrases_hashed",
     "stratified_sample_quota", "top_docs_per_source",
     "compression_ratio_scores", "ann_topk_ivf_kmeans", "ann_topk_ivf",
-    "ann_topk_lsh", "ann_topk_lsh_multiprobe", "hash_split_sample",
-    "multimodal_blob_features",
+    "hash_split_sample", "multimodal_blob_features",
+    # (ann_topk_lsh / ann_topk_lsh_multiprobe rotate back out — both
+    # driver-green in r02 — to keep every never-witnessed query inside
+    # the ~50-entry window)
     # round-4 additions (registered after the catalog core — rotated in
     # so their first driver-witnessed round is the round they shipped)
     "bloom_membership_report", "decontaminate_overlap_bloom",
@@ -88,6 +90,7 @@ _DRIVER_WINDOW_FIRST = [
     "semantic_decontaminate", "semantic_dup_clusters",
     "semantic_canonical_vecs",
     "tfidf_top_terms", "bm25_top_terms", "cluster_topic_report",
+    "pq_codes", "pq_adc_topk",
 ]
 
 

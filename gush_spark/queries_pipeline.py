@@ -2857,3 +2857,104 @@ def q_cluster_topic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, vecs, n_cells=_TOPIC_CELLS, iters=_TOPIC_ITERS, k=5,
         spread=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (operators/pq.py): codes + ADC top-k. All-integer
+# arithmetic — the oracle replicates training/encode/ADC exactly.
+# ---------------------------------------------------------------------------
+from gush_spark.operators import pq as pq_ops  # noqa: E402
+
+_PQ_DIM, _PQ_SUB = 64, 64 // pq_ops.PQ_M
+
+
+def _pq_parts(iters: int = 1) -> list[str]:
+    """DuckDB replica of pq.pq_train + pq_encode: quantize/slice,
+    seeded codebooks, ``iters`` integer-L2 Lloyd rounds, final encode —
+    ends with ``codes (vec_id, m, code)`` and ``cb{iters} (m, code,
+    pos, cq)``."""
+    q = float(similarity.KMEANS_QUANT)
+    parts = [
+        "sub0 AS (SELECT vec_id,"
+        " unnest(generate_series(1, len(embedding))) AS i,"
+        " unnest(embedding) AS x FROM embeddings)",
+        f"sub AS (SELECT vec_id, (i-1) // {_PQ_SUB} AS m,"
+        f" (i-1) % {_PQ_SUB} AS pos,"
+        f" CAST(floor(CAST(x AS DOUBLE) * {q!r}) AS BIGINT) AS xq FROM sub0)",
+        f"seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {pq_ops.PQ_K})",
+        "cb0 AS (SELECT s.vec_id AS code, m, pos, xq AS cq"
+        " FROM sub s JOIN seed USING (vec_id))",
+    ]
+    for i in range(iters + 1):  # final pass is the encode
+        parts.append(
+            f"d{i + 1} AS (SELECT s.vec_id, s.m, c.code,"
+            f" sum((s.xq - c.cq) * (s.xq - c.cq)) AS d"
+            f" FROM sub s JOIN cb{i} c ON s.m = c.m AND s.pos = c.pos"
+            f" GROUP BY s.vec_id, s.m, c.code)"
+        )
+        parts.append(
+            f"a{i + 1} AS (SELECT vec_id, m, code FROM ("
+            f"SELECT vec_id, m, code,"
+            f" row_number() OVER (PARTITION BY vec_id, m"
+            f" ORDER BY d, code) AS rn FROM d{i + 1}) WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"cb{i + 1} AS (SELECT s.m, a.code, s.pos,"
+                f" CAST(floor(CAST(sum(s.xq) AS DOUBLE) / count(*))"
+                f" AS BIGINT) AS cq"
+                f" FROM sub s JOIN a{i + 1} a"
+                f" ON s.vec_id = a.vec_id AND s.m = a.m"
+                f" GROUP BY s.m, a.code, s.pos)"
+            )
+    parts.append(
+        f"codes AS (SELECT vec_id, m, code FROM a{iters + 1})"
+    )
+    return parts
+
+
+@query(
+    "pq_codes",
+    oracle="WITH "
+    + ",\n".join(_pq_parts(1))
+    + "\nSELECT vec_id, m, code FROM codes",
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus: 64 floats → 4 code longs per vector
+    (long-form (vec_id, m, code)); one deterministic integer-L2 Lloyd
+    round per subspace."""
+    vecs = load(spark, sf_dir, "embeddings")
+    cb = pq_ops.pq_train(vecs, iters=1, dim=_PQ_DIM)
+    return pq_ops.pq_encode(vecs, cb, dim=_PQ_DIM)
+
+
+@query(
+    "pq_adc_topk",
+    oracle="WITH "
+    + ",\n".join(_pq_parts(1))
+    + """,
+    qsub AS (SELECT vec_id AS query_id, m, pos, xq AS qq FROM sub
+             WHERE vec_id < 8),
+    lut AS (SELECT query_id, c.m, c.code,
+                   sum((qq - cq) * (qq - cq)) AS d
+            FROM qsub q JOIN cb1 c ON q.m = c.m AND q.pos = c.pos
+            GROUP BY query_id, c.m, c.code),
+    sc AS (SELECT query_id, codes.vec_id AS neighbor_id,
+                  CAST(sum(d) AS BIGINT) AS adc_dist
+           FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+           GROUP BY query_id, codes.vec_id)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM sc) WHERE rank <= 5
+    """,
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 per query over PQ codes: the float corpus is never
+    read at query time — M integer table lookups per candidate."""
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    cb = pq_ops.pq_train(vecs, iters=1, dim=_PQ_DIM)
+    codes = pq_ops.pq_encode(vecs, cb, dim=_PQ_DIM)
+    return pq_ops.pq_adc_topk(codes, cb, queries_df, k=5, dim=_PQ_DIM)

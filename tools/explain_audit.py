@@ -422,6 +422,27 @@ def main() -> int:
           "interpreted vector x centroid zip_with in the assignment plan")
     assignments.unpersist()
 
+    # product quantization: codebooks/LUTs broadcast (never a shuffle
+    # join against the exploded coords), raw embedding arrays never
+    # cross an exchange, ADC top-k plans as WindowGroupLimit
+    from gush_spark.operators import pq as pq_ops
+
+    cb = pq_ops.pq_train(emb, iters=1, dim=64)
+    codes = pq_ops.pq_encode(emb, cb, dim=64)
+    p = plan_of(
+        pq_ops.pq_adc_topk(
+            codes, cb, emb.filter(F.col("vec_id") < 8), k=5, dim=64
+        )
+    )
+    check("pq.broadcast_codebook_and_lut",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+          and "ShuffledHashJoin" not in p,
+          "codebook/LUT join not broadcast")
+    bad = vec_exchange(p)
+    check("pq.no_vector_exchange", bad is None, bad or "")
+    check("pq.topk_window_group_limit", "WindowGroupLimit" in p,
+          "ADC top-k not WindowGroupLimit")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
