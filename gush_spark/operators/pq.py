@@ -194,3 +194,154 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_cells: int = 8,
+    cell_iters: int = 1,
+    m: int = PQ_M,
+    k_pq: int = PQ_K,
+    pq_iters: int = 1,
+    n_probe: int = 2,
+    k: int = 5,
+    dim: int | None = None,
+    spread: int | None = 0,
+) -> DataFrame:
+    """IVF-PQ top-``k`` — the FAISS-style composition and the 100 TB
+    similarity-search answer: the coarse k-means quantizer
+    (``similarity.kmeans_cells``, quantized codegen assignment)
+    partitions the corpus into cells; vectors PQ-encode their RESIDUAL
+    from the cell centroid (residuals are small, so the same code
+    budget quantizes them far more finely than raw coords); a query
+    probes its ``n_probe`` best cells and scores ONLY their members via
+    per-(query, cell) ADC lookup tables.
+
+    Output ``(query_id, neighbor_id, adc_dist, rank)`` — integer
+    distances, nearest first, ties to the smallest id, candidates
+    limited to probed cells (IVF recall semantics, like ``ivf_topk``).
+
+    Determinism: cell probing reuses the assignment's integer-dot
+    score (monotone in cosine); residuals are ``x − rep`` in doubles
+    (one exact IEEE subtraction per coord) then floor-quantized, so
+    training/encode/LUT all stay in the integer regime — oracle
+    hash-exact end to end.
+
+    Scale shape: centroids and PQ codebooks are driver-pinned KBs; the
+    corpus-side passes are the coarse assignment broadcast join, the
+    residual broadcast join, and the code/LUT broadcast join — the
+    float corpus is read once at index-build time and NEVER at query
+    time; queries only touch the (id, cell) + (id, m, code) tables
+    (M+1 longs per vector)."""
+    from gush_spark.operators.similarity import (
+        KMEANS_QUANT as _Q,
+        kmeans_cells,
+        l2_norm,
+    )
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    subdim = dim // m
+    assignments, centroids = kmeans_cells(
+        vectors, id_col, vec_col,
+        n_cells=n_cells, iters=cell_iters, assign_quantized=True,
+        spread=spread,
+    )
+    assignments = assignments.persist()
+    res = (
+        vectors.join(assignments, id_col)
+        .join(F.broadcast(centroids), "cell")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                vec_col, "rep_vec", lambda a, b: a.cast("double") - b
+            ).alias("_res"),
+        )
+    )
+    # the residual join is the ONE place the embedding payload crosses
+    # an exchange — the vec_id-keyed co-location that builds the index
+    # (write-once, amortized over every query; audit pins that no
+    # OTHER exchange carries vectors). Persisted: training and encode
+    # both read it, and at real scale it would be a materialized table.
+    res = res.persist()
+    cb = pq_train(res, id_col, "_res", m=m, k=k_pq, iters=pq_iters, dim=dim)
+    codes = pq_encode(res, cb, id_col, "_res", dim=dim)
+
+    # probe: same normalized-centroid integer dot as the assignment,
+    # top n_probe cells per query (descending score, ties to cell id)
+    cn = centroids.select(
+        "cell",
+        F.posexplode(
+            F.transform(
+                F.col("rep_vec"),
+                lambda x: F.floor(x / l2_norm(F.col("rep_vec")) * F.lit(_Q)),
+            )
+        ).alias("pos", "cnq"),
+    )
+    qex = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * _Q).cast("long"),
+            )
+        ).alias("pos", "aq"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("cell")
+    )
+    probe = (
+        qex.join(F.broadcast(cn), "pos")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(F.col("aq") * F.col("cnq")).alias("_s"))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    # per-(query, probed cell) residual LUT
+    qres = (
+        probe.join(F.broadcast(centroids), "cell")
+        .join(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                vec_col, "rep_vec", lambda a, b: a.cast("double") - b
+            ).alias("_qres"),
+        )
+        .select("query_id", "cell", F.posexplode("_qres").alias("_p", "_x"))
+        .select(
+            "query_id",
+            "cell",
+            F.expr(f"_p div {subdim}").cast("long").alias("m"),
+            (F.col("_p") % subdim).cast("long").alias("pos"),
+            F.floor(F.col("_x") * _Q).alias("qq"),
+        )
+    )
+    d = F.col("qq") - F.col("cq")
+    lut = (
+        qres.join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("query_id", "cell", "m", "code")
+        .agg(F.sum(d * d).alias("_d"))
+    )
+    scored = (
+        codes.join(assignments, id_col)
+        .join(F.broadcast(lut), ["cell", "m", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -90,7 +90,7 @@ _DRIVER_WINDOW_FIRST = [
     "semantic_decontaminate", "semantic_dup_clusters",
     "semantic_canonical_vecs",
     "tfidf_top_terms", "bm25_top_terms", "cluster_topic_report",
-    "pq_codes", "pq_adc_topk",
+    "pq_codes", "pq_adc_topk", "ann_topk_ivfpq",
 ]
 
 

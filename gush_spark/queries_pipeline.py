@@ -2868,11 +2868,53 @@ from gush_spark.operators import pq as pq_ops  # noqa: E402
 _PQ_DIM, _PQ_SUB = 64, 64 // pq_ops.PQ_M
 
 
+def _pq_codebook_parts(
+    iters: int, src: str = "sub", pfx: str = ""
+) -> list[str]:
+    """Codebook-train + encode CTE stack over any quantized-coords
+    source CTE ``src (vec_id, m, pos, xq)``: seeded codebooks,
+    ``iters`` integer-L2 Lloyd rounds, final encode. Ends with
+    ``{pfx}codes (vec_id, m, code)``; codebook = ``{pfx}cb{iters}``.
+    The prefix keeps names clear of _kmeans_parts' a{i} CTEs when the
+    two stacks compose (IVF-PQ)."""
+    parts = [
+        f"{pfx}seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {pq_ops.PQ_K})",
+        f"{pfx}cb0 AS (SELECT s.vec_id AS code, m, pos, xq AS cq"
+        f" FROM {src} s JOIN {pfx}seed USING (vec_id))",
+    ]
+    for i in range(iters + 1):  # final pass is the encode
+        parts.append(
+            f"{pfx}d{i + 1} AS (SELECT s.vec_id, s.m, c.code,"
+            f" sum((s.xq - c.cq) * (s.xq - c.cq)) AS d"
+            f" FROM {src} s JOIN {pfx}cb{i} c"
+            f" ON s.m = c.m AND s.pos = c.pos"
+            f" GROUP BY s.vec_id, s.m, c.code)"
+        )
+        parts.append(
+            f"{pfx}a{i + 1} AS (SELECT vec_id, m, code FROM ("
+            f"SELECT vec_id, m, code,"
+            f" row_number() OVER (PARTITION BY vec_id, m"
+            f" ORDER BY d, code) AS rn FROM {pfx}d{i + 1}) WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"{pfx}cb{i + 1} AS (SELECT s.m, a.code, s.pos,"
+                f" CAST(floor(CAST(sum(s.xq) AS DOUBLE) / count(*))"
+                f" AS BIGINT) AS cq"
+                f" FROM {src} s JOIN {pfx}a{i + 1} a"
+                f" ON s.vec_id = a.vec_id AND s.m = a.m"
+                f" GROUP BY s.m, a.code, s.pos)"
+            )
+    parts.append(
+        f"{pfx}codes AS (SELECT vec_id, m, code FROM {pfx}a{iters + 1})"
+    )
+    return parts
+
+
 def _pq_parts(iters: int = 1) -> list[str]:
-    """DuckDB replica of pq.pq_train + pq_encode: quantize/slice,
-    seeded codebooks, ``iters`` integer-L2 Lloyd rounds, final encode —
-    ends with ``codes (vec_id, m, code)`` and ``cb{iters} (m, code,
-    pos, cq)``."""
+    """DuckDB replica of pq.pq_train + pq_encode over the raw
+    embeddings: quantize/slice + the codebook/encode stack."""
     q = float(similarity.KMEANS_QUANT)
     parts = [
         "sub0 AS (SELECT vec_id,"
@@ -2881,37 +2923,8 @@ def _pq_parts(iters: int = 1) -> list[str]:
         f"sub AS (SELECT vec_id, (i-1) // {_PQ_SUB} AS m,"
         f" (i-1) % {_PQ_SUB} AS pos,"
         f" CAST(floor(CAST(x AS DOUBLE) * {q!r}) AS BIGINT) AS xq FROM sub0)",
-        f"seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id"
-        f" LIMIT {pq_ops.PQ_K})",
-        "cb0 AS (SELECT s.vec_id AS code, m, pos, xq AS cq"
-        " FROM sub s JOIN seed USING (vec_id))",
     ]
-    for i in range(iters + 1):  # final pass is the encode
-        parts.append(
-            f"d{i + 1} AS (SELECT s.vec_id, s.m, c.code,"
-            f" sum((s.xq - c.cq) * (s.xq - c.cq)) AS d"
-            f" FROM sub s JOIN cb{i} c ON s.m = c.m AND s.pos = c.pos"
-            f" GROUP BY s.vec_id, s.m, c.code)"
-        )
-        parts.append(
-            f"a{i + 1} AS (SELECT vec_id, m, code FROM ("
-            f"SELECT vec_id, m, code,"
-            f" row_number() OVER (PARTITION BY vec_id, m"
-            f" ORDER BY d, code) AS rn FROM d{i + 1}) WHERE rn = 1)"
-        )
-        if i < iters:
-            parts.append(
-                f"cb{i + 1} AS (SELECT s.m, a.code, s.pos,"
-                f" CAST(floor(CAST(sum(s.xq) AS DOUBLE) / count(*))"
-                f" AS BIGINT) AS cq"
-                f" FROM sub s JOIN a{i + 1} a"
-                f" ON s.vec_id = a.vec_id AND s.m = a.m"
-                f" GROUP BY s.m, a.code, s.pos)"
-            )
-    parts.append(
-        f"codes AS (SELECT vec_id, m, code FROM a{iters + 1})"
-    )
-    return parts
+    return parts + _pq_codebook_parts(iters, src="sub", pfx="")
 
 
 @query(
@@ -2958,3 +2971,97 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_ops.pq_train(vecs, iters=1, dim=_PQ_DIM)
     codes = pq_ops.pq_encode(vecs, cb, dim=_PQ_DIM)
     return pq_ops.pq_adc_topk(codes, cb, queries_df, k=5, dim=_PQ_DIM)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse kmeans cells + residual PQ + probed ADC (pq.ivfpq_topk)
+# ---------------------------------------------------------------------------
+_IVFPQ_CELLS, _IVFPQ_PROBE = 8, 2
+
+
+def _ivfpq_sql() -> str:
+    q = float(similarity.KMEANS_QUANT)
+    parts = _kmeans_parts(_IVFPQ_CELLS, 1, quantized_assign=True)
+    parts.append(
+        "rs0 AS (SELECT l.vec_id, l.embedding, r.rep_vec,"
+        " unnest(generate_series(1, len(l.embedding))) AS i"
+        " FROM lab l JOIN reps r USING (cell))"
+    )
+    parts.append(
+        f"rsub AS (SELECT vec_id, (i-1) // {_PQ_SUB} AS m,"
+        f" (i-1) % {_PQ_SUB} AS pos,"
+        f" CAST(floor((CAST(embedding[i] AS DOUBLE) - rep_vec[i]) * {q!r})"
+        f" AS BIGINT) AS xq FROM rs0)"
+    )
+    parts += _pq_codebook_parts(1, src="rsub", pfx="r")
+    cnorm = "sqrt(" + _dot_sql("rep_vec", "rep_vec") + ")"
+    parts.append(
+        f"cnf AS (SELECT cell, list_transform(rep_vec,"
+        f" x -> CAST(floor(x / {cnorm} * {q!r}) AS BIGINT)) AS cn FROM reps)"
+    )
+    parts.append(
+        "qqv AS (SELECT vec_id AS query_id, embedding, qvec FROM qv"
+        " WHERE vec_id < 8)"
+    )
+    iqdot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(generate_series(1, len(q.qvec)),"
+        " i -> q.qvec[i] * c.cn[i])), (x, y) -> x + y)"
+    )
+    parts.append(
+        f"probe AS (SELECT query_id, cell FROM ("
+        f"SELECT q.query_id, c.cell,"
+        f" row_number() OVER (PARTITION BY q.query_id"
+        f" ORDER BY {iqdot} DESC, c.cell) AS rn"
+        f" FROM qqv q CROSS JOIN cnf c) WHERE rn <= {_IVFPQ_PROBE})"
+    )
+    parts.append(
+        "qr0 AS (SELECT p.query_id, p.cell, q.embedding, r.rep_vec,"
+        " unnest(generate_series(1, len(q.embedding))) AS i"
+        " FROM probe p JOIN reps r USING (cell)"
+        " JOIN qqv q USING (query_id))"
+    )
+    parts.append(
+        f"qrsub AS (SELECT query_id, cell, (i-1) // {_PQ_SUB} AS m,"
+        f" (i-1) % {_PQ_SUB} AS pos,"
+        f" CAST(floor((CAST(embedding[i] AS DOUBLE) - rep_vec[i]) * {q!r})"
+        f" AS BIGINT) AS qq FROM qr0)"
+    )
+    parts.append(
+        "lut AS (SELECT query_id, cell, c.m, c.code,"
+        " sum((qq - cq) * (qq - cq)) AS d"
+        " FROM qrsub s JOIN rcb1 c ON s.m = c.m AND s.pos = c.pos"
+        " GROUP BY query_id, cell, c.m, c.code)"
+    )
+    parts.append(
+        "sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,"
+        " CAST(sum(l.d) AS BIGINT) AS adc_dist"
+        " FROM rcodes cd JOIN lab lb USING (vec_id)"
+        " JOIN lut l ON l.cell = lb.cell AND l.m = cd.m AND l.code = cd.code"
+        " GROUP BY l.query_id, cd.vec_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM sc) WHERE rank <= 5
+    """
+    )
+
+
+@query("ann_topk_ivfpq", oracle=_ivfpq_sql())
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF-PQ top-5: coarse cells partition the corpus,
+    residual PQ codes compress it, queries probe 2 cells and score
+    members via integer ADC tables — the float corpus is never read at
+    query time."""
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    return pq_ops.ivfpq_topk(
+        vecs, queries_df,
+        n_cells=_IVFPQ_CELLS, cell_iters=1, pq_iters=1,
+        n_probe=_IVFPQ_PROBE, k=5, dim=_PQ_DIM, spread=None,
+    )

@@ -97,3 +97,75 @@ def test_adc_distance_is_exact_integer_lut_sum(pq_vecs):
         for pos in range(4):
             want += (qq[m * 4 + pos] - cb[(m, code, pos)]) ** 2
     assert target["adc_dist"] == want
+
+
+def test_ivfpq_recovers_groups_and_is_partitioning_invariant(pq_vecs):
+    """IVF-PQ with cells ~ groups: each query's top-5 are same-group
+    members (the probe finds the right cell, residual ADC ranks within
+    it), and the whole index/query pipeline is invariant to input
+    partitioning."""
+    queries = pq_vecs.filter(F.col("vec_id") < 8)
+    out = pq.ivfpq_topk(
+        pq_vecs.repartition(7), queries, n_cells=8, cell_iters=1,
+        m=4, k_pq=8, pq_iters=1, n_probe=2, k=5, dim=16,
+    ).collect()
+    out2 = pq.ivfpq_topk(
+        pq_vecs.repartition(3), queries, n_cells=8, cell_iters=1,
+        m=4, k_pq=8, pq_iters=1, n_probe=2, k=5, dim=16,
+    ).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in out2}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(8))
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(r["neighbor_id"] % 8 == qid % 8 for r in rows)
+        ds = [r["adc_dist"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ds == sorted(ds)
+
+
+def test_residual_pq_reconstruction_beats_raw_pq(spark, pq_vecs):
+    """The point of residual encoding: a starved code budget (k_pq=4
+    codes per subspace vs 8 well-separated groups) cannot cover the
+    CENTER-scale spread of raw coordinates, but covers the NOISE-scale
+    residual spread easily — reconstruction MSE must drop by orders of
+    magnitude (measured ~15,000x on this fixture)."""
+    from gush_spark.operators.similarity import KMEANS_QUANT, kmeans_cells
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"]) for r in pq_vecs.collect()
+    }
+
+    def reconstruct(df16, base):
+        cb = pq.pq_train(df16, m=4, k=4, iters=1, dim=16)
+        codes = pq.pq_encode(df16, cb, dim=16)
+        c = {
+            (r["m"], r["code"], r["pos"]): r["cq"] / KMEANS_QUANT
+            for r in cb.collect()
+        }
+        word = {}
+        for r in codes.collect():
+            word.setdefault(r["vec_id"], {})[r["m"]] = r["code"]
+        errs = []
+        for i, v in vecs.items():
+            rec = base(i) + np.array(
+                [c[(m, word[i][m], p)] for m in range(4) for p in range(4)]
+            )
+            errs.append(float(np.mean((v - rec) ** 2)))
+        return float(np.mean(errs))
+
+    raw_mse = reconstruct(pq_vecs, lambda i: 0.0)
+
+    assigns, cents = kmeans_cells(
+        pq_vecs, n_cells=8, iters=1, assign_quantized=True
+    )
+    amap = {r["vec_id"]: r["cell"] for r in assigns.collect()}
+    cmap = {r["cell"]: np.array(r["rep_vec"]) for r in cents.collect()}
+    res_rows = [
+        (i, [float(x) for x in vecs[i] - cmap[amap[i]]]) for i in vecs
+    ]
+    rdf = spark.createDataFrame(res_rows, ["vec_id", "embedding"])
+    res_mse = reconstruct(rdf, lambda i: cmap[amap[i]])
+
+    assert res_mse * 100 < raw_mse

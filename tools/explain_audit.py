@@ -443,6 +443,33 @@ def main() -> int:
     check("pq.topk_window_group_limit", "WindowGroupLimit" in p,
           "ADC top-k not WindowGroupLimit")
 
+    # IVF-PQ composition: same invariants end to end — centroids, PQ
+    # codebook and LUTs all broadcast; no embedding array ever shuffles
+    p = plan_of(
+        pq_ops.ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") < 8),
+            n_cells=8, cell_iters=1, pq_iters=1, n_probe=2, k=5, dim=64,
+        )
+    )
+    # embedding arrays may cross ONLY the vec_id-keyed index-build
+    # co-location exchange (vectors ⋈ assignments for residuals) —
+    # never a query-time or non-id-keyed one
+    bad = None
+    for mm in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]"
+        r"\s*\nArguments: ([^\n]*)",
+        p,
+    ):
+        if "embedding#" in mm.group(1) and "hashpartitioning(vec_id#" \
+                not in mm.group(2):
+            bad = f"non-id-keyed vector exchange: {mm.group(2)[:100]}"
+    check("ivfpq.vectors_only_cross_idkeyed_build_exchange",
+          bad is None, bad or "")
+    check("ivfpq.no_shuffle_joins_on_codes_or_lut",
+          "ShuffledHashJoin" not in p
+          and not re.search(r"SortMergeJoin.*(code|cell)", p),
+          "a codes/LUT join fell back to a shuffle join")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
