@@ -3065,3 +3065,69 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_IVFPQ_CELLS, cell_iters=1, pq_iters=1,
         n_probe=_IVFPQ_PROBE, k=5, dim=_PQ_DIM, spread=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (operators/snapshot.py). Two deterministic
+# snapshot views of `documents` stand in for yesterday/today corpus
+# versions: the old snapshot drops doc_id % 11 == 0 (those become
+# 'added'), the new snapshot drops % 13 == 0 ('removed'), and docs with
+# % 7 == 0 carry a ' v1' suffix only in the old text ('changed').
+
+_SNAP_CTES = f"""
+    oldt AS (SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END
+                      AS text
+             FROM documents WHERE doc_id % 11 <> 0),
+    newt AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+    ofp AS (SELECT doc_id, md5({NORM}) AS old_fp FROM oldt),
+    nfp AS (SELECT doc_id, md5({NORM}) AS new_fp FROM newt),
+    diff AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.old_fp IS DISTINCT FROM n.new_fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id)
+"""
+
+
+def _snapshot_views(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 11 != 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v1"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter("doc_id % 13 != 0")
+    return old, new
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"WITH {_SNAP_CTES} SELECT doc_id, old_fp, new_fp, status FROM diff",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version corpus diff: added/removed/changed/unchanged
+    per doc id — both sides reduced map-only to (id, 16-byte
+    fingerprint) before the single full-outer id join, so raw text
+    never crosses an exchange."""
+    from gush_spark.operators import snapshot
+
+    old, new = _snapshot_views(spark, sf_dir)
+    return snapshot.snapshot_diff(old, new, "doc_id", "text")
+
+
+@query(
+    "snapshot_diff_summary",
+    oracle=f"""WITH {_SNAP_CTES}
+    SELECT status, count(*) AS n FROM diff GROUP BY status""",
+)
+def q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card delta: ≤ 4-row (status, n) rollup of the
+    snapshot diff, partial-combinable above the diff's id join."""
+    from gush_spark.operators import snapshot
+
+    old, new = _snapshot_views(spark, sf_dir)
+    return snapshot.snapshot_diff_summary(old, new, "doc_id", "text")
