@@ -75,3 +75,78 @@ def top_terms_per_window(counts: DataFrame, k: int) -> DataFrame:
         )
         .where(F.col("rnk") <= k)
     )
+
+
+def decayed_term_scores(
+    counts: DataFrame,
+    *,
+    now_s: int,
+    half_life_s: int,
+    max_buckets: int = 30,
+    k: int | None = None,
+) -> DataFrame:
+    """Recency-weighted term popularity: each windowed count decays by
+    half per ``half_life_s`` of age, so a term spiking NOW outranks one
+    that was big yesterday — the trending score behind "rising queries"
+    dashboards.
+
+    Takes the OUTPUT of ``windowed_term_counts`` (batch frame or the
+    read side of its streaming sink) — read-time finalize, the same
+    layering as streaming/sketches: the stream keeps one additive
+    counter per (window, term); decay is applied when asked, so
+    re-reading later re-decays correctly without touching state.
+
+    Cross-engine exactness: ages quantize to integer half-life buckets
+    (clamped at ``max_buckets``) and each count contributes
+    ``n << (max_buckets - bucket)`` to a BIGINT accumulator — the sum
+    is exact integer arithmetic in any order; the only float op is one
+    final division by 2^max_buckets (correctly rounded, identical on
+    both engines). Keep ``max_buckets + log2(max count)`` under 62 to
+    stay inside int64.
+
+    Scale: input is already reduced to (window, term, n); this is one
+    further term-keyed agg over vocabulary-sized data, then top-k via
+    orderBy+limit (TakeOrderedAndProject — per-partition heads, never a
+    global sort)."""
+    bucket = F.least(
+        F.floor(
+            (F.lit(now_s) - F.col("window_start").cast("timestamp").cast("long"))
+            / F.lit(half_life_s)
+        ).cast("int"),
+        F.lit(max_buckets),
+    )
+    scaled = (
+        counts.withColumn("_b", bucket)
+        .select(
+            "term",
+            F.col("n").alias("_n"),
+            (
+                F.col("n")
+                * F.expr(
+                    f"shiftleft(cast(1 as bigint), cast({max_buckets} - _b as int))"
+                )
+            ).alias("_w"),
+        )
+    )
+    out = (
+        scaled.groupBy("term")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.sum("_w").alias("score_scaled"),
+        )
+        .select(
+            "term",
+            "n",
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / F.lit(float(2**max_buckets)))
+            .alias("score"),
+        )
+    )
+    if k is None:
+        return out
+    top = out.orderBy(F.desc("score_scaled"), "term").limit(k)
+    w = Window.orderBy(F.desc("score_scaled"), "term")
+    return top.select(
+        "term", "n", "score_scaled", "score",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )

@@ -3131,3 +3131,58 @@ def q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old, new = _snapshot_views(spark, sf_dir)
     return snapshot.snapshot_diff_summary(old, new, "doc_id", "text")
+
+
+_DECAY_NOW = 1700000000 + 500 * 60   # "now" = just past the last synthetic ts
+_DECAY_HL = 3600                     # half-life = the window width
+_DECAY_B = 16                        # clamp; max bucket here is ~8
+
+
+@query(
+    "decayed_trending_terms",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    counted AS (
+      SELECT CAST(floor((1700000000 + doc_id * 60) / 3600) * 3600 AS BIGINT)
+               AS ws_s,
+             term, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE term != '' GROUP BY 1, 2),
+    scaled AS (
+      SELECT term, n,
+             n * (CAST(1 AS BIGINT) << ({_DECAY_B} - least(
+               CAST(floor(({_DECAY_NOW} - ws_s) / {_DECAY_HL}) AS INTEGER),
+               {_DECAY_B}))) AS w
+      FROM counted),
+    agg AS (
+      SELECT term, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS score_scaled
+      FROM scaled GROUP BY term),
+    ranked AS (
+      SELECT term, n, score_scaled,
+             CAST(score_scaled AS DOUBLE) / {float(2 ** _DECAY_B)!r} AS score,
+             CAST(row_number() OVER (ORDER BY score_scaled DESC, term)
+                  AS BIGINT) AS rnk
+      FROM agg)
+    SELECT term, n, score_scaled, score, rnk FROM ranked WHERE rnk <= 20
+    """,
+)
+def q_decayed_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed trending terms: windowed counts (the streaming-
+    compatible first stage) finalized by the exact-integer half-life
+    decay, global top-20 via TakeOrderedAndProject."""
+    from gush_spark.operators.trending import decayed_term_scores, windowed_term_counts
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 60)
+    )
+    counts = windowed_term_counts(
+        docs, ts_col="ts", text_col="text", window_duration="1 hour"
+    )
+    return decayed_term_scores(
+        counts,
+        now_s=_DECAY_NOW,
+        half_life_s=_DECAY_HL,
+        max_buckets=_DECAY_B,
+        k=20,
+    )

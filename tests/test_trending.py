@@ -176,3 +176,57 @@ def test_trending_through_exactly_once_sink_resume(spark, tmp_path):
         expected.sort_values(key).reset_index(drop=True)[key + ["n"]],
         resumed.sort_values(key).reset_index(drop=True)[key + ["n"]],
     )
+
+
+def test_decayed_scores_exact_and_recency_weighted(spark):
+    """Half-life decay: per-window counts contribute n·2^-age_buckets
+    exactly (dyadic integers, no float accumulation), so a small spike
+    NOW outranks a big count two half-lives ago."""
+    from gush_spark.operators.trending import decayed_term_scores
+
+    now = 10_000
+    counts = spark.createDataFrame(
+        [
+            # 'old' was huge two half-lives ago (age 2400s / hl 1200 = 2)
+            (now - 2400, "old", 100),
+            # 'fresh' is smaller but current (age 0)
+            (now, "fresh", 30),
+            # 'split' spans both windows
+            (now - 2400, "split", 8),
+            (now, "split", 8),
+        ],
+        "window_start long, term string, n long",
+    ).withColumn("window_start", F.timestamp_seconds("window_start"))
+    rows = {
+        r["term"]: r
+        for r in decayed_term_scores(
+            counts, now_s=now, half_life_s=1200, max_buckets=10
+        ).collect()
+    }
+    # exact dyadic values: score = sum(n · 2^-bucket)
+    assert rows["old"]["score"] == 100 * 0.25
+    assert rows["fresh"]["score"] == 30.0
+    assert rows["split"]["score"] == 8 * 0.25 + 8.0
+    assert rows["old"]["score_scaled"] == 100 * 2**8
+    # recency wins despite the 3x raw-count difference
+    assert rows["fresh"]["score"] > rows["old"]["score"]
+    top = decayed_term_scores(
+        counts, now_s=now, half_life_s=1200, max_buckets=10, k=2
+    ).collect()
+    assert [r["term"] for r in top] == ["fresh", "old"]
+    assert [r["rnk"] for r in top] == [1, 2]
+
+
+def test_decayed_scores_clamp_old_windows(spark):
+    """Windows older than max_buckets half-lives clamp to the floor
+    weight instead of shifting negative."""
+    from gush_spark.operators.trending import decayed_term_scores
+
+    counts = spark.createDataFrame(
+        [(0, "ancient", 1000)], "window_start long, term string, n long"
+    ).withColumn("window_start", F.timestamp_seconds("window_start"))
+    (row,) = decayed_term_scores(
+        counts, now_s=10**9, half_life_s=60, max_buckets=5
+    ).collect()
+    assert row["score_scaled"] == 1000  # n · 2^(B-B) = n
+    assert row["score"] == 1000 / 32
