@@ -3186,3 +3186,71 @@ def q_decayed_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_buckets=_DECAY_B,
         k=20,
     )
+
+
+_EXPECT_SQL = f"""
+    rep AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_text,
+             CAST(sum(CASE WHEN text IS NOT NULL AND {NORM} = '' THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_empty,
+             CAST(count(DISTINCT md5({NORM})) AS BIGINT) AS n_distinct,
+             CAST(count(text) AS BIGINT) AS _nn,
+             CAST(min(length(text)) AS BIGINT) AS min_chars,
+             CAST(max(length(text)) AS BIGINT) AS max_chars,
+             CAST(sum(length(text)) AS BIGINT) AS _sum_chars
+      FROM documents GROUP BY source),
+    report AS (
+      SELECT source, n_rows, n_null_text, n_empty, n_distinct,
+             _nn - n_distinct AS n_dups,
+             CAST(n_null_text AS DOUBLE) / n_rows AS null_rate,
+             CAST(_nn - n_distinct AS DOUBLE) / n_rows AS dup_rate,
+             min_chars, max_chars,
+             CAST(_sum_chars AS DOUBLE) / _nn AS avg_chars
+      FROM rep)
+"""
+
+
+@query(
+    "data_expectations_report",
+    oracle=f"WITH {_EXPECT_SQL} SELECT * FROM report",
+)
+def q_data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-quality audit (operators/validate.py): one
+    partial-combinable pass; exact dup counts via count-distinct over
+    16-byte fingerprints."""
+    from gush_spark.operators.validate import expectations_report
+
+    return expectations_report(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "data_expectation_violations",
+    oracle=f"""WITH {_EXPECT_SQL}
+    SELECT report.*,
+           n_rows < 50 AS viol_min_rows,
+           null_rate > 0.01 AS viol_null_rate,
+           dup_rate > 0.05 AS viol_dup_rate,
+           avg_chars < 20.0 AS viol_avg_chars,
+           NOT (n_rows < 50 OR null_rate > 0.01 OR dup_rate > 0.05
+                OR avg_chars < 20.0) AS ok
+    FROM report""",
+)
+def q_data_expectation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded release gate over the expectations report —
+    map-only flags per source."""
+    from gush_spark.operators.validate import (
+        expectation_violations,
+        expectations_report,
+    )
+
+    report = expectations_report(load(spark, sf_dir, "documents"))
+    return expectation_violations(
+        report,
+        min_rows=50,
+        max_null_rate=0.01,
+        max_dup_rate=0.05,
+        min_avg_chars=20.0,
+    )
