@@ -3254,3 +3254,31 @@ def q_data_expectation_violations(spark: SparkSession, sf_dir: str) -> DataFrame
         max_dup_rate=0.05,
         min_avg_chars=20.0,
     )
+
+
+@query(
+    "linear_classifier_scores",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tw AS (SELECT doc_id,
+                  ('0x' || substring(md5('q0' || term), 1, 8))::BIGINT
+                    % 2001 - 1000 AS wt
+           FROM tok WHERE term != ''),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(wt) AS BIGINT) AS score_scaled
+            FROM tw GROUP BY doc_id)
+    SELECT doc_id, n_tokens, score_scaled,
+           CAST(score_scaled AS DOUBLE) / (1000 * n_tokens) AS score,
+           CAST(score_scaled AS DOUBLE) / (1000 * n_tokens) >= 0.0 AS keep
+    FROM agg
+    """,
+)
+def q_linear_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/classifier.py): hashed
+    token weights summed integer-exact per doc, one final division —
+    the fastText-shaped scoring pass with a seeded-projection stand-in
+    weight table."""
+    from gush_spark.operators.classifier import linear_scores
+
+    return linear_scores(load(spark, sf_dir, "documents"), threshold=0.0)
