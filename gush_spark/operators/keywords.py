@@ -248,3 +248,78 @@ def cluster_topic_report(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Keyword search: top-``k`` documents for a bag of query terms by
+    summed BM25 term weight — the "show me the docs about X" lookup a
+    curator runs while debugging a corpus (and the retrieval baseline
+    ANN is measured against).
+
+    Scoring matches ``bm25_top_terms`` per term; per-doc accumulation
+    is exact: each term's score is scaled to an integer micro-score
+    (round(score·10^6) as BIGINT), summed — order-free — and divided
+    once at the end, so engines can't diverge on float addition order.
+
+    Scale shape: the query-term IN filter sits on the tf aggregation's
+    grouping column, so Catalyst pushes it below the join and only the
+    |query| postings lists flow into scoring; df/dl/totals are corpus
+    stats (full pass here — at 10^12 docs precompute them once as an
+    inverted-index table, the corpus_band_index analog, and this
+    function's plan works unchanged on the materialized form). Top-k
+    documents ride orderBy+limit (TakeOrderedAndProject, per-partition
+    heads — never a global sort)."""
+    tf = doc_term_freqs(docs, id_col, text_col)
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    totals = docs.select(F.count(F.lit(1)).alias("_n")).crossJoin(
+        tf.select(F.sum("tf").alias("_toks"))
+    )
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    avgdl = F.col("_toks") / F.col("_n")
+    term_score = idf * (
+        (F.col("tf") * F.lit(k1p1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(one_minus_b) + F.lit(b) * (F.col("dl") / avgdl))
+        )
+    )
+    micro = F.round(term_score * F.lit(1000000.0)).cast("long")
+    matched = (
+        tf.filter(F.col("term").isin(list(query_terms)))
+        .join(df_tab, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), micro.alias("_micro"))
+    )
+    agg = matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("_micro").alias("score_micro"),
+    )
+    top = agg.orderBy(F.desc("score_micro"), id_col).limit(k)
+    w = Window.orderBy(F.desc("score_micro"), id_col)
+    return top.select(
+        id_col,
+        "n_matched",
+        "score_micro",
+        (F.col("score_micro").cast("double") / F.lit(1000000.0)).alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

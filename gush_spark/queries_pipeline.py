@@ -3282,3 +3282,44 @@ def q_linear_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.classifier import linear_scores
 
     return linear_scores(load(spark, sf_dir, "documents"), threshold=0.0)
+
+
+_SEARCH_TERMS = ("shuffle", "watermark", "dup")
+
+
+@query(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH {_TF_CTES},
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+           GROUP BY doc_id),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS _n,
+                   (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS _toks),
+    micro AS (
+      SELECT tf.doc_id,
+             CAST(round(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5)), 6)
+                   * ((tf * {kw.BM25_K1 + 1.0!r}) /
+                      (tf + {kw.BM25_K1!r} * ({1.0 - kw.BM25_B!r}
+                       + {kw.BM25_B!r} * (dl / (_toks / _n)))))
+                   * 1000000.0) AS BIGINT) AS m
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+      WHERE term IN {_SEARCH_TERMS!r}),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+                   CAST(sum(m) AS BIGINT) AS score_micro
+            FROM micro GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, n_matched, score_micro,
+             CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM agg)
+    SELECT doc_id, n_matched, score_micro, score, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus: top-10 docs by summed BM25
+    weight for a fixed 3-term query; per-term micro-scores sum as
+    BIGINTs so accumulation order can't leak into the hash."""
+    docs = load(spark, sf_dir, "documents")
+    return kw.bm25_search(docs, list(_SEARCH_TERMS), k=10)

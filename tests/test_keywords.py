@@ -133,3 +133,41 @@ def test_empty_and_whitespace_docs_drop_out(spark):
     assert a["df"] == 2
     want = round(1 * round(math.log(5 / 3) + 1, 6), 6)
     assert a["tfidf"] == pytest.approx(want, abs=0)
+
+
+def test_bm25_search_ranks_full_matches_first(spark):
+    from gush_spark.operators.keywords import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle skew salt shuffle"),
+            (2, "shuffle only here with lots of other filler words around"),
+            (3, "completely unrelated text about gardens"),
+            (4, "skew and salt appear together salt"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(docs, ["shuffle", "skew", "salt"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids  # no query term -> not a hit
+    assert ids[0] in (1, 4) and set(ids) == {1, 2, 4}
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["n_matched"] == 3  # shuffle + skew + salt
+    assert by_id[4]["n_matched"] == 2
+    assert by_id[2]["n_matched"] == 1
+    # ranks are 1..n and ordered by score
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
+
+
+def test_bm25_search_topk_plans_ordered_limit(spark):
+    from gush_spark.operators.keywords import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} shuffle filler") for i in range(200)],
+        "doc_id long, text string",
+    )
+    df = bm25_search(docs, ["shuffle"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heads, no global sort
+    assert len(df.collect()) == 5
