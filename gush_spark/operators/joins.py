@@ -158,3 +158,57 @@ def as_of_join(
         *[F.col(f"_row.{c}").alias(c) for c in left.columns],
         *[F.col(f"_f.{c}").alias(f"{prefix}{c}") for c in carry],
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int,
+) -> DataFrame:
+    """Range/interval join: each event row pairs with every interval
+    row (same ``keys``) whose ``[start, end]`` contains its timestamp
+    (inclusive both ends) — sessions-to-events, outage-windows-to-
+    errors, promo-windows-to-purchases.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin —
+    quadratic, dead at scale. This is the bin-bucketing form: each
+    interval explodes to the epoch buckets it covers (``sequence``),
+    each event maps to its single bucket, and the join is a plain
+    EQUI-join on (keys…, bucket) with the exact range predicate as a
+    post-filter. An event's one bucket meets each covering interval
+    exactly once, so no dedup pass is needed. Pick ``bucket_s`` near
+    the typical interval length: replication per interval is
+    ~len/bucket_s + 1 rows (bounded, map-side), and the equi-join
+    shuffles/broadcasts like any other — AQE handles skewed buckets.
+
+    Inner-join semantics only: the exact range predicate is a
+    post-join filter, which would silently drop never-matched rows
+    under an outer join — anti/outer variants need the predicate
+    folded into the join condition instead.
+
+    Both timestamp columns may be timestamp or epoch-seconds longs.
+    """
+    ev_b = F.floor(
+        F.col(ts_col).cast("timestamp").cast("long") / F.lit(bucket_s)
+    )
+    iv_b = F.explode(
+        F.sequence(
+            F.floor(
+                F.col(start_col).cast("timestamp").cast("long") / F.lit(bucket_s)
+            ),
+            F.floor(
+                F.col(end_col).cast("timestamp").cast("long") / F.lit(bucket_s)
+            ),
+        )
+    )
+    ev = events.withColumn("_b", ev_b)
+    iv = intervals.withColumn("_b", iv_b)
+    joined = ev.join(iv, on=[*keys, "_b"], how="inner").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_b")

@@ -3323,3 +3323,49 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs so accumulation order can't leak into the hash."""
     docs = load(spark, sf_dir, "documents")
     return kw.bm25_search(docs, list(_SEARCH_TERMS), k=10)
+
+
+@query(
+    "interval_join_events",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                       event_type
+                FROM events),
+    iv AS (SELECT event_id AS window_id, user_id, ts_s AS start_s,
+                  ts_s + 1800 AS end_s
+           FROM ev WHERE event_type = 'purchase')
+    SELECT window_id, e.event_id, e.user_id, e.ts_s, iv.start_s, iv.end_s
+    FROM iv JOIN ev e ON e.user_id = iv.user_id
+                     AND e.ts_s >= iv.start_s AND e.ts_s <= iv.end_s
+    """,
+)
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed interval join (operators/joins.py): every event
+    inside the 30-minute window after each purchase of the same user —
+    an equi-join on (user, time-bucket), never a nested-loop range
+    join."""
+    from gush_spark.operators.joins import interval_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_type",
+    )
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts_s").alias("start_s"),
+        (F.col("ts_s") + 1800).alias("end_s"),
+    )
+    out = interval_join(
+        ev,
+        iv,
+        keys=["user_id"],
+        ts_col="ts_s",
+        start_col="start_s",
+        end_col="end_s",
+        bucket_s=1800,
+    )
+    return out.select("window_id", "event_id", "user_id", "ts_s", "start_s", "end_s")
