@@ -70,8 +70,13 @@ _DRIVER_WINDOW_FIRST = [
     "packed_training_sequences", "corpus_stats_report",
     "script_profile_report", "frequent_phrases", "frequent_phrases_hashed",
     "stratified_sample_quota", "top_docs_per_source",
-    "compression_ratio_scores", "ann_topk_ivf_kmeans", "ann_topk_ivf",
-    "hash_split_sample", "multimodal_blob_features",
+    "compression_ratio_scores", "ann_topk_ivf_kmeans",
+    "multimodal_blob_features",
+    # (ann_topk_ivf / hash_split_sample — both driver-green in r02 and
+    # unchanged since — rotate back out for two round-4 session-2
+    # operator families; the remaining session-2 queries queue for the
+    # r05 window, see COVERAGE.md)
+    "snapshot_diff", "interval_join_events",
     # (ann_topk_lsh / ann_topk_lsh_multiprobe rotate back out — both
     # driver-green in r02 — to keep every never-witnessed query inside
     # the ~50-entry window)
