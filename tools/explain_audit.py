@@ -470,6 +470,36 @@ def main() -> int:
           and not re.search(r"SortMergeJoin.*(code|cell)", p),
           "a codes/LUT join fell back to a shuffle join")
 
+    # Round-4 session 2: snapshot diff, interval join, classifier, search
+    from gush_spark import queries_pipeline as qp
+
+    p = plan_of(qp.q_snapshot_diff(spark, sf_dir))
+    bad = None
+    for line in p.splitlines():
+        if "Exchange" in line and "text#" in line:
+            bad = line[:120]
+    check("snapshot.no_text_exchange", bad is None, bad or "")
+
+    p = plan_of(qp.q_interval_join_events(spark, sf_dir))
+    check("interval.equi_join_not_nested_loop",
+          "BroadcastNestedLoopJoin" not in p
+          and "CartesianProduct" not in p,
+          "range join planned as nested loop")
+
+    p = plan_of(qp.q_linear_classifier_scores(spark, sf_dir))
+    check("classifier.hashed_weights_single_doc_exchange",
+          len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+          and "Join" not in p,
+          "hashed-weight scoring grew joins/exchanges")
+
+    p = plan_of(qp.q_bm25_search_topk(spark, sf_dir))
+    check("search.topk_take_ordered",
+          "TakeOrderedAndProject" in p, "global top-k is not TakeOrdered")
+    check("search.query_filter_below_stats_joins",
+          re.search(r"Filter.*term#\d+ IN", p) is not None
+          or "dynamicpruning" in p or " IN (" in p,
+          "query-term IN filter not visible in plan")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
