@@ -85,3 +85,92 @@ def mixture_resample(
         )
         .select(id_col, stratum_col, F.col("copy").cast("long").alias("copy"), "n_copies")
     )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    stratum_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Epoch planning under a token budget — the step before
+    ``mixture_resample`` when the unit is TOKENS, not documents: given
+    target mixture weights and a total training-token budget, how many
+    tokens (and therefore epochs) does each stratum contribute, with
+    repetition capped at ``max_epochs`` (repeating data much past ~4
+    epochs stops helping — Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models") and the capped strata's surplus
+    redistributed pro-rata across the uncapped ones (ONE redistribution
+    round; a second-order overflow past another stratum's cap is
+    reported in ``over_cap``, not silently re-spread).
+
+    Output per stratum: ``n_docs, toks_available, target_toks,
+    plan_toks, epochs, over_cap``. All allocation arithmetic is BIGINT
+    (pro-rata shares use integer division), so the plan is
+    engine/partitioning/retry-invariant; ``epochs`` is the single
+    final double division.
+
+    Scale shape: ONE map-side-combinable agg over the corpus keyed by
+    stratum; everything after operates on ≤ |strata| rows with 1-row
+    broadcast totals — driver never loops."""
+    if not weights:
+        raise ValueError("token_budget_plan needs at least one stratum weight")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()],
+        f"{stratum_col} string, _w double",
+    )
+    avail = (
+        df.groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("long").alias("toks_available"),
+        )
+        .join(F.broadcast(wdf), on=stratum_col, how="inner")
+    )
+    raw = avail.select(
+        stratum_col,
+        "n_docs",
+        "toks_available",
+        F.round(F.col("_w") * F.lit(budget)).cast("long").alias("target_toks"),
+        (F.lit(max_epochs) * F.col("toks_available")).alias("_cap_toks"),
+    ).select(
+        "*",
+        F.least(F.col("target_toks"), F.col("_cap_toks")).alias("_capped"),
+        (F.col("target_toks") > F.col("_cap_toks")).alias("_is_capped"),
+    )
+    totals = raw.agg(
+        F.sum(F.col("target_toks") - F.col("_capped")).alias("_surplus"),
+        F.sum(F.when(~F.col("_is_capped"), F.col("target_toks")).otherwise(0))
+        .alias("_uncapped_raw"),
+    )
+    planned = raw.crossJoin(F.broadcast(totals)).select(
+        stratum_col,
+        "n_docs",
+        "toks_available",
+        "target_toks",
+        (
+            F.col("_capped")
+            + F.when(
+                F.col("_is_capped") | (F.col("_uncapped_raw") == 0), F.lit(0)
+            ).otherwise(
+                # BIGINT pro-rata: true integer division, never a
+                # double round-then-truncate
+                F.expr("(_surplus * target_toks) div _uncapped_raw")
+            ).cast("long")
+        ).alias("plan_toks"),
+        "_cap_toks",
+    )
+    return planned.select(
+        stratum_col,
+        "n_docs",
+        "toks_available",
+        "target_toks",
+        "plan_toks",
+        (
+            F.col("plan_toks").cast("double") / F.col("toks_available")
+        ).alias("epochs"),
+        (F.col("plan_toks") > F.col("_cap_toks")).alias("over_cap"),
+    )

@@ -3369,3 +3369,67 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_s=1800,
     )
     return out.select("window_id", "event_id", "user_id", "ts_s", "start_s", "end_s")
+
+
+_PLAN_W = {"en": 0.55, "zh": 0.25, "es": 0.2}
+_PLAN_BUDGET = 400_000
+_PLAN_CAP = 3
+
+
+@query(
+    "token_budget_plan",
+    oracle=f"""
+    WITH {BASE},
+    toks AS (SELECT doc_id, d.lang,
+                    CAST(CASE WHEN norm IS NULL OR norm = '' THEN 0
+                         ELSE len(string_split(norm, ' ')) END AS BIGINT)
+                      AS n_toks
+             FROM base JOIN documents d USING (doc_id)),
+    avail AS (SELECT lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_toks) AS BIGINT) AS toks_available
+              FROM toks GROUP BY lang),
+    w(lang, _w) AS (VALUES ('en', 0.55), ('zh', 0.25), ('es', 0.2)),
+    raw AS (SELECT a.lang, n_docs, toks_available,
+                   CAST(round(_w * {_PLAN_BUDGET}) AS BIGINT) AS target_toks,
+                   {_PLAN_CAP} * toks_available AS _cap_toks
+            FROM avail a JOIN w ON a.lang = w.lang),
+    raw2 AS (SELECT *,
+                    least(target_toks, _cap_toks) AS _capped,
+                    target_toks > _cap_toks AS _is_capped
+             FROM raw),
+    tot AS (SELECT CAST(sum(target_toks - _capped) AS BIGINT) AS _surplus,
+                   CAST(sum(CASE WHEN NOT _is_capped THEN target_toks
+                            ELSE 0 END) AS BIGINT) AS _uncapped_raw
+            FROM raw2),
+    planned AS (SELECT lang, n_docs, toks_available, target_toks,
+                       _capped + CASE WHEN _is_capped OR _uncapped_raw = 0
+                                      THEN 0
+                                      ELSE (_surplus * target_toks)
+                                           // _uncapped_raw END AS plan_toks,
+                       _cap_toks
+                FROM raw2 CROSS JOIN tot)
+    SELECT lang, n_docs, toks_available, target_toks, plan_toks,
+           CAST(plan_toks AS DOUBLE) / toks_available AS epochs,
+           plan_toks > _cap_toks AS over_cap
+    FROM planned
+    """,
+)
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner (operators/mixture.py): per-language
+    token allocations under a 400k budget with a 3-epoch repetition cap
+    and integer pro-rata redistribution of the capped surplus."""
+    from gush_spark.functions.text_analysis import norm_text, words_of
+    from gush_spark.operators.mixture import token_budget_plan
+
+    norm = norm_text(F.col("text"))
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(norm.isNull() | (norm == ""), F.lit(0))
+        .otherwise(F.size(words_of(F.col("text"))))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    return token_budget_plan(
+        docs, "lang", "n_toks", _PLAN_W, _PLAN_BUDGET, max_epochs=_PLAN_CAP
+    )

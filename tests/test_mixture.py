@@ -61,3 +61,70 @@ def test_targets_join_is_broadcast(spark, corpus):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_plan_caps_and_redistributes(spark):
+    """A scarce stratum hits the epoch cap; its surplus redistributes
+    pro-rata (BIGINT integer division) across the uncapped strata."""
+    from gush_spark.operators.mixture import token_budget_plan
+
+    docs = spark.createDataFrame(
+        [
+            # 'rare': only 100 tokens available
+            ("rare", 60), ("rare", 40),
+            # 'big': 10_000 tokens
+            *[("big", 1000)] * 10,
+            # 'mid': 5_000 tokens
+            *[("mid", 500)] * 10,
+            # 'unlisted' stratum gets no weight -> excluded
+            ("unlisted", 999),
+        ],
+        "src string, n_toks long",
+    )
+    plan = {
+        r["src"]: r
+        for r in token_budget_plan(
+            docs, "src", "n_toks",
+            {"rare": 0.5, "big": 0.3, "mid": 0.2},
+            budget=10_000, max_epochs=2,
+        ).collect()
+    }
+    assert set(plan) == {"rare", "big", "mid"}
+    rare, big, mid = plan["rare"], plan["big"], plan["mid"]
+    # rare wanted 5000 but holds 100 tokens at cap 2 -> 200, epochs 2.0
+    assert rare["target_toks"] == 5000
+    assert rare["plan_toks"] == 200 and rare["epochs"] == 2.0
+    assert rare["over_cap"] is False
+    # surplus 4800 redistributes 3000:2000 pro rata (integer div)
+    assert big["plan_toks"] == 3000 + (4800 * 3000) // 5000
+    assert mid["plan_toks"] == 2000 + (4800 * 2000) // 5000
+    assert big["epochs"] == big["plan_toks"] / 10_000
+    assert not big["over_cap"] and not mid["over_cap"]
+
+
+def test_token_budget_plan_flags_second_order_overflow(spark):
+    """Redistribution pushing an uncapped stratum past ITS cap is
+    reported, never silently re-spread."""
+    from gush_spark.operators.mixture import token_budget_plan
+
+    docs = spark.createDataFrame(
+        [("rare", 100), ("tight", 4000), ("big", 50_000)],
+        "src string, n_toks long",
+    )
+    plan = {
+        r["src"]: r
+        for r in token_budget_plan(
+            docs, "src", "n_toks",
+            {"rare": 0.8, "tight": 0.1, "big": 0.1},
+            budget=100_000, max_epochs=1,
+        ).collect()
+    }
+    # rare wants 80k, holds 100 @cap1; tight wants 10k, holds 4000 @cap1
+    # (first-pass capped). surplus 79_900 + 6_000 = 85_900 all lands on
+    # big (the only uncapped stratum): 10k + 85_900 = 95_900 > its own
+    # 50k cap -> flagged, not silently re-spread
+    assert plan["rare"]["plan_toks"] == 100
+    assert plan["tight"]["plan_toks"] == 4000
+    assert plan["tight"]["over_cap"] is False  # sits exactly at cap
+    assert plan["big"]["plan_toks"] == 95_900
+    assert plan["big"]["over_cap"] is True
