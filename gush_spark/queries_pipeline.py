@@ -3433,3 +3433,97 @@ def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_plan(
         docs, "lang", "n_toks", _PLAN_W, _PLAN_BUDGET, max_epochs=_PLAN_CAP
     )
+
+
+@query(
+    "host_hierarchy_rollup",
+    oracle="WITH " + _URL_SQL + r"""
+    , hosts AS (
+      SELECT regexp_replace(regexp_replace(
+               lower(regexp_extract(trim(url),
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)),
+               '^www\.', ''), ':\d+$', '') AS host
+      FROM urls
+      WHERE regexp_extract(trim(url),
+              '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2) <> ''),
+    lv AS (
+      SELECT regexp_extract(host, '[^.]+$') AS tld,
+             regexp_extract(host, '[^.]+\.[^.]+$') AS registered_domain,
+             host
+      FROM hosts)
+    SELECT tld, registered_domain, host, CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING(tld, registered_domain, host) AS BIGINT) AS lvl
+    FROM lv GROUP BY ROLLUP(tld, registered_domain, host)
+    """,
+)
+def q_host_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-stats rollup over the URL hierarchy (tld → registered
+    domain → host): ONE pass with ROLLUP grouping sets — subtotal rows
+    disambiguated from genuine nulls by grouping_id (same bitmask
+    convention both engines). Invalid URLs (no authority) are dropped
+    before the rollup."""
+    from gush_spark.operators.urls import canonicalize_url
+
+    docs = load(spark, sf_dir, "documents")
+    cols = canonicalize_url(_messy_url())
+    base = (
+        docs.select(
+            cols["host"].alias("host"),
+            cols["registered_domain"].alias("registered_domain"),
+        )
+        .filter(F.col("host").isNotNull())
+        .withColumn("tld", F.regexp_extract("host", r"[^.]+$", 0))
+    )
+    return (
+        base.rollup("tld", "registered_domain", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+        .select("tld", "registered_domain", "host", "n", "lvl")
+    )
+
+
+@query(
+    "quality_percentile_by_source",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    feats AS (SELECT doc_id, {QUALITY_RATIOS} FROM w),
+    quality AS (SELECT doc_id, {QUALITY_SCORE} AS quality_score FROM feats),
+    ranked AS (
+      SELECT q.doc_id, d.source, q.quality_score,
+             percent_rank() OVER (PARTITION BY d.source
+                                  ORDER BY q.quality_score) AS pct
+      FROM quality q JOIN documents d USING (doc_id))
+    SELECT doc_id, source, quality_score, pct,
+           least(CAST(floor(pct * 10) AS BIGINT), 9) AS source_decile
+    FROM ranked
+    """,
+)
+def q_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-relative quality normalization: percent_rank within each
+    source makes scores comparable ACROSS sources with different score
+    distributions (a mediocre doc from a stellar source shouldn't
+    outrank a great doc from a noisy one) — the complement to the
+    corpus-relative decile binning. One window per source partition;
+    for mega-sources the decile-boundary form (quality_decile_
+    assignment) is the sort-free alternative."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    feats = ta.quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id", "source", feats["quality_score"].alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy("quality_score")
+    return scored.select(
+        "*", F.percent_rank().over(w).alias("pct")
+    ).select(
+        "doc_id",
+        "source",
+        "quality_score",
+        "pct",
+        F.least(F.floor(F.col("pct") * 10).cast("long"), F.lit(9)).alias(
+            "source_decile"
+        ),
+    )

@@ -98,3 +98,42 @@ def test_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_host_hierarchy_rollup_levels(spark):
+    """ROLLUP over (tld, domain, host) in one pass; grouping_id
+    separates subtotal nulls from data nulls."""
+    from gush_spark.operators.urls import canonicalize_url
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/1",),
+            ("https://b.example.com/2",),
+            ("https://other.net/3",),
+            ("garbage-not-a-url",),
+        ],
+        "url string",
+    )
+    cols = canonicalize_url(F.col("url"))
+    base = (
+        df.select(
+            cols["host"].alias("host"),
+            cols["registered_domain"].alias("registered_domain"),
+        )
+        .filter(F.col("host").isNotNull())
+        .withColumn("tld", F.regexp_extract("host", r"[^.]+$", 0))
+    )
+    out = (
+        base.rollup("tld", "registered_domain", "host")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.grouping_id().cast("long").alias("lvl"))
+        .collect()
+    )
+    rows = {(r["tld"], r["registered_domain"], r["host"], r["lvl"]): r["n"]
+            for r in out}
+    assert rows[(None, None, None, 7)] == 3          # grand total, no garbage
+    assert rows[("com", None, None, 3)] == 2          # per-tld
+    assert rows[("com", "example.com", None, 1)] == 2  # per-domain
+    assert rows[("com", "example.com", "a.example.com", 0)] == 1
+    assert rows[("net", "other.net", "other.net", 0)] == 1
