@@ -733,3 +733,83 @@ def semantic_canonical_vecs(
         scored, id_col, "neg_centroid_cos",
     )
     return out.withColumnRenamed("cluster_id", "sem_cluster_id")
+
+
+def label_centroid_sums(
+    vectors: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    *,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-group quantized centroid SUM vectors: each coordinate is
+    ``Σ floor(x · 2^scale_bits)`` as BIGINT — exact in any accumulation
+    order, unlike a float mean (the same quantize-first trick as the
+    PQ/k-means training path, operators/pq.py). Cosine is
+    scale-invariant, so downstream similarity never needs the division
+    by n: the sum vector IS the centroid direction.
+
+    One posexplode + (group, pos)-keyed agg — the only exchange carries
+    (group, pos, partial long sums); vectors never shuffle whole."""
+    q = F.floor(
+        F.col("x").cast("double") * F.lit(float(1 << scale_bits))
+    ).cast("long")
+    per_dim = (
+        vectors.select(group_col, F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .withColumn("q", q)
+        .groupBy(group_col, "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda st: st["s"],
+        ).alias("csum"),
+        F.max("cnt").cast("long").alias("n"),
+    )
+
+
+def centroid_similarity_map(
+    vectors: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    *,
+    scale_bits: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus cartography: pairwise cosine between group centroids
+    (source/label/cluster) — "which strata cover the same region of
+    embedding space" read alongside the cluster-topic report when
+    choosing mixture weights (near-identical strata are redundant
+    coverage; distant ones are diversity).
+
+    The pair join is |groups|² over rows holding one BIGINT array each
+    — strata counts (languages, sources, clusters) are thousands at
+    most, so this is KBs joined after the single corpus pass of
+    ``label_centroid_sums``. Cosine folds sequentially in double over
+    the quantized sums (deterministic; rounded to ``round_dp``), and
+    cosine's scale invariance makes sum vs mean irrelevant."""
+    sums = label_centroid_sums(
+        vectors, group_col, vec_col, scale_bits=scale_bits
+    )
+    a = sums.select(
+        F.col(group_col).alias("group_a"),
+        F.col("csum").alias("_ca"),
+        F.col("n").alias("n_a"),
+    )
+    b = sums.select(
+        F.col(group_col).alias("group_b"),
+        F.col("csum").alias("_cb"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("group_a") < F.col("group_b"))
+    cos = dot(F.col("_ca"), F.col("_cb")) / (
+        l2_norm(F.col("_ca")) * l2_norm(F.col("_cb"))
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(cos, round_dp).alias("cos_sim"),
+    )

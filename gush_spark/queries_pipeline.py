@@ -3527,3 +3527,37 @@ def q_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             "source_decile"
         ),
     )
+
+
+def _centroid_map_sql() -> str:
+    dot_ab = _dot_sql("a.csum", "b.csum")
+    dot_aa = _dot_sql("a.csum", "a.csum")
+    dot_bb = _dot_sql("b.csum", "b.csum")
+    return f"""
+    WITH ex AS (
+      SELECT label, i AS pos,
+             CAST(floor(embedding[i]::DOUBLE * 1048576.0) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    pd AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM ex GROUP BY label, pos),
+    cs AS (SELECT label, list(s ORDER BY pos) AS csum,
+                  CAST(max(cnt) AS BIGINT) AS n
+           FROM pd GROUP BY label)
+    SELECT a.label AS group_a, b.label AS group_b, a.n AS n_a, b.n AS n_b,
+           round(({dot_ab}) / (sqrt({dot_aa}) * sqrt({dot_bb})), 6)
+             AS cos_sim
+    FROM cs a JOIN cs b ON a.label < b.label
+    """
+
+
+@query("centroid_similarity_map", oracle=_centroid_map_sql())
+def q_centroid_similarity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids (operators/similarity.py
+    ::centroid_similarity_map): quantized BIGINT centroid sums from one
+    corpus pass, |labels|²-sized pair stage — the embedding-space
+    redundancy/diversity map for mixture planning."""
+    from gush_spark.operators.similarity import centroid_similarity_map
+
+    vecs = load(spark, sf_dir, "embeddings")
+    return centroid_similarity_map(vecs, "label", "embedding")

@@ -75,3 +75,46 @@ def test_trained_ivf_beats_minid_representatives(spark, clustered_vecs):
     r_minid, r_trained = _recall(minid, truth), _recall(trained, truth)
     assert r_trained >= 0.8
     assert r_trained >= r_minid + 0.3
+
+
+def test_centroid_map_math_and_scale_invariance(spark):
+    """Centroid cosine from quantized SUMS: orthogonal groups score ~0,
+    aligned groups ~1, and group size doesn't bias direction (cosine
+    scale invariance makes sum == mean)."""
+    from gush_spark.operators.similarity import centroid_similarity_map
+
+    rows = [
+        # group 'x' along e1, twice as many rows as 'x2' (same dir)
+        ("x", [1.0, 0.0, 0.0, 0.0]),
+        ("x", [2.0, 0.0, 0.0, 0.0]),
+        ("x", [3.0, 0.0, 0.0, 0.0]),
+        ("x2", [5.0, 0.0, 0.0, 0.0]),
+        # group 'y' along e2 — orthogonal to both
+        ("y", [0.0, 1.0, 0.0, 0.0]),
+        ("y", [0.0, 4.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in centroid_similarity_map(df, "label", "embedding").collect()
+    }
+    assert set(out) == {("x", "x2"), ("x", "y"), ("x2", "y")}
+    assert out[("x", "x2")]["cos_sim"] == 1.0
+    assert abs(out[("x", "y")]["cos_sim"]) < 1e-6
+    assert out[("x", "x2")]["n_a"] == 3 and out[("x", "x2")]["n_b"] == 1
+
+
+def test_centroid_sums_exact_bigints(spark):
+    from pyspark.sql import functions as F
+
+    from gush_spark.operators.similarity import label_centroid_sums
+
+    df = spark.createDataFrame(
+        [("g", [0.5, -0.5]), ("g", [0.25, 0.75])],
+        "label string, embedding array<float>",
+    )
+    (row,) = label_centroid_sums(df, "label", "embedding").collect()
+    s = 1 << 20
+    # floor quantization: 0.5*s + 0.25*s ; floor(-0.5*s) + 0.75*s
+    assert row["csum"] == [int(0.75 * s), int(-0.5 * s) + int(0.75 * s)]
+    assert row["n"] == 2
