@@ -150,3 +150,37 @@ def decayed_term_scores(
         "term", "n", "score_scaled", "score",
         F.row_number().over(w).cast("long").alias("rnk"),
     )
+
+
+def vocab_growth(
+    counts: DataFrame,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve from windowed term counts:
+    per window, how many terms appear for the FIRST time, plus the
+    running vocabulary size — the curve a curator reads to see whether
+    a crawl is still discovering new language or re-crawling the same
+    content (a flattening curve at constant volume = diminishing
+    coverage).
+
+    Input is ``windowed_term_counts`` output (batch frame or the read
+    side of the streaming counter sink) — like ``decayed_term_scores``
+    this is a read-time finalize, so the stream keeps additive state
+    only. Two aggregations over vocabulary-sized data: min(window) per
+    term, then counts per first-window; the cumulative sum runs over
+    ≤ |windows| rows (single-partition window over a tiny frame —
+    windows number in the thousands even for years of hourly data)."""
+    first = counts.groupBy("term").agg(
+        F.min("window_start").alias("first_window")
+    )
+    per_window = first.groupBy("first_window").agg(
+        F.count(F.lit(1)).alias("n_new_terms")
+    )
+    w = (
+        Window.orderBy("first_window")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_window.select(
+        F.col("first_window").alias("window_start"),
+        "n_new_terms",
+        F.sum("n_new_terms").over(w).alias("cum_vocab"),
+    )

@@ -3561,3 +3561,44 @@ def q_centroid_similarity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load(spark, sf_dir, "embeddings")
     return centroid_similarity_map(vecs, "label", "embedding")
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    counted AS (
+      SELECT CAST(floor((1700000000 + doc_id * 60) / 300) * 300 AS BIGINT)
+               AS ws_s,
+             term
+      FROM tok WHERE term != ''),
+    firsts AS (SELECT term, min(ws_s) AS first_window FROM counted
+               GROUP BY term),
+    pw AS (SELECT first_window, CAST(count(*) AS BIGINT) AS n_new_terms
+           FROM firsts GROUP BY first_window)
+    SELECT first_window AS window_start_s, n_new_terms,
+           CAST(sum(n_new_terms) OVER (ORDER BY first_window
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM pw
+    """,
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over the synthetic hourly stream:
+    first-appearance counts per window plus the running vocabulary
+    size (operators/trending.py::vocab_growth)."""
+    from gush_spark.operators.trending import vocab_growth, windowed_term_counts
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 60)
+    )
+    counts = windowed_term_counts(
+        docs, ts_col="ts", text_col="text", window_duration="5 minutes"
+    )
+    return vocab_growth(counts).select(
+        F.col("window_start").cast("timestamp").cast("long").alias(
+            "window_start_s"
+        ),
+        "n_new_terms",
+        "cum_vocab",
+    )

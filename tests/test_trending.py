@@ -230,3 +230,24 @@ def test_decayed_scores_clamp_old_windows(spark):
     ).collect()
     assert row["score_scaled"] == 1000  # n · 2^(B-B) = n
     assert row["score"] == 1000 / 32
+
+
+def test_vocab_growth_firsts_and_cumulative(spark):
+    from gush_spark.operators.trending import vocab_growth
+
+    counts = spark.createDataFrame(
+        [
+            (0, "alpha", 3),
+            (0, "beta", 1),
+            (600, "alpha", 5),   # repeat -> not new
+            (600, "gamma", 1),   # new in window 2
+            (1200, "alpha", 1),  # nothing new in window 3 -> no row
+            (1800, "delta", 1),
+        ],
+        "window_start long, term string, n long",
+    ).withColumn("window_start", F.timestamp_seconds("window_start"))
+    rows = {
+        r["window_start"].timestamp(): (r["n_new_terms"], r["cum_vocab"])
+        for r in vocab_growth(counts).collect()
+    }
+    assert rows == {0.0: (2, 2), 600.0: (1, 3), 1800.0: (1, 4)}

@@ -59,6 +59,15 @@ HEAVY = [
     "dsir_importance_scores",
     "dsir_resample",
     "canonical_best_docs",
+    # round-4 session 2 (documents-driven only: the events/embeddings
+    # queries would see a 1x input from this documents-only fixture)
+    "snapshot_diff",
+    "data_expectations_report",
+    "linear_classifier_scores",
+    "bm25_search_topk",
+    "decayed_trending_terms",
+    "quality_percentile_by_source",
+    "token_budget_plan",
 ]
 
 N_VARIANTS = 10
