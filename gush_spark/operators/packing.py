@@ -118,3 +118,47 @@ def materialize_sequences(
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+def packing_efficiency_report(
+    packed: DataFrame,
+    *,
+    budget: int,
+) -> DataFrame:
+    """One-row utilization audit over ``pack_sequences`` output: how
+    full the training sequences actually are — the number a pipeline
+    owner watches when choosing ``budget`` and bucket count (a low
+    fill rate wastes accelerator time on padding; a high split rate
+    means documents fragment across sequence boundaries).
+
+    Sequences are identified by (bucket, seq_id); a sequence's used
+    tokens are the max(seq_offset + doc tokens) inside it, capped at
+    ``budget`` (the final doc of a sequence may spill into the next —
+    the spill belongs to the next sequence's fill). All counts are
+    BIGINTs; the two rates are single divisions.
+
+    Scale: one (bucket, seq_id)-keyed agg over the packing frame (id
+    + longs only), then a global 1-row fold — partial-combinable all
+    the way."""
+    used = F.least(
+        F.max(F.col("seq_offset") + F.col("n_tokens")), F.lit(budget)
+    )
+    per_seq = packed.groupBy("bucket", "seq_id").agg(
+        used.alias("used_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("split").cast("int")).alias("n_split"),
+    )
+    return per_seq.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("used_tokens").alias("used_tokens"),
+        (F.count(F.lit(1)) * F.lit(budget)).alias("capacity_tokens"),
+        (
+            F.sum("used_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.lit(budget))
+        ).alias("fill_rate"),
+        F.sum("n_split").alias("n_split_docs"),
+        (
+            F.sum("n_split").cast("double") / F.sum("n_docs")
+        ).alias("split_rate"),
+    )

@@ -3602,3 +3602,57 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_terms",
         "cum_vocab",
     )
+
+
+@query(
+    "packing_efficiency_report",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    sized AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS ok,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 8 AS bucket
+              FROM w),
+    laid AS (SELECT doc_id, n_tokens, bucket,
+                    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY ok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens AS start
+             FROM sized),
+    packed AS (SELECT doc_id, n_tokens, bucket,
+                      bucket * {1 << 40} + CAST(floor(start / 512) AS BIGINT)
+                        AS seq_id,
+                      CAST(start % 512 AS BIGINT) AS seq_offset,
+                      CAST(start % 512 AS BIGINT) + n_tokens > 512 AS split
+               FROM laid),
+    per_seq AS (SELECT bucket, seq_id,
+                       least(max(seq_offset + n_tokens), 512) AS used_tokens,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_split
+                FROM packed GROUP BY bucket, seq_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(used_tokens) AS BIGINT) AS used_tokens,
+           CAST(count(*) * 512 AS BIGINT) AS capacity_tokens,
+           CAST(sum(used_tokens) AS DOUBLE) / (count(*) * 512) AS fill_rate,
+           CAST(sum(n_split) AS BIGINT) AS n_split_docs,
+           CAST(sum(n_split) AS DOUBLE) / sum(n_docs) AS split_rate
+    FROM per_seq
+    """,
+)
+def q_packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utilization audit over the packed layout (operators/packing.py
+    ::packing_efficiency_report): fill and split rates at budget 512 /
+    8 buckets — partial-combinable end to end."""
+    from gush_spark.functions.text_analysis import words_of
+    from gush_spark.operators.packing import (
+        pack_sequences,
+        packing_efficiency_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(words_of(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(sized, "doc_id", "n_tokens", budget=512, buckets=8)
+    return packing_efficiency_report(packed, budget=512)

@@ -128,3 +128,33 @@ def test_materialized_sequences_partition_the_corpus(spark):
     assert sorted(seen) == sorted(f"d{i}" for i in range(100))
     # token accounting adds up
     assert sum(r["n_tokens"] for r in seqs) == sum(r[2] for r in rows)
+
+
+def test_packing_efficiency_exact_on_hand_layout(spark):
+    """Fill/split arithmetic pinned on a crafted packed frame: two full
+    sequences + one partial, one boundary-crossing doc."""
+    from pyspark.sql import functions as F
+
+    from gush_spark.operators.packing import packing_efficiency_report
+
+    packed = spark.createDataFrame(
+        [
+            # bucket 0, seq 0: docs 60+40 = 100 tokens, full budget 100
+            (1, 0, 0, 0, 60, False),
+            (2, 0, 0, 60, 40, False),
+            # bucket 0, seq 1: one doc straddles into seq 2 (offset 80,
+            # 30 tokens -> used capped at 100, split)
+            (3, 0, 1, 0, 80, False),
+            (4, 0, 1, 80, 30, True),
+            # bucket 1, seq 5: lone 25-token doc -> fill 0.25
+            (5, 1, 5, 0, 25, False),
+        ],
+        "doc_id long, bucket long, seq_id long, seq_offset long,"
+        " n_tokens long, split boolean",
+    )
+    (row,) = packing_efficiency_report(packed, budget=100).collect()
+    assert row["n_seqs"] == 3 and row["n_docs"] == 5
+    assert row["used_tokens"] == 100 + 100 + 25
+    assert row["capacity_tokens"] == 300
+    assert row["fill_rate"] == 225 / 300
+    assert row["n_split_docs"] == 1 and row["split_rate"] == 0.2
