@@ -696,3 +696,46 @@ def best_per_cluster(
     if keep_only:
         return out.filter(F.col("_rk") == 1).drop("_rk")
     return out.withColumn("is_canonical", F.col("_rk") == 1).drop("_rk")
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    *,
+    threshold: float = 0.6,
+    spread: int | None = 0,
+) -> DataFrame:
+    """Mirror detection: which sources near-duplicate EACH OTHER.
+    Verified near-dup pairs (the standard LSH-candidates + exact
+    Jaccard two-phase pipeline) roll up to an unordered source×source
+    count matrix — a hot off-diagonal cell is a mirror/syndication
+    relationship (keep one side), a hot diagonal is within-source
+    templating (boilerplate removal territory).
+
+    Scale shape: pair cost is the LSH pipeline's (bounded candidates,
+    hot buckets cappable); the source attribution is two id-keyed
+    equi-joins of (id, id) pairs against the map-only (id, source)
+    projection — fingerprint-sized rows, never text; the matrix agg is
+    |sources|² at most."""
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold=threshold, spread=spread
+    ).select("id_a", "id_b")
+    src = df.select(
+        F.col(id_col).alias("_sid"), F.col(source_col).alias("_src")
+    )
+    attributed = (
+        pairs.join(src, pairs.id_a == src._sid)
+        .select("id_a", "id_b", F.col("_src").alias("src_a"))
+        .join(src, F.col("id_b") == src._sid)
+        .select("src_a", F.col("_src").alias("src_b"))
+    )
+    return (
+        attributed.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -813,3 +813,99 @@ def centroid_similarity_map(
         "n_b",
         F.round(cos, round_dp).alias("cos_sim"),
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Retrieval-training prep: per query, the top-``k`` most similar
+    corpus vectors with a DIFFERENT label — the "hard negatives"
+    (near in embedding space, wrong class) that contrastive/ranking
+    losses need to learn decision boundaries; random negatives are too
+    easy to carry gradient.
+
+    Same plan as ``brute_force_topk`` (queries broadcast, corpus never
+    shuffled, per-query rank bounded by k) with the label-mismatch
+    predicate folded into the broadcast join — same-label rows are
+    dropped before scoring ranks, not after, so the k slots are all
+    negatives. Swap the scoring stage for the LSH/IVF variants when
+    the corpus outgrows brute force; the label filter composes
+    unchanged."""
+    from pyspark.sql import Window  # noqa: F401  (rank helper below)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        l2_norm(F.col(vec_col)).alias("v_norm"),
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col(id_col) != F.col("query_id"))
+            & (F.col(label_col) != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            F.col("q_label").alias("query_label"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col(vec_col),
+                    F.col("q_norm"), F.col("v_norm"),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def cross_lingual_pairs(
+    vectors: DataFrame,
+    docs: DataFrame,
+    *,
+    vec_id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    lang_col: str = "lang",
+    threshold: float = 0.3,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Bitext-style mining: embedding near-dup pairs whose documents
+    carry DIFFERENT language tags — semantically-aligned cross-language
+    page pairs (translations, mirrored localized sites), the raw
+    material for parallel-corpus extraction (the CCMatrix/LASER-margin
+    recipe's candidate stage, with cosine standing in for the margin
+    score).
+
+    Composition, not new machinery: the sign-bucket LSH pair stage
+    (corpus shuffles on bucket id only) + two id-keyed equi-joins
+    against the map-only (id, lang) projection + the lang-mismatch
+    filter. Same-language near-dups are the DEDUP signal; different-
+    language ones are the ALIGNMENT signal — one pair stage serves
+    both."""
+    pairs = cosine_near_dup_pairs(
+        vectors, vec_id_col, "embedding", threshold=threshold, n_bits=n_bits
+    )
+    lang = docs.select(
+        F.col(doc_id_col).alias("_lid"), F.col(lang_col).alias("_lang")
+    )
+    return (
+        pairs.join(lang, pairs.id_a == lang._lid)
+        .select("id_a", "id_b", "cos_sim", F.col("_lang").alias("lang_a"))
+        .join(lang, F.col("id_b") == lang._lid)
+        .select("id_a", "id_b", "lang_a", F.col("_lang").alias("lang_b"), "cos_sim")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+    )

@@ -3656,3 +3656,87 @@ def q_packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(sized, "doc_id", "n_tokens", budget=512, buckets=8)
     return packing_efficiency_report(packed, budget=512)
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}, {CAND},
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3),
+    {_JEDGES},
+    sp AS (SELECT least(da.source, db.source) AS source_a,
+                  greatest(da.source, db.source) AS source_b
+           FROM jedges
+           JOIN documents da ON da.doc_id = id_a
+           JOIN documents db ON db.doc_id = id_b)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM sp GROUP BY source_a, source_b
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror detection (operators/dedup.py::source_overlap_matrix):
+    verified near-dup pairs at jaccard ≥ 0.6 rolled up to the unordered
+    source×source overlap matrix."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.source_overlap_matrix(
+        docs, "doc_id", "text", "source", threshold=0.6, spread=None
+    )
+
+
+@query(
+    "hard_negatives_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec,
+                      label AS query_label
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, q.query_label, v.vec_id AS neighbor_id,
+             v.label AS neighbor_label,
+             round({_cos_sql("q.q_vec", "v.embedding")}, 6) AS score
+      FROM q JOIN embeddings v
+        ON v.vec_id != q.query_id AND v.label != q.query_label)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, score,
+           CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    per query the 5 nearest different-label vectors — corpus never
+    shuffles, label filter inside the broadcast join."""
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    out = similarity.hard_negatives(vecs, queries_df, k=5)
+    return out.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "cross_lingual_pairs",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+             round({_cos_sql("a.embedding", "bb.embedding")}, 6) AS cos_sim
+      FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+      WHERE round({_cos_sql("a.embedding", "bb.embedding")}, 6) >= 0.3)
+    SELECT id_a, id_b, da.lang AS lang_a, db.lang AS lang_b, cos_sim
+    FROM pairs
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    WHERE da.lang != db.lang
+    """,
+)
+def q_cross_lingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining (operators/similarity.py::
+    cross_lingual_pairs): embedding near-dup pairs across different
+    document languages — the alignment half of the near-dup pair
+    stage."""
+    vecs = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    return similarity.cross_lingual_pairs(vecs, docs, threshold=0.3)

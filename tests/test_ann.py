@@ -118,3 +118,45 @@ def test_centroid_sums_exact_bigints(spark):
     # floor quantization: 0.5*s + 0.25*s ; floor(-0.5*s) + 0.75*s
     assert row["csum"] == [int(0.75 * s), int(-0.5 * s) + int(0.75 * s)]
     assert row["n"] == 2
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from gush_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], "A"),
+        (1, [0.99, 0.1], "A"),   # nearest overall but same label
+        (2, [0.9, 0.3], "B"),    # nearest different-label
+        (3, [0.0, 1.0], "B"),
+        (4, [-1.0, 0.0], "C"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert 1 not in ids  # same label never a negative
+    assert ids[0] == 2   # hardest negative ranks first
+    assert all(r["query_label"] == "A" and r["neighbor_label"] != "A" for r in out)
+
+
+def test_cross_lingual_pairs_filters_same_lang(spark):
+    from gush_spark.operators.similarity import cross_lingual_pairs
+
+    # identical sign pattern on the first 8 coords -> one LSH bucket
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.2, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),   # near 1
+            (3, [0.85, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # near 1, same lang
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "fr"), (3, "en")], "doc_id long, lang string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["lang_a"], r["lang_b"])
+        for r in cross_lingual_pairs(vecs, docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == ("en", "fr")
+    assert (1, 3) not in pairs  # same language -> dedup signal, not alignment
+    assert (2, 3) in pairs

@@ -305,3 +305,29 @@ def test_grouped_split_never_straddles_a_source(spark):
     assert per_source.where(F.col("n_splits") > 1).count() == 0
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"}
+
+
+def test_source_overlap_matrix_finds_mirrors(spark):
+    """A syndicated article shared by two sources shows up as the hot
+    off-diagonal cell; within-source templating hits the diagonal."""
+    from gush_spark.operators.dedup import source_overlap_matrix
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "wire", base),
+            (2, "mirror", base + " extra"),          # near-dup across sources
+            (3, "blog", "completely different text about volcanoes erupting"),
+            (4, "wire", base + " tail"),             # within-source near-dup
+        ],
+        "doc_id long, source string, text string",
+    )
+    cells = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in source_overlap_matrix(
+            docs, "doc_id", "text", "source", threshold=0.5, spread=None
+        ).collect()
+    }
+    assert cells.get(("mirror", "wire")) == 2  # docs 1,4 each pair doc 2
+    assert cells.get(("wire", "wire")) == 1    # templating diagonal
+    assert not any("blog" in k for k in cells)
