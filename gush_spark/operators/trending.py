@@ -108,12 +108,22 @@ def decayed_term_scores(
     further term-keyed agg over vocabulary-sized data, then top-k via
     orderBy+limit (TakeOrderedAndProject — per-partition heads, never a
     global sort)."""
-    bucket = F.least(
-        F.floor(
-            (F.lit(now_s) - F.col("window_start").cast("timestamp").cast("long"))
-            / F.lit(half_life_s)
-        ).cast("int"),
-        F.lit(max_buckets),
+    # clamp BOTH ends: ages beyond the horizon floor at max_buckets,
+    # and windows newer than now_s (clock skew, a probe running over
+    # future-dated fixtures) count as age 0 instead of shifting past
+    # 63 bits into a long overflow
+    bucket = F.greatest(
+        F.least(
+            F.floor(
+                (
+                    F.lit(now_s)
+                    - F.col("window_start").cast("timestamp").cast("long")
+                )
+                / F.lit(half_life_s)
+            ).cast("int"),
+            F.lit(max_buckets),
+        ),
+        F.lit(0),
     )
     scaled = (
         counts.withColumn("_b", bucket)

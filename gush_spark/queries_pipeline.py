@@ -3150,9 +3150,9 @@ _DECAY_B = 16                        # clamp; max bucket here is ~8
       FROM tok WHERE term != '' GROUP BY 1, 2),
     scaled AS (
       SELECT term, n,
-             n * (CAST(1 AS BIGINT) << ({_DECAY_B} - least(
+             n * (CAST(1 AS BIGINT) << ({_DECAY_B} - greatest(least(
                CAST(floor(({_DECAY_NOW} - ws_s) / {_DECAY_HL}) AS INTEGER),
-               {_DECAY_B}))) AS w
+               {_DECAY_B}), 0))) AS w
       FROM counted),
     agg AS (
       SELECT term, CAST(sum(n) AS BIGINT) AS n,

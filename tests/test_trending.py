@@ -251,3 +251,17 @@ def test_vocab_growth_firsts_and_cumulative(spark):
         for r in vocab_growth(counts).collect()
     }
     assert rows == {0.0: (2, 2), 600.0: (1, 3), 1800.0: (1, 4)}
+
+
+def test_decayed_scores_future_windows_clamp_to_now(spark):
+    """Windows newer than now_s (clock skew) count as age 0 — never a
+    negative bucket shifting past 63 bits into a long overflow."""
+    from gush_spark.operators.trending import decayed_term_scores
+
+    counts = spark.createDataFrame(
+        [(10**9 + 86400, "future", 7)], "window_start long, term string, n long"
+    ).withColumn("window_start", F.timestamp_seconds("window_start"))
+    (row,) = decayed_term_scores(
+        counts, now_s=10**9, half_life_s=60, max_buckets=20
+    ).collect()
+    assert row["score"] == 7.0
