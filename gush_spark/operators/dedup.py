@@ -458,10 +458,19 @@ def min_label_components(
     cluster via one anti-join instead of riding every propagation
     round's join+agg (at crawl scale that's the difference between
     shuffling the dup-graph and shuffling the corpus, per round)."""
-    # bidirectional edge list
+    # bidirectional edge list. localCheckpoint (NOT just persist): the
+    # edge list's lineage can be an enormous analyzed plan (the
+    # semantic graph's edges sit on a k-means training tree), and a
+    # persisted-but-untruncated plan is re-ANALYZED inside every
+    # round's new action — measured on the SemDeDup graph at sf0.1,
+    # per-round wall doubled (1.8s -> 4.5s -> 10.2s) from Catalyst
+    # re-analysis alone while the 144-edge data was already cached.
+    # Severing lineage here pins every round's plan to the scan of the
+    # checkpointed blocks; the materialization it forces was needed
+    # anyway to fill the cache.
     bidir = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     # round 1 for free: labels start as identity, so the first
     # neighbor-min needs no label join — it's a plain min over the edge
     # list, and its groupBy defines the touched vertex set in the same

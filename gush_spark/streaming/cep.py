@@ -364,6 +364,71 @@ def windowed_count_rule(pdf: pd.DataFrame, state: dict) -> pd.DataFrame:
     return pd.DataFrame(out, columns=[f.name for f in WINDOWED_COUNT_SCHEMA.fields])
 
 
+POLITENESS_WIN_US = 60 * 1_000_000  # 1-minute rate windows
+POLITENESS_RETENTION_WINDOWS = 3
+
+POLITENESS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts_us", T.LongType()),
+        T.StructField("window_start_us", T.LongType()),
+        T.StructField("seq_in_window", T.LongType()),
+        T.StructField("allowed", T.BooleanType()),
+    ]
+)
+
+
+def make_politeness_rule(
+    quota: int,
+    window_us: int = POLITENESS_WIN_US,
+    retention_windows: int = POLITENESS_RETENTION_WINDOWS,
+):
+    """Crawl-politeness gate as a pluggable CEP rule: at most ``quota``
+    fetches per host per event-time window; every event is emitted with
+    its within-window sequence number and an ``allowed`` flag (the
+    scheduler re-queues the deferred ones) — errors-are-data, the same
+    convention as the extraction error channel.
+
+    State maps window_start_us (str, JSON keys) → events counted so
+    far, carried across microbatches so a host cannot exceed its quota
+    by arriving in two triggers; windows behind the late-data horizon
+    are pruned each batch (bounded state for always-active hosts, same
+    discipline as ``windowed_count_rule``). Events inside one batch are
+    ordered by (event_time, event_id) — deterministic across retries
+    and partitionings."""
+
+    def rule(pdf: pd.DataFrame, state: dict) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["warc_ts_us", "event_id"], kind="stable"
+        ).reset_index(drop=True)
+        wins = (pdf["warc_ts_us"].astype("int64") // window_us) * window_us
+        within = wins.groupby(wins).cumcount().astype("int64")
+        carry = wins.map(lambda w: state.get(str(int(w)), 0)).astype("int64")
+        seq = carry + within
+        out = pd.DataFrame(
+            {
+                "host": pdf["host"],
+                "event_id": pdf["event_id"].astype("int64"),
+                "url": pdf["url"],
+                "warc_ts_us": pdf["warc_ts_us"].astype("int64"),
+                "window_start_us": wins,
+                "seq_in_window": seq,
+                "allowed": seq < quota,
+            }
+        )
+        for w, n in wins.value_counts().items():
+            key = str(int(w))
+            state[key] = state.get(key, 0) + int(n)
+        horizon = int(wins.max()) - retention_windows * window_us
+        for key in [k for k in state if int(k) < horizon]:
+            del state[key]
+        return out[[f.name for f in POLITENESS_SCHEMA.fields]]
+
+    return rule
+
+
 def cep_enrich(
     events: DataFrame,
     watermark_delay: str | None = "10 minutes",
