@@ -3740,3 +3740,30 @@ def q_cross_lingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
     return similarity.cross_lingual_pairs(vecs, docs, threshold=0.3)
+
+
+@query(
+    "bpe_pair_stats",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    tok AS (SELECT unnest(ws) AS word FROM w),
+    wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok
+           WHERE word != '' GROUP BY word),
+    pr AS (SELECT freq,
+                  unnest(list_transform(generate_series(1, length(word) - 1),
+                         i -> substring(word, i, 2))) AS pair
+           FROM wf),
+    pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pr
+           WHERE length(pair) = 2 GROUP BY pair)
+    SELECT pair, n, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+      FROM pc) WHERE rank <= 25
+    """,
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer prep (operators/bpe.py): top-25 BPE merge candidates —
+    adjacent char-pair counts weighted by word frequency, the pair
+    explosion bounded by vocabulary size."""
+    from gush_spark.operators.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf_dir, "documents"), k=25)
