@@ -3767,3 +3767,83 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.bpe import bpe_pair_counts
 
     return bpe_pair_counts(load(spark, sf_dir, "documents"), k=25)
+
+
+@query(
+    "curation_report_v3",
+    oracle=f"""
+    WITH {_EXPECT_SQL},
+    gate AS (SELECT source, dup_rate > 0.05 AS source_flagged FROM report),
+    {BASE}, {WORDS},
+    tw AS (SELECT doc_id,
+                  ('0x' || substring(md5('q0' || term), 1, 8))::BIGINT
+                    % 2001 - 1000 AS wt
+           FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+           WHERE term != ''),
+    clf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(wt) AS BIGINT) AS score_scaled
+            FROM tw GROUP BY doc_id),
+    fp AS (SELECT doc_id, md5(norm) AS fingerprint,
+                  row_number() OVER (PARTITION BY md5(norm)
+                                     ORDER BY doc_id) AS fp_rank
+           FROM base),
+    j AS (SELECT d.doc_id, d.source,
+                 g.source_flagged,
+                 CAST(c.score_scaled AS DOUBLE) / (1000 * c.n_tokens) >= -0.02
+                   AS clf_keep,
+                 f.fp_rank = 1 AS is_canonical
+          FROM documents d
+          JOIN gate g ON d.source = g.source
+          LEFT JOIN clf c ON d.doc_id = c.doc_id
+          JOIN fp f ON d.doc_id = f.doc_id)
+    SELECT doc_id, source, source_flagged,
+           coalesce(clf_keep, FALSE) AS clf_keep, is_canonical,
+           (NOT source_flagged) AND coalesce(clf_keep, FALSE)
+             AND is_canonical AS kept
+    FROM j
+    """,
+)
+def q_curation_report_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-2 capstone composite: the per-source expectations gate
+    (dup-rate threshold), the linear-classifier keep decision, and
+    exact-dedup canonical rank chained into one per-doc audit row —
+    the gates are broadcast-sized after their own aggs; the only
+    corpus-keyed exchanges are the classifier's doc-keyed sum and the
+    fingerprint rank."""
+    from pyspark.sql import Window
+
+    from gush_spark.functions.text_analysis import md5_fingerprint
+    from gush_spark.operators.classifier import linear_scores
+    from gush_spark.operators.validate import expectations_report
+
+    docs = load(spark, sf_dir, "documents")
+    gate = expectations_report(docs).select(
+        "source", (F.col("dup_rate") > 0.05).alias("source_flagged")
+    )
+    clf = linear_scores(docs, threshold=-0.02).select(
+        "doc_id", F.col("keep").alias("clf_keep")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    fp = docs.select(
+        "doc_id", md5_fingerprint(F.col("text")).alias("fingerprint")
+    ).select(
+        "doc_id", (F.row_number().over(w) == 1).alias("is_canonical")
+    )
+    out = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(gate), "source")
+        .join(clf, "doc_id", "left")
+        .join(fp, "doc_id")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "source_flagged",
+        F.coalesce("clf_keep", F.lit(False)).alias("clf_keep"),
+        "is_canonical",
+        (
+            ~F.col("source_flagged")
+            & F.coalesce("clf_keep", F.lit(False))
+            & F.col("is_canonical")
+        ).alias("kept"),
+    )
