@@ -69,3 +69,49 @@ def test_plans_as_equi_join_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_equals_naive_range_join_on_random_data(spark):
+    """Seeded-random equivalence: the bucketed form must produce
+    EXACTLY the naive inequality join's pairs for any bucket width."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    events = spark.createDataFrame(
+        [
+            (f"k{rng.randint(0, 3)}", rng.randint(0, 1000), i)
+            for i in range(200)
+        ],
+        "user string, ts long, event_id long",
+    )
+    intervals = []
+    for j in range(40):
+        s = rng.randint(0, 1000)
+        intervals.append((f"k{rng.randint(0, 3)}", s, s + rng.randint(0, 300), j))
+    ivs = spark.createDataFrame(intervals, "user string, start long, stop long, iv_id long")
+
+    naive = {
+        (r["iv_id"], r["event_id"])
+        for r in events.alias("e")
+        .crossJoin(ivs.alias("i"))
+        .filter(
+            (F.col("e.user") == F.col("i.user"))
+            & (F.col("e.ts") >= F.col("i.start"))
+            & (F.col("e.ts") <= F.col("i.stop"))
+        )
+        .select("iv_id", "event_id")
+        .collect()
+    }
+    assert naive, "fixture produced no matches"
+    for bucket_s in (13, 100, 2000):
+        got = [
+            (r["iv_id"], r["event_id"])
+            for r in interval_join(
+                events, ivs, keys=["user"], ts_col="ts",
+                start_col="start", end_col="stop", bucket_s=bucket_s,
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), bucket_s  # no duplicate pairs
+        assert set(got) == naive, bucket_s
