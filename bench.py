@@ -96,6 +96,14 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]], list
         runs[name] = pair
         if max(pair) > 2 * min(pair):
             suspect.append(name)
+        # queries that persist intermediates (semantic k-means
+        # assignments, incremental indexes) register them in
+        # CacheManager, which never GCs — 120 queries of leftovers
+        # thrash executor storage and re-time later queries 3x slower
+        # than standalone (measured: semantic_canonical_vecs 19.3s in
+        # catalog order vs 6.5s alone). Clear BETWEEN queries, never
+        # between the two runs of a pair (warm-run semantics).
+        spark.catalog.clearCache()
     return timings, runs, suspect
 
 
