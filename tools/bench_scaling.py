@@ -273,6 +273,13 @@ def write_report(s: dict) -> None:
     rn, rn4 = s["levels"][n], s["levels"][n4]
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    # BASELINE.md is overwritten per run; the history line makes each
+    # measurement permanent so one throttled re-run can't destroy the
+    # quiet-window evidence (the report below always carries the LATEST
+    # run — readers wanting the distribution across host conditions read
+    # the jsonl).
+    with (bench_dir / "scaling_history.jsonl").open("a") as fh:
+        fh.write(json.dumps({"utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **s}) + "\n")
     (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — measured numbers (scaling evidence)
 
 Per `BASELINE.json` north_rule, the job must show throughput scaling
