@@ -260,10 +260,12 @@ def bm25_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """Keyword search: top-``k`` documents for a bag of query terms by
+    """Keyword search: top-``k`` documents for a set of query terms by
     summed BM25 term weight — the "show me the docs about X" lookup a
     curator runs while debugging a corpus (and the retrieval baseline
-    ANN is measured against).
+    ANN is measured against). Duplicate query terms count once (the IN
+    filter has set semantics — standard BM25 drops query-side term
+    multiplicity anyway at these defaults).
 
     Scoring matches ``bm25_top_terms`` per term; per-doc accumulation
     is exact: each term's score is scaled to an integer micro-score

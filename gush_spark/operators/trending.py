@@ -162,6 +162,96 @@ def decayed_term_scores(
     )
 
 
+def volume_anomaly_windows(
+    counts: DataFrame,
+    key_col: str,
+    *,
+    lookback: int = 8,
+    min_history: int = 4,
+    k_sq: int = 9,
+    min_ratio_pct: int = 0,
+) -> DataFrame:
+    """Crawler-trap / volume-spike detection: flag (key, window) rows
+    whose count exceeds the key's trailing baseline by more than
+    ``sqrt(k_sq)`` standard deviations — the host suddenly emitting
+    100× its usual pages (a calendar/faceted-search trap, a feed stuck
+    in a loop) that a crawl curator wants quarantined before it
+    dominates a mixture.
+
+    Takes the OUTPUT of a windowed count (``(key…, window_start, n)``
+    — batch frame or the read side of the streaming counter sink):
+    read-time finalize over additive state, the same layering as
+    ``decayed_term_scores``, so a resumed/backfilled stream re-reads
+    and re-flags correctly without bespoke state.
+
+    Cross-engine exactness — no sqrt, no float variance: with ``m``
+    trailing windows, trailing sum ``S`` and sum-of-squares ``Q``, the
+    z-test ``(n − S/m)² > k_sq · var`` multiplies out to the BIGINT
+    comparison ``(n·m − S)² > k_sq · (Q·m − S²)``; the optional floor
+    ``min_ratio_pct`` (e.g. 150 = "at least 1.5× baseline mean") is
+    ``n·m·100 ≥ pct·S``. The only float is the reported
+    ``spike_ratio`` — one division of exact integers. Safe in int64
+    for per-window counts up to ~10^8 at the defaults (k_sq·m·Q·m <
+    2^63); past that cast the accumulators to DECIMAL(38,0).
+
+    Semantics notes (deliberate): the baseline is the key's trailing
+    ACTIVE windows (a ROWS frame — windows where the key emitted
+    nothing are skipped, not zero-filled: traps are persistent-host
+    spikes, and zero-filling 10^9 quiet hosts per window is exactly
+    the work we refuse); a zero-variance baseline flags ANY up-spike
+    that clears ``min_ratio_pct`` (the exact-z view: any deviation
+    from a constant is infinite sigmas) — set ``min_ratio_pct`` if
+    that is too eager. Keys with fewer than ``min_history`` trailing
+    windows never flag.
+
+    Scale: input is already reduced to (key, window, n); one window
+    function over a key-partitioned sort of counter-sized rows, never
+    the corpus."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("window_start")
+        .rowsBetween(-lookback, -1)
+    )
+    m = F.count("n").over(w)
+    s = F.sum("n").over(w)
+    q = F.sum(F.col("n") * F.col("n")).over(w)
+    stats = counts.select(
+        key_col,
+        "window_start",
+        "n",
+        m.alias("hist_windows"),
+        s.alias("base_n"),
+        q.alias("_base_sq"),
+    )
+    dev = F.col("n") * F.col("hist_windows") - F.col("base_n")
+    var_m2 = (
+        F.col("_base_sq") * F.col("hist_windows")
+        - F.col("base_n") * F.col("base_n")
+    )
+    flag = (
+        (F.col("hist_windows") >= F.lit(min_history))
+        & (dev > F.lit(0))
+        & (
+            F.col("n") * F.col("hist_windows") * F.lit(100)
+            >= F.lit(min_ratio_pct) * F.col("base_n")
+        )
+        & (dev * dev > F.lit(k_sq) * var_m2)
+    )
+    return stats.select(
+        key_col,
+        "window_start",
+        "n",
+        "hist_windows",
+        "base_n",
+        F.when(
+            F.col("hist_windows") > 0,
+            (F.col("n") * F.col("hist_windows")).cast("double")
+            / F.col("base_n"),
+        ).alias("spike_ratio"),
+        flag.alias("is_anomaly"),
+    )
+
+
 def vocab_growth(
     counts: DataFrame,
 ) -> DataFrame:

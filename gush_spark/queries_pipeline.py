@@ -3847,3 +3847,60 @@ def q_curation_report_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("is_canonical")
         ).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap detection: per-host volume-spike windows vs trailing baseline
+# (operators/trending.py::volume_anomaly_windows; no reference analog — the
+# reference never profiles its event sources, binlog/BinlogEvent.scala)
+# ---------------------------------------------------------------------------
+@query(
+    "host_volume_anomalies",
+    oracle="""
+    WITH counted AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT user_id, window_start, n,
+             CAST(count(n) OVER f AS BIGINT) AS hist_windows,
+             CAST(sum(n) OVER f AS BIGINT) AS base_n,
+             CAST(sum(n * n) OVER f AS BIGINT) AS base_sq
+      FROM counted
+      WINDOW f AS (PARTITION BY user_id ORDER BY window_start
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, window_start, n, hist_windows, base_n,
+           CASE WHEN hist_windows > 0
+                THEN CAST(n * hist_windows AS DOUBLE) / base_n END
+             AS spike_ratio,
+           (hist_windows >= 3
+            AND n * hist_windows - base_n > 0
+            AND n * hist_windows * 100 >= 150 * base_n
+            AND (n * hist_windows - base_n) * (n * hist_windows - base_n)
+                > 9 * (base_sq * hist_windows - base_n * base_n))
+             AS is_anomaly
+    FROM stats
+    """,
+)
+def q_host_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-spike audit over the event stream, user as the url-host
+    analog: 10-minute tumbling counts per user, each window tested
+    against the user's trailing 6 active windows with the integer-exact
+    z²-test (k=3σ) plus a 1.5× mean floor. Read-time finalize over the
+    same additive counter state the streaming twin keeps."""
+    from gush_spark.operators.trending import volume_anomaly_windows
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "user_id",
+        F.window("ts", "10 minutes").alias("w"),
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        "user_id",
+        F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+        "n",
+    )
+    return volume_anomaly_windows(
+        counts, "user_id",
+        lookback=6, min_history=3, k_sq=9, min_ratio_pct=150,
+    )

@@ -265,3 +265,69 @@ def test_decayed_scores_future_windows_clamp_to_now(spark):
         counts, now_s=10**9, half_life_s=60, max_buckets=20
     ).collect()
     assert row["score"] == 7.0
+
+
+def test_volume_anomaly_flags_spike_not_steady(spark):
+    """Crawler-trap detection: a host jumping to 5x its trailing
+    baseline flags; a steady host never does; a key's spike cannot
+    leak into another key's rows (partitioned frame)."""
+    from gush_spark.operators.trending import volume_anomaly_windows
+
+    rows = []
+    # host A: noisy-but-steady history, then a 5x spike
+    for i, n in enumerate([9, 10, 11, 10, 50]):
+        rows.append(("a", 600 * i, n))
+    # host B: steady throughout (deviation never exceeds 3 sigma)
+    for i, n in enumerate([10, 10, 11, 10, 10]):
+        rows.append(("b", 600 * i, n))
+    counts = spark.createDataFrame(rows, "host string, window_start long, n long")
+    out = {
+        (r["host"], r["window_start"]): r
+        for r in volume_anomaly_windows(
+            counts, "host", lookback=4, min_history=3, k_sq=9
+        ).collect()
+    }
+    spike = out[("a", 2400)]
+    assert spike["is_anomaly"] is True
+    # integer-exact baseline stats: m=4, S=40 -> ratio 50*4/40 = 5.0
+    assert spike["hist_windows"] == 4
+    assert spike["base_n"] == 40
+    assert spike["spike_ratio"] == 5.0
+    assert not any(
+        r["is_anomaly"] for (h, _), r in out.items() if h == "b"
+    )
+    # A's non-spike windows don't flag either
+    assert sum(1 for r in out.values() if r["is_anomaly"]) == 1
+
+
+def test_volume_anomaly_needs_history_and_ratio_floor(spark):
+    """Fewer than min_history trailing windows never flags (no
+    baseline), and min_ratio_pct suppresses a statistically-significant
+    but small spike over a zero-variance baseline."""
+    from gush_spark.operators.trending import volume_anomaly_windows
+
+    counts = spark.createDataFrame(
+        # constant 10s, then 12: over a zero-variance baseline ANY
+        # up-spike is infinite sigmas, so only the ratio floor stands
+        # between 1.2x and a flag
+        [("c", 600 * i, n) for i, n in enumerate([10, 10, 10, 10, 12])],
+        "host string, window_start long, n long",
+    )
+    eager = {
+        r["window_start"]: r
+        for r in volume_anomaly_windows(
+            counts, "host", lookback=4, min_history=3, k_sq=9
+        ).collect()
+    }
+    assert eager[2400]["is_anomaly"] is True  # zero variance, any spike
+    # windows 0/1 lack min_history=3 trailing windows
+    assert eager[0]["is_anomaly"] is False
+    assert eager[600]["is_anomaly"] is False
+    floored = {
+        r["window_start"]: r
+        for r in volume_anomaly_windows(
+            counts, "host", lookback=4, min_history=3, k_sq=9,
+            min_ratio_pct=150,
+        ).collect()
+    }
+    assert floored[2400]["is_anomaly"] is False  # 1.2x < 1.5x floor
