@@ -3904,3 +3904,55 @@ def q_host_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts, "user_id",
         lookback=6, min_history=3, k_sq=9, min_ratio_pct=150,
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: the corpus-wide inventory of event sequences (the
+# inverse of CEP's one-pattern-at-a-time matching, cep/Cep.scala) —
+# operators/paths.py
+# ---------------------------------------------------------------------------
+@query(
+    "session_path_counts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 60 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), numbered AS (
+      SELECT user_id, sess_id, event_type,
+             row_number() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, sess_id) AS total
+      FROM sessioned
+    ), paths AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM numbered WHERE rn <= 8 GROUP BY 1, 2
+    ), counted AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths
+      GROUP BY path
+    )
+    SELECT path, n_sessions,
+           CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                AS BIGINT) AS rnk
+    FROM counted
+    QUALIFY rnk <= 20
+    """,
+)
+def q_session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys: 60-minute-gap sessions, first 8 steps
+    per session ordered by (ts, event_id), path frequency table via
+    TakeOrderedAndProject."""
+    from gush_spark.operators.paths import path_counts, session_paths
+
+    ev = load(spark, sf_dir, "events")
+    paths = session_paths(ev, gap_s=3600, max_steps=8)
+    return path_counts(paths, k=20)
