@@ -500,6 +500,20 @@ def main() -> int:
           or "dynamicpruning" in p or " IN (" in p,
           "query-term IN filter not visible in plan")
 
+    # session-2 late additions: trap detection + path mining stay
+    # window-function-shaped over reduced rows (no joins at all) and
+    # the path top-k is an ordered limit, not a global sort
+    p = plan_of(qp.q_host_volume_anomalies(spark, sf_dir))
+    check("anomaly.window_over_reduced_counts_no_join",
+          "Join" not in p and "Window" in p
+          and len(re.findall(r"\(\d+\) Exchange", p)) <= 2,
+          "anomaly plan grew joins or extra exchanges")
+
+    p = plan_of(qp.q_session_path_counts(spark, sf_dir))
+    check("paths.topk_take_ordered_no_join",
+          "TakeOrderedAndProject" in p and "Join" not in p,
+          "path frequency top-k is not TakeOrdered / grew joins")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
