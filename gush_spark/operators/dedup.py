@@ -457,7 +457,18 @@ def min_label_components(
     majority of a 10^12-page corpus is appended afterwards as its own
     cluster via one anti-join instead of riding every propagation
     round's join+agg (at crawl scale that's the difference between
-    shuffling the dup-graph and shuffling the corpus, per round)."""
+    shuffling the dup-graph and shuffling the corpus, per round).
+
+    Fault-tolerance trade (Spark's documented localCheckpoint hazard):
+    localCheckpoint severs lineage, so a block lost to executor death or
+    dynamic-allocation decommission cannot be recomputed — fine on a
+    single-JVM bench, a real risk on an elastic cluster. When the
+    SparkContext has a checkpoint directory configured
+    (``sc.setCheckpointDir``), this uses reliable ``checkpoint()``
+    instead (recoverable from the checkpoint store); the returned labels
+    are themselves eagerly checkpointed before any intermediate blocks
+    are dropped, so callers never hold a frame whose lineage points at
+    unpersisted blocks."""
     # bidirectional edge list. localCheckpoint (NOT just persist): the
     # edge list's lineage can be an enormous analyzed plan (the
     # semantic graph's edges sit on a k-means training tree), and a
@@ -468,9 +479,20 @@ def min_label_components(
     # Severing lineage here pins every round's plan to the scan of the
     # checkpointed blocks; the materialization it forces was needed
     # anyway to fill the cache.
-    bidir = edges.unionByName(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint(eager=True)
+    sc = vertices.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # reliable checkpoint when a dir is configured (survives executor
+        # loss); localCheckpoint otherwise (bench/local mode) — see the
+        # fault-tolerance note in the docstring.
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    bidir = _ckpt(
+        edges.unionByName(
+            edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+    )
     # round 1 for free: labels start as identity, so the first
     # neighbor-min needs no label join — it's a plain min over the edge
     # list, and its groupBy defines the touched vertex set in the same
@@ -502,7 +524,7 @@ def min_label_components(
         # EAGER: a lazy checkpoint would let the very next action
         # re-execute the full untruncated lineage once more.
         if it % 4 == 3:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = _ckpt(new_labels)
         else:
             new_labels = new_labels.persist()
         changed = new_labels.agg(
@@ -515,6 +537,12 @@ def min_label_components(
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    # Sever the final labels' lineage BEFORE dropping bidir's blocks:
+    # labels may be merely persist()ed, and its lineage runs through the
+    # (local)checkpointed edge list — unpersisting that first would make
+    # any evicted label partition unrecomputable.
+    labels = _ckpt(labels)
+    materialized.unpersist()
     bidir.unpersist()
     singletons = (
         vertices.select(F.col(id_col).alias("id"))

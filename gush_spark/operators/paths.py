@@ -53,16 +53,20 @@ def session_paths(
     event-time order joined by ``sep``."""
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev = F.lag(ts_col).over(w)
-    # NTZ-safe epoch: parquet timestamps load as TIMESTAMP_NTZ in
-    # Spark 4, which refuses a direct long cast (session TZ pinned UTC)
+    # Gap test at MICROSECOND precision (unix_micros of the NTZ-safe
+    # timestamp cast, session TZ pinned UTC): the oracle compares
+    # full-precision intervals (ts - lag(ts) > INTERVAL), so a
+    # whole-second truncation here would split/merge sessions whose true
+    # gap straddles the boundary by a fraction of a second — parquet
+    # timestamps carry µs, and µs == full precision for them.
     new_sess = (
         prev.isNull()
         | (
             (
-                F.col(ts_col).cast("timestamp").cast("long")
-                - prev.cast("timestamp").cast("long")
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
             )
-            > F.lit(gap_s)
+            > F.lit(int(gap_s) * 1_000_000).cast("long")
         )
     ).cast("long")
     sessioned = events.select(

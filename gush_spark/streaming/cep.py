@@ -392,10 +392,17 @@ def make_politeness_rule(
     convention as the extraction error channel.
 
     State maps window_start_us (str, JSON keys) → events counted so
-    far, carried across microbatches so a host cannot exceed its quota
-    by arriving in two triggers; windows behind the late-data horizon
-    are pruned each batch (bounded state for always-active hosts, same
-    discipline as ``windowed_count_rule``). Events inside one batch are
+    far, carried across microbatches; windows behind the late-data
+    horizon (max batch event time − ``retention_windows`` windows) are
+    pruned each batch, bounding state for always-active hosts (same
+    discipline as ``windowed_count_rule``). The cross-trigger quota
+    guarantee therefore holds only for events WITHIN the retention
+    horizon: an event later than it lands in a pruned window whose
+    counter restarted at 0 and can be re-allowed, and late in-window
+    events are sequenced in arrival order, not event-time order. Run
+    behind ``cep_enrich``'s watermark with
+    ``watermark_delay <= retention_windows * window_us`` so such events
+    are dropped before the rule sees them. Events inside one batch are
     ordered by (event_time, event_id) — deterministic across retries
     and partitionings."""
 
