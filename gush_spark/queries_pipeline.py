@@ -3956,3 +3956,38 @@ def q_session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     paths = session_paths(ev, gap_s=3600, max_steps=8)
     return path_counts(paths, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-politeness gate, batch/replay form (operators/politeness.py) — the
+# read-side twin of the streaming CEP rule streaming/cep.py::
+# make_politeness_rule; wired into the streaming job as
+# job.py --pipeline cep --politeness-quota
+# ---------------------------------------------------------------------------
+@query(
+    "crawl_politeness_gate",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT)
+               AS window_start_s
+      FROM events
+    )
+    SELECT user_id, event_id, window_start_s,
+           CAST(row_number() OVER w - 1 AS BIGINT) AS seq_in_window,
+           (row_number() OVER w <= 2) AS allowed
+    FROM t
+    WINDOW w AS (PARTITION BY user_id, window_start_s ORDER BY us, event_id)
+    """,
+)
+def q_crawl_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 2 events per (user, day-window): every event with its
+    within-window sequence number (0-based, µs-event-time order,
+    event_id tie-break) and an allowed flag — ONE shuffle on
+    (user, window), a single row_number, no joins."""
+    from gush_spark.operators.politeness import politeness_gate
+
+    ev = load(spark, sf_dir, "events")
+    return politeness_gate(
+        ev, "user_id", "ts", "event_id", quota=2, window_s=86400
+    )

@@ -514,6 +514,14 @@ def main() -> int:
           "TakeOrderedAndProject" in p and "Join" not in p,
           "path frequency top-k is not TakeOrdered / grew joins")
 
+    # round-5: batch politeness gate — one (key, window)-keyed exchange
+    # powering a single row_number, no joins, corpus passes through once
+    p = plan_of(qp.q_crawl_politeness_gate(spark, sf_dir))
+    check("politeness.single_exchange_window_no_join",
+          "Join" not in p and "Window" in p
+          and len(re.findall(r"\(\d+\) Exchange", p)) <= 1,
+          "politeness gate grew joins or extra exchanges")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
