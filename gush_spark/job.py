@@ -126,6 +126,22 @@ def main(argv: list[str] | None = None) -> int:
         help="curation pipeline: minimum mean bigram log-probability "
              "under the --lm-ref model to keep a page (requires --lm-ref)",
     )
+    ap.add_argument(
+        "--politeness-quota", type=int, default=None,
+        help="cep pipeline: run the crawl-politeness gate instead of the "
+             "default machine — at most N fetches per (host, event-time "
+             "window), deferred events flagged not dropped "
+             "(streaming/cep.make_politeness_rule)",
+    )
+    ap.add_argument(
+        "--anomaly-k", type=int, default=None,
+        help="pages/featurize pipelines: after the drain, write a "
+             "crawler-trap report (<sink>_anomalies) flagging (host, "
+             "window) counts more than K sigma above the host's trailing "
+             "baseline (integer-exact z²-test, "
+             "operators/trending.volume_anomaly_windows); availableNow "
+             "mode only",
+    )
     args = ap.parse_args(argv)
     if args.max_pii is not None and not args.scrub:
         ap.error("--max-pii requires --scrub (the gate runs on scrubbed text)")
@@ -133,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--bench-keys and --bench-bloom are mutually exclusive")
     if args.lm_min_logp is not None and not args.lm_ref:
         ap.error("--lm-min-logp requires --lm-ref (the model to score under)")
+    if args.politeness_quota is not None and args.pipeline != "cep":
+        ap.error("--politeness-quota only applies to --pipeline cep")
+    if args.anomaly_k is not None:
+        if args.pipeline not in ("pages", "featurize"):
+            ap.error("--anomaly-k only applies to --pipeline pages/featurize")
+        if args.continuous:
+            ap.error("--anomaly-k is a post-drain report (availableNow only)")
     if args.pipeline != "curation":
         for flag, val, default in (
             ("--scrub", args.scrub, False),
@@ -163,6 +186,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.pipeline in ("pages", "cep") and args.lineage:
         kwargs["lineage_path"] = args.lineage
+    if args.politeness_quota is not None:
+        kwargs["politeness_quota"] = args.politeness_quota
     if args.pipeline == "curation":
         kwargs["quality_threshold"] = args.quality_threshold
         kwargs["lang"] = args.lang
@@ -192,12 +217,17 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     if args.max_restarts > 0:
-        run_supervised(
+        _query, sink, _n_restarts = run_supervised(
             start, max_restarts=args.max_restarts, lineage_path=args.lineage
         )
     else:
-        query, _sink = start()
+        query, sink = start()
         query.awaitTermination()
+    if args.anomaly_k is not None:
+        from gush_spark.streaming.pipeline import read_host_anomalies
+
+        report = read_host_anomalies(spark, sink, k_sq=args.anomaly_k**2)
+        report.write.mode("overwrite").parquet(f"{args.sink}_anomalies")
     return 0
 
 

@@ -33,6 +33,17 @@ from gush_spark.streaming.sink import IdempotentKeyedSink
 from gush_spark.streaming.source import read_page_events_stream, read_pages_stream
 
 
+_DURATION_UNIT_S = {
+    "millisecond": 0.001, "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+}
+
+
+def _duration_seconds(duration: str) -> float:
+    """Seconds in a Spark duration string ('10 minutes', '1 hour')."""
+    n, unit = duration.strip().split()
+    return float(n) * _DURATION_UNIT_S[unit.rstrip("s").lower()]
+
+
 def extracted_pages(
     pages: DataFrame,
     config: GushSparkConfig = DEFAULT_CONFIG,
@@ -214,6 +225,38 @@ def read_salted_rollup(spark: SparkSession, sink: IdempotentKeyedSink) -> DataFr
     return (
         partials.groupBy("window_start", "window_end", "host")
         .agg(F.sum("n_pages").alias("n_pages"), F.sum("n_errors").alias("n_errors"))
+    )
+
+
+def read_host_anomalies(
+    spark: SparkSession,
+    sink: IdempotentKeyedSink,
+    *,
+    lookback: int = 8,
+    min_history: int = 4,
+    k_sq: int = 9,
+    min_ratio_pct: int = 150,
+) -> DataFrame:
+    """Crawler-trap report over a drained ``pages_pipeline`` /
+    ``featurize_pipeline`` sink: each (host, window) count tested
+    against the host's trailing baseline with the integer-exact z²-test
+    (``operators/trending.volume_anomaly_windows``).
+
+    Read-time finalize — the same layering as ``read_salted_rollup``
+    and ``decayed_term_scores``: the stream keeps one additive counter
+    per (host, window) in the exactly-once sink; the anomaly verdict is
+    derived when asked, so a resumed or backfilled stream re-reads and
+    re-flags correctly with no bespoke anomaly state. ``job.py
+    --anomaly-k`` writes this next to the sink after the drain."""
+    from gush_spark.operators.trending import volume_anomaly_windows
+
+    counts = sink.read(spark).select(
+        "host", "window_start", F.col("n_pages").alias("n")
+    )
+    return volume_anomaly_windows(
+        counts, "host",
+        lookback=lookback, min_history=min_history,
+        k_sq=k_sq, min_ratio_pct=min_ratio_pct,
     )
 
 
@@ -424,12 +467,46 @@ def cep_pipeline(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
     lineage_path: str | None = None,
+    politeness_quota: int | None = None,
 ):
-    """CEP: event stream → filters → stateful enrichment → append sink."""
+    """CEP: event stream → filters → stateful enrichment → append sink.
+
+    ``politeness_quota`` swaps the default crawl/recrawl/drop machine
+    for the crawl-politeness gate (``make_politeness_rule`` — at most
+    N fetches per host per event-time window, deferred events flagged
+    not dropped; ``job.py --politeness-quota``). The rule's
+    cross-trigger guarantee holds only inside its retention horizon, so
+    the retention is sized here to COVER the pipeline's watermark
+    delay: every event the watermark admits meets a still-live window
+    counter (state stays bounded — retention·window is a constant)."""
     stream = read_page_events_stream(spark, events_path, max_files_per_trigger)
     stream = supported_kinds_filter(stream)
     stream = blacklist_filter(stream, config)
-    enriched = cep_enrich(stream, watermark_delay=config.watermark_delay)
+    if politeness_quota is not None:
+        import math
+
+        from gush_spark.streaming.cep import (
+            POLITENESS_RETENTION_WINDOWS,
+            POLITENESS_SCHEMA,
+            POLITENESS_WIN_US,
+            make_politeness_rule,
+        )
+
+        window_s = POLITENESS_WIN_US / 1_000_000
+        retention = max(
+            POLITENESS_RETENTION_WINDOWS,
+            math.ceil(_duration_seconds(config.watermark_delay) / window_s),
+        )
+        enriched = cep_enrich(
+            stream,
+            watermark_delay=config.watermark_delay,
+            rule=make_politeness_rule(
+                politeness_quota, retention_windows=retention
+            ),
+            output_schema=POLITENESS_SCHEMA,
+        )
+    else:
+        enriched = cep_enrich(stream, watermark_delay=config.watermark_delay)
     sink = IdempotentKeyedSink(sink_path, keys=[])  # append mode: every row kept
 
     def write(batch_df, batch_id):

@@ -49,3 +49,18 @@ def test_bench_keys_and_bloom_mutually_exclusive():
 def test_unknown_pipeline_rejected():
     with pytest.raises(SystemExit):
         main(["--pipeline", "nope", *BASE])
+
+
+def test_politeness_quota_rejected_off_cep():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "pages", *BASE, "--politeness-quota", "3"])
+
+
+def test_anomaly_k_rejected_off_pages_featurize():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "cep", *BASE, "--anomaly-k", "3"])
+
+
+def test_anomaly_k_rejected_with_continuous():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "pages", *BASE, "--anomaly-k", "3", "--continuous"])

@@ -108,3 +108,78 @@ def test_stream_equals_batch_twin(spark, tmp_path, tmp_dirs):
         .collect()
     }
     assert got == want
+
+
+def _burst_events():
+    """Quota-exercising stream: h1 bursts past any small quota inside
+    window [0,60), keeps going in window [60,120); h2 stays polite.
+    Chunk boundaries (n_chunks=3, id order) land INSIDE h1's first
+    window, so cross-microbatch carry is on the tested path. No late
+    rows — every event is inside the pipeline watermark, where the
+    gate's guarantee holds (make_politeness_rule docstring)."""
+    ev = [
+        _mk(1, "https://h1.example/a", 1),
+        _mk(2, "https://h1.example/b", 5),
+        _mk(3, "https://h2.example/a", 2),
+        _mk(4, "https://h1.example/c", 10),
+        _mk(5, "https://h1.example/d", 15),
+        _mk(6, "https://h2.example/b", 8),
+        _mk(7, "https://h1.example/e", 20),
+        _mk(8, "https://h1.example/f", 65),
+        _mk(9, "https://h1.example/g", 70),
+        _mk(10, "https://h2.example/c", 61),
+    ]
+    return ev
+
+
+def _mk(event_id, url, ts_s):
+    from gush_spark.sources.fixtures import _ev
+
+    return _ev(event_id, url, ts_s, "crawl", fetch_ms=100)
+
+
+def test_cep_pipeline_politeness_stream_equals_batch_operator(
+    spark, tmp_path, tmp_dirs
+):
+    """job.py --pipeline cep --politeness-quota end to end: the
+    pipeline's streamed verdicts (through filters, CEP state and the
+    exactly-once sink, 3 microbatches) equal the batch replay operator
+    (operators/politeness.politeness_gate) on the same input."""
+    from gush_spark.config import DEFAULT_CONFIG
+    from gush_spark.operators.events import blacklist_filter, supported_kinds_filter
+    from gush_spark.operators.politeness import politeness_gate
+    from gush_spark.streaming.pipeline import cep_pipeline
+
+    events_dir = str(tmp_path / "events")
+    generate_page_events(events_dir, _burst_events(), n_chunks=3)
+    quota = 2
+    query, sink = cep_pipeline(
+        spark,
+        events_dir,
+        sink_path=tmp_dirs["sink"],
+        checkpoint_path=tmp_dirs["checkpoint"],
+        max_files_per_trigger=1,
+        politeness_quota=quota,
+    )
+    query.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["window_start_us"], r["seq_in_window"], r["allowed"])
+        for r in sink.read(spark).collect()
+    }
+
+    batch = blacklist_filter(
+        supported_kinds_filter(read_page_events_batch(spark, events_dir)),
+        DEFAULT_CONFIG,
+    )
+    gated = politeness_gate(
+        batch, "host", "warc_ts", "event_id",
+        quota=quota, window_s=WIN // 1_000_000,
+    )
+    want = {
+        r["event_id"]: (
+            r["window_start_s"] * 1_000_000, r["seq_in_window"], r["allowed"]
+        )
+        for r in gated.collect()
+    }
+    assert got == want
+    assert sum(1 for (_, _, ok) in got.values() if not ok) > 0  # gate bit

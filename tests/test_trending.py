@@ -331,3 +331,44 @@ def test_volume_anomaly_needs_history_and_ratio_floor(spark):
         ).collect()
     }
     assert floored[2400]["is_anomaly"] is False  # 1.2x < 1.5x floor
+
+
+def test_read_host_anomalies_stream_equals_batch(spark, tmp_path, tmp_dirs):
+    """job.py --anomaly-k end to end: the crawler-trap report derived
+    from the drained pages_pipeline sink (streamed counters, multiple
+    microbatches, exactly-once keyed sink) equals
+    volume_anomaly_windows over the batch-computed windowed counts —
+    the read-time-finalize contract."""
+    from gush_spark.config import GushSparkConfig
+    from gush_spark.operators.trending import volume_anomaly_windows
+    from gush_spark.sources.fixtures import generate_pages
+    from gush_spark.streaming.pipeline import (
+        extracted_pages,
+        pages_pipeline,
+        read_host_anomalies,
+        windowed_host_counts,
+    )
+    from gush_spark.streaming.source import read_pages_batch
+
+    cfg = GushSparkConfig(watermark_delay="4 hours")  # no late drops
+    pages_dir = str(tmp_path / "pages")
+    generate_pages(pages_dir, n_pages=1500, n_hosts=8, rows_per_file=400)
+    query, sink = pages_pipeline(
+        spark, pages_dir, config=cfg,
+        sink_path=tmp_dirs["sink"], checkpoint_path=tmp_dirs["checkpoint"],
+    )
+    query.awaitTermination(180)
+    params = dict(lookback=3, min_history=2, k_sq=1, min_ratio_pct=110)
+    got = read_host_anomalies(spark, sink, **params)
+
+    batch_counts = windowed_host_counts(
+        extracted_pages(read_pages_batch(spark, pages_dir), cfg),
+        cfg, streaming=False,
+    ).select("host", "window_start", F.col("n_pages").alias("n"))
+    want = volume_anomaly_windows(batch_counts, "host", **params)
+
+    key = ["host", "window_start", "n", "hist_windows", "base_n",
+           "spike_ratio", "is_anomaly"]
+    g = sorted(map(tuple, got.select(*key).collect()))
+    w = sorted(map(tuple, want.select(*key).collect()))
+    assert g == w and len(g) > 0
