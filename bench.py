@@ -107,6 +107,87 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]], list
     return timings, runs, suspect
 
 
+def bench_ann_index(spark) -> dict:
+    """Index-build vs query cost for the ANN family, separated.
+
+    The catalog entries (ann_topk_ivfpq, ann_topk_ivf_kmeans,
+    pq_adc_topk) time train+build+probe as ONE query because the
+    oracle must reproduce the whole composition — but at real scale the
+    index is a write-once materialized table amortized over every
+    query. Here each index builds ONCE (timed, materialized to parquet
+    like a production index table), then the probe stage runs against
+    the loaded index (min of 2 timed runs) — the figure a capacity
+    plan actually needs. Same parameters as the catalog entries."""
+    from gush_spark.operators import pq as pq_ops
+    from gush_spark.operators import similarity
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(vecs.select("embedding").first()[0])
+    queries_df = vecs.filter("vec_id < 8")
+    work = Path(tempfile.mkdtemp(prefix="gush_bench_annidx_"))
+    out: dict[str, dict] = {}
+
+    def _timed_query(fn) -> list[float]:
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        pair = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            pair.append(round(time.perf_counter() - t0, 3))
+        return pair
+
+    # --- IVF-PQ (catalog: ann_topk_ivfpq)
+    t0 = time.perf_counter()
+    asg, cents, cb, codes = pq_ops.ivfpq_build(
+        vecs, n_cells=8, cell_iters=1, pq_iters=1, dim=dim, spread=None,
+    )
+    for name, df in (("asg", asg), ("cents", cents), ("cb", cb), ("codes", codes)):
+        df.write.mode("overwrite").parquet(str(work / f"ivfpq_{name}"))
+    build = time.perf_counter() - t0
+    idx = {n: spark.read.parquet(str(work / f"ivfpq_{n}"))
+           for n in ("asg", "cents", "cb", "codes")}
+    runs = _timed_query(lambda: pq_ops.ivfpq_query(
+        idx["asg"], idx["cents"], idx["cb"], idx["codes"], queries_df,
+        n_probe=2, k=5, dim=dim,
+    ))
+    out["ivfpq"] = {"build_sec": round(build, 3), "query_sec": min(runs),
+                    "query_runs": runs}
+    spark.catalog.clearCache()
+
+    # --- trained-kmeans IVF (catalog: ann_topk_ivf_kmeans)
+    t0 = time.perf_counter()
+    labeled, cents = similarity.kmeans_ivf_build(vecs, n_cells=10, iters=2)
+    labeled.write.mode("overwrite").parquet(str(work / "ivf_labeled"))
+    cents.write.mode("overwrite").parquet(str(work / "ivf_cents"))
+    build = time.perf_counter() - t0
+    lab = spark.read.parquet(str(work / "ivf_labeled"))
+    cen = spark.read.parquet(str(work / "ivf_cents"))
+    runs = _timed_query(lambda: similarity.kmeans_ivf_query(
+        lab, cen, queries_df, k=5, n_probe=2,
+    ))
+    out["ivf_kmeans"] = {"build_sec": round(build, 3), "query_sec": min(runs),
+                         "query_runs": runs}
+    spark.catalog.clearCache()
+
+    # --- flat PQ + ADC (catalog: pq_adc_topk)
+    t0 = time.perf_counter()
+    cb = pq_ops.pq_train(vecs, iters=1, dim=dim)
+    codes = pq_ops.pq_encode(vecs, cb, dim=dim)
+    cb.write.mode("overwrite").parquet(str(work / "pq_cb"))
+    codes.write.mode("overwrite").parquet(str(work / "pq_codes"))
+    build = time.perf_counter() - t0
+    cbl = spark.read.parquet(str(work / "pq_cb"))
+    cdl = spark.read.parquet(str(work / "pq_codes"))
+    runs = _timed_query(lambda: pq_ops.pq_adc_topk(
+        cdl, cbl, queries_df, k=5, dim=dim,
+    ))
+    out["pq_adc"] = {"build_sec": round(build, 3), "query_sec": min(runs),
+                     "query_runs": runs}
+    spark.catalog.clearCache()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def bench_streaming(spark) -> dict:
     """Two runs of ``_stream_once`` with BOTH disclosed — the same
     min-of-2-warm-runs convention as the query section, because a
@@ -187,6 +268,7 @@ def main() -> None:
 
     spark = build_session("gush_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
     timings, runs, suspect = bench_queries(spark)
+    ann_index = bench_ann_index(spark)
     streaming = None if SKIP_STREAMING else bench_streaming(spark)
     total = round(sum(timings.values()), 3)
     out = {
@@ -199,6 +281,7 @@ def main() -> None:
         "throttle_suspect": suspect,
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
+        "ann_index": ann_index,
     }
     if streaming:
         out["streaming"] = streaming

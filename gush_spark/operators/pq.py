@@ -196,9 +196,8 @@ def pq_adc_topk(
     )
 
 
-def ivfpq_topk(
+def ivfpq_build(
     vectors: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
@@ -207,45 +206,20 @@ def ivfpq_topk(
     m: int = PQ_M,
     k_pq: int = PQ_K,
     pq_iters: int = 1,
-    n_probe: int = 2,
-    k: int = 5,
     dim: int | None = None,
     spread: int | None = 0,
-) -> DataFrame:
-    """IVF-PQ top-``k`` — the FAISS-style composition and the 100 TB
-    similarity-search answer: the coarse k-means quantizer
-    (``similarity.kmeans_cells``, quantized codegen assignment)
-    partitions the corpus into cells; vectors PQ-encode their RESIDUAL
-    from the cell centroid (residuals are small, so the same code
-    budget quantizes them far more finely than raw coords); a query
-    probes its ``n_probe`` best cells and scores ONLY their members via
-    per-(query, cell) ADC lookup tables.
-
-    Output ``(query_id, neighbor_id, adc_dist, rank)`` — integer
-    distances, nearest first, ties to the smallest id, candidates
-    limited to probed cells (IVF recall semantics, like ``ivf_topk``).
-
-    Determinism: cell probing reuses the assignment's integer-dot
-    score (monotone in cosine); residuals are ``x − rep`` in doubles
-    (one exact IEEE subtraction per coord) then floor-quantized, so
-    training/encode/LUT all stay in the integer regime — oracle
-    hash-exact end to end.
-
-    Scale shape: centroids and PQ codebooks are driver-pinned KBs; the
-    corpus-side passes are the coarse assignment broadcast join, the
-    residual broadcast join, and the code/LUT broadcast join — the
-    float corpus is read once at index-build time and NEVER at query
-    time; queries only touch the (id, cell) + (id, m, code) tables
-    (M+1 longs per vector)."""
-    from gush_spark.operators.similarity import (
-        KMEANS_QUANT as _Q,
-        kmeans_cells,
-        l2_norm,
-    )
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The write-once IVF-PQ index build: train the coarse quantizer,
+    assign cells, PQ-train on residuals, encode. Returns
+    ``(assignments, centroids, codebook, codes)`` — at real scale these
+    are materialized tables (codes/assignments M+1 longs per vector;
+    centroids/codebook driver-pinned KBs), amortized over every query;
+    the bench times this separately from the probe path for exactly
+    that reason."""
+    from gush_spark.operators.similarity import kmeans_cells
 
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
-    subdim = dim // m
     assignments, centroids = kmeans_cells(
         vectors, id_col, vec_col,
         n_cells=n_cells, iters=cell_iters, assign_quantized=True,
@@ -270,6 +244,34 @@ def ivfpq_topk(
     res = res.persist()
     cb = pq_train(res, id_col, "_res", m=m, k=k_pq, iters=pq_iters, dim=dim)
     codes = pq_encode(res, cb, id_col, "_res", dim=dim)
+    return assignments, centroids, cb, codes
+
+
+def ivfpq_query(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = PQ_M,
+    n_probe: int = 2,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """The probe/ADC half of IVF-PQ against a built (possibly
+    materialized-and-reloaded) index: each query picks its ``n_probe``
+    best cells by centroid dot, builds per-(query, cell) residual LUTs,
+    and scores ONLY those cells' codes — the float corpus is never
+    read."""
+    from gush_spark.operators.similarity import KMEANS_QUANT as _Q, l2_norm
+
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    subdim = dim // m
+    cb = codebook
 
     # probe: same normalized-centroid integer dot as the assignment,
     # top n_probe cells per query (descending score, ties to cell id)
@@ -344,4 +346,60 @@ def ivfpq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_cells: int = 8,
+    cell_iters: int = 1,
+    m: int = PQ_M,
+    k_pq: int = PQ_K,
+    pq_iters: int = 1,
+    n_probe: int = 2,
+    k: int = 5,
+    dim: int | None = None,
+    spread: int | None = 0,
+) -> DataFrame:
+    """IVF-PQ top-``k`` — the FAISS-style composition and the 100 TB
+    similarity-search answer: the coarse k-means quantizer
+    (``similarity.kmeans_cells``, quantized codegen assignment)
+    partitions the corpus into cells; vectors PQ-encode their RESIDUAL
+    from the cell centroid (residuals are small, so the same code
+    budget quantizes them far more finely than raw coords); a query
+    probes its ``n_probe`` best cells and scores ONLY their members via
+    per-(query, cell) ADC lookup tables.
+
+    Output ``(query_id, neighbor_id, adc_dist, rank)`` — integer
+    distances, nearest first, ties to the smallest id, candidates
+    limited to probed cells (IVF recall semantics, like ``ivf_topk``).
+
+    Determinism: cell probing reuses the assignment's integer-dot
+    score (monotone in cosine); residuals are ``x − rep`` in doubles
+    (one exact IEEE subtraction per coord) then floor-quantized, so
+    training/encode/LUT all stay in the integer regime — oracle
+    hash-exact end to end.
+
+    Scale shape: centroids and PQ codebooks are driver-pinned KBs; the
+    corpus-side passes are the coarse assignment broadcast join, the
+    residual broadcast join, and the code/LUT broadcast join — the
+    float corpus is read once at index-BUILD time (``ivfpq_build``,
+    write-once, amortized over every query) and NEVER at query time
+    (``ivfpq_query``); queries only touch the (id, cell) +
+    (id, m, code) tables (M+1 longs per vector). The bench times the
+    two halves separately (BENCH ``ann_index`` section)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    assignments, centroids, cb, codes = ivfpq_build(
+        vectors, id_col, vec_col,
+        n_cells=n_cells, cell_iters=cell_iters,
+        m=m, k_pq=k_pq, pq_iters=pq_iters, dim=dim, spread=spread,
+    )
+    return ivfpq_query(
+        assignments, centroids, cb, codes, queries, id_col, vec_col,
+        m=m, n_probe=n_probe, k=k, dim=dim,
     )

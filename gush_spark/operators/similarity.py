@@ -470,8 +470,46 @@ def kmeans_ivf_topk(
     best ``n_probe`` cells recovers more true neighbors than arbitrary
     labels with min-id representatives; the recall comparison is pinned
     in tests/test_ann.py)."""
+    labeled, centroids = kmeans_ivf_build(
+        vectors, id_col, vec_col, n_cells=n_cells, iters=iters
+    )
+    return kmeans_ivf_query(
+        labeled, centroids, queries, id_col, vec_col, k=k, n_probe=n_probe
+    )
+
+
+def kmeans_ivf_build(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_cells: int = 10,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The write-once half of ``kmeans_ivf_topk``: train the quantizer
+    and label the corpus. Returns ``(labeled, centroids)`` — at real
+    scale ``labeled`` is the corpus materialized cell-partitioned (the
+    one id-keyed join that co-locates vector with cell) and
+    ``centroids`` is a driver-pinned KB table; both amortize over every
+    query, so the bench times build and probe separately."""
     assignments, centroids = kmeans_cells(vectors, id_col, vec_col, n_cells, iters)
     labeled = vectors.join(assignments.withColumnRenamed("cell", "_cell"), on=id_col)
+    return labeled, centroids
+
+
+def kmeans_ivf_query(
+    labeled: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe half of ``kmeans_ivf_topk`` against a built (possibly
+    materialized-and-reloaded) index: broadcast-score the centroids,
+    keep ``n_probe`` cells, exact cosine within those cells only."""
     return _ivf_search(
         labeled, centroids, queries, id_col, vec_col, "_cell", k, n_probe
     )

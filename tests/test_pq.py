@@ -169,3 +169,30 @@ def test_residual_pq_reconstruction_beats_raw_pq(spark, pq_vecs):
     res_mse = reconstruct(rdf, lambda i: cmap[amap[i]])
 
     assert res_mse * 100 < raw_mse
+
+
+def test_ivfpq_materialized_index_query_equals_composed(pq_vecs, tmp_path):
+    """Build/query split (bench ``ann_index`` section): probing an index
+    that round-tripped through parquet — the production shape, the index
+    is a write-once materialized table — returns exactly the composed
+    ``ivfpq_topk`` answer."""
+    spark = pq_vecs.sparkSession
+    queries = pq_vecs.filter(F.col("vec_id") < 4)
+    composed = pq.ivfpq_topk(
+        pq_vecs, queries, n_cells=4, cell_iters=1, m=4, k_pq=8,
+        pq_iters=1, n_probe=2, k=3, dim=16,
+    ).collect()
+
+    parts = pq.ivfpq_build(
+        pq_vecs, n_cells=4, cell_iters=1, m=4, k_pq=8, pq_iters=1, dim=16,
+    )
+    names = ["asg", "cents", "cb", "codes"]
+    for name, df in zip(names, parts):
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    loaded = [spark.read.parquet(str(tmp_path / n)) for n in names]
+    split = pq.ivfpq_query(*loaded, queries, m=4, n_probe=2, k=3, dim=16).collect()
+
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, split), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, composed), key=lambda t: (t[0], t[3])
+    )
