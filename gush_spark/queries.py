@@ -56,46 +56,49 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # The driver's per-round CORRECTNESS gate covers the first ~50 entries
 # of queries() in iteration order. Rounds 1–3 witnessed the core §2
-# catalog green (CORRECTNESS_r01–r03); round 4 rotates the 29
-# registered-last operators (the whole curation surface + the r02-only
-# five) to the FRONT of the window so every operator has a
-# driver-witnessed green row across rounds. The cross-round union is
-# documented in COVERAGE.md; tools/verify_oracle.py always checks all.
+# catalog green (CORRECTNESS_r01–r03); round 4 rotated the 29
+# registered-last operators plus the round-4 additions to the front
+# (all green, CORRECTNESS_r04). Round 5 completes the rotation ledger:
+# the 19 round-4 session-2 queries that had only the local
+# tools/verify_oracle.py gate go FIRST, followed by the round-5
+# additions, then backfill re-witnessing (a) every query whose
+# implementation round 5 touched (min_label_components checkpoint
+# discipline → the cluster family; session-gap precision → paths) and
+# (b) the four queries rotated out in r04 plus core §2 queries green in
+# r01–r03. compression_ratio_scores is rows-only BY DESIGN (zlib has no
+# SQL expression; exact values pinned in pytest) and is parked OUTSIDE
+# the window so it no longer occupies a slot that can never show green.
+# The cross-round union is documented in COVERAGE.md;
+# tools/verify_oracle.py always checks the entire catalog.
 _DRIVER_WINDOW_FIRST = [
-    "incremental_exact_dedup", "incremental_near_dup", "incremental_curate",
-    "repetition_scores", "decontaminate_overlap", "pii_scrub_report",
-    "boilerplate_line_removal", "sequence_packing", "domain_reputation",
-    "url_canonicalize", "url_dedup_groups", "trending_terms",
-    "quality_decile_assignment", "mixture_resample", "curation_report_v2",
-    "packed_training_sequences", "corpus_stats_report",
-    "script_profile_report", "frequent_phrases", "frequent_phrases_hashed",
-    "stratified_sample_quota", "top_docs_per_source",
-    "compression_ratio_scores", "ann_topk_ivf_kmeans",
-    "multimodal_blob_features",
-    # (ann_topk_ivf / hash_split_sample — both driver-green in r02 and
-    # unchanged since — rotate back out for two round-4 session-2
-    # operator families; the remaining session-2 queries queue for the
-    # r05 window, see COVERAGE.md)
-    "snapshot_diff", "interval_join_events",
-    # (ann_topk_lsh / ann_topk_lsh_multiprobe rotate back out — both
-    # driver-green in r02 — to keep every never-witnessed query inside
-    # the ~50-entry window)
-    # round-4 additions (registered after the catalog core — rotated in
-    # so their first driver-witnessed round is the round they shipped)
-    "bloom_membership_report", "decontaminate_overlap_bloom",
-    "document_chunks", "minhash_estimate_pairs",
-    "incremental_near_dup_estimate",
-    "duplicate_span_report", "winnowed_dup_report", "span_scrubbed_docs",
-    "grouped_split_sample", "mojibake_report",
-    # round-4 second wave: distribution-level curation
-    "lm_likelihood_scores", "dsir_importance_scores", "dsir_resample",
-    "canonical_best_docs",
-    # round-4 third wave: embedding-space curation (SemDeDup) and
-    # keyword extraction / cluster topics
-    "semantic_decontaminate", "semantic_dup_clusters",
-    "semantic_canonical_vecs",
-    "tfidf_top_terms", "bm25_top_terms", "cluster_topic_report",
-    "pq_codes", "pq_adc_topk", "ann_topk_ivfpq",
+    # --- the 19 round-4 session-2 queries, first driver rows this round
+    "snapshot_diff_summary", "decayed_trending_terms",
+    "data_expectations_report", "data_expectation_violations",
+    "linear_classifier_scores", "bm25_search_topk", "token_budget_plan",
+    "host_hierarchy_rollup", "quality_percentile_by_source",
+    "centroid_similarity_map", "vocab_growth_curve",
+    "packing_efficiency_report", "source_overlap_matrix",
+    "hard_negatives_topk", "cross_lingual_pairs", "bpe_pair_stats",
+    "curation_report_v3", "host_volume_anomalies", "session_path_counts",
+    # --- round-5 additions (first driver rows the round they ship)
+    "crawl_politeness_gate",
+    # --- re-witness: code touched in round 5 (connected-components
+    # checkpoint discipline; session-gap µs precision feeds
+    # session_path_counts above)
+    "near_dup_clusters", "semantic_dup_clusters", "semantic_canonical_vecs",
+    # --- re-witness: rotated out in r04 to make window room
+    "ann_topk_lsh", "ann_topk_lsh_multiprobe", "ann_topk_ivf",
+    "hash_split_sample",
+    # --- backfill: core §2 catalog, driver-green r01–r03 and unchanged
+    "filter_classify_events", "map_field_projection",
+    "field_projection_avg", "prior_event_join", "asof_last_purchase",
+    "dim_join_revenue", "tumbling_window_count", "tumbling_window_avg",
+    "sliding_window_count", "session_window_count",
+    "session_stats_per_user", "trailing_window_stats", "top_users",
+    "distinct_active_days", "cohort_set_ops", "union_dedup_events",
+    "word_frequencies", "late_event_accounting",
+    "sequence_pattern_within", "absence_pattern_timeout",
+    "cep_replay_batch", "salted_user_totals", "percentile_summary",
 ]
 
 
