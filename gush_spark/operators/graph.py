@@ -1,0 +1,243 @@
+"""Navigation-graph analytics — session co-visit transition edges and
+fixed-point PageRank over them: the link-structure view of the event
+stream (which nodes do journeys flow through, and which carry
+authority), sitting next to path mining (paths.py asks "which exact
+journeys"; the graph asks "which nodes matter once journeys are folded
+into edges").
+
+Reference analog: gush has no graph operator — this follows the driver
+brief's web-scale training-pipeline mandate (domain reputation /
+crawl-frontier prioritization both want a host-authority score; the
+co-visit graph here is the same machinery over whatever node column
+the caller supplies).
+
+Determinism/exactness (the repo's integer-fixed-point discipline, same
+as pq.py / lm.py / trending.py):
+- edges derive from the SAME µs-precision lag-gap sessionization as
+  paths.session_paths — one user-keyed sort powers the session flag
+  and the successor lookup;
+- PageRank runs entirely in scaled BIGINT: ranks start at SCALE
+  (mass = N·SCALE), per-edge contributions are
+  ``(rank·weight) DIV out_weight``, the damping split is
+  ``base + (dp·x) DIV 100`` — every operand non-negative, so Spark's
+  truncating DIV and DuckDB's ``//`` agree bit-for-bit and every sum
+  is order-free. No float appears anywhere, so the oracle (unrolled
+  per-iteration CTEs) is hash-exact, and results are independent of
+  partitioning;
+- dangling mass (nodes with no out-edges) redistributes uniformly:
+  ``dangling DIV N`` added to every node's inflow before damping —
+  the standard teleport completion, kept integer.
+
+Scale shape:
+- the edge build is ONE user-keyed exchange (lag + lead over the same
+  window) then a (src, dst)-keyed count — map-side combinable;
+- each PageRank iteration is one equi-join (ranks ⋈ edges on src) and
+  one groupBy(dst) — the join key never changes, so a real cluster
+  co-partitions ranks and edges once (bucketed by node) and every
+  iteration reuses the layout; the per-iteration dangling mass is a
+  SCALAR (one tiny agg), the only driver-side value, mirroring
+  min_label_components' ``changed`` counter;
+- iteration frames are persisted and the loop unpersists the previous
+  round, so lineage stays one-iteration deep (the
+  min_label_components checkpoint discipline is unnecessary at 3-5
+  fixed iterations, but the persist keeps each iteration's plan
+  constant-size).
+
+Overflow budget: rank ≤ N·SCALE; rank·weight must stay under 2^63 —
+with SCALE=10^9 that allows N·max_edge_weight < 9.2·10^9, far above
+any per-session co-visit graph; callers with heavier graphs pass a
+smaller ``scale``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000  # fixed-point rank scale (1.0 == SCALE)
+PR_DAMPING_PCT = 85  # damping factor in percent (0.85)
+
+
+def transition_edges(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    node_col: str = "event_type",
+    id_col: str = "event_id",
+    *,
+    gap_s: int = 1800,
+    drop_self_loops: bool = False,
+) -> DataFrame:
+    """Weighted directed co-visit edges ``(src, dst, weight)``: one edge
+    per consecutive event pair within a session (µs-precision
+    ``gap_s`` sessionization, (ts, id) total step order — the
+    paths.session_paths convention), weight = number of observed
+    transitions. ONE user-keyed exchange powers the session flag and
+    the successor; the count is map-side combinable."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(prev_ts.cast("timestamp"))
+            )
+            > F.lit(int(gap_s) * 1_000_000).cast("long")
+        )
+    ).cast("long")
+    sessioned = events.select(
+        user_col,
+        ts_col,
+        id_col,
+        F.col(node_col).alias("_node"),
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_sess"),
+    )
+    w2 = Window.partitionBy(user_col, "_sess").orderBy(ts_col, id_col)
+    paired = sessioned.select(
+        F.col("_node").alias("src"),
+        F.lead("_node").over(w2).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    if drop_self_loops:
+        paired = paired.filter(F.col("src") != F.col("dst"))
+    return paired.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping_pct: int = PR_DAMPING_PCT,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-point integer PageRank over a weighted directed edge list
+    ``(src, dst, weight)``; returns ``(node, rank)`` for every node
+    that appears as a source or destination, rank in units of
+    ``1/scale`` (1.0 == ``scale``; total mass ≈ N·scale).
+
+    Per iteration (all BIGINT, every operand non-negative so truncating
+    division is floor division in both engines):
+
+        contrib(v)   = Σ over in-edges (rank(src)·weight) DIV out_w(src)
+        dangling     = Σ rank over nodes with no out-edge   [scalar]
+        rank'(v)     = ((100-dp)·scale) DIV 100
+                       + (dp·(contrib(v) + dangling DIV N)) DIV 100
+
+    ``iters`` is a small fixed count (power iteration converges
+    geometrically at rate ``dp``; 3-5 iterations rank-order a co-visit
+    graph) — fixed so the DuckDB oracle can unroll the loop as chained
+    CTEs and match hash-exact."""
+    edges = edges.select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    )
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # edges ⋈ out-weight once, before the loop — every iteration reuses
+    # this frame (on a cluster: bucketed by src, layout reused per iter)
+    edges_w = edges.join(out_w, on="src").persist()
+    nodes = nodes.persist()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
+    base = ((100 - damping_pct) * scale) // 100
+
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    prev = None
+    for _ in range(iters):
+        # dangling mass: the one scalar per iteration (driver-side, like
+        # min_label_components' changed counter) — integer sum, so the
+        # collected value is deterministic
+        dangling = (
+            ranks.join(out_w, ranks["node"] == out_w["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        share = int(dangling) // n_nodes
+        contrib = (
+            ranks.join(edges_w, ranks["node"] == edges_w["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank * weight DIV out_w").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_contrib"))
+        )
+        new_ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(_contrib, 0L) + {share}L) "
+                        "DIV 100"
+                    )
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before dropping the parent
+        if prev is not None:
+            prev.unpersist()
+        prev, ranks = new_ranks, new_ranks
+    result = ranks.select("node", F.col("rank").cast("long").alias("rank"))
+    return result
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    *,
+    iters: int = 3,
+    damping_pct: int = PR_DAMPING_PCT,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB CTE stack replicating ``pagerank`` bit-for-bit over an
+    ``edges(src, dst, weight)`` relation named by ``edges_cte`` —
+    iterations unrolled (the fixed-iteration contract exists for this),
+    every step the same non-negative BIGINT arithmetic."""
+    base = ((100 - damping_pct) * scale) // 100
+    parts = [
+        f"""_pr_edges AS (
+      SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM {edges_cte}
+    ), _pr_outw AS (
+      SELECT src, CAST(sum(weight) AS BIGINT) AS out_w
+      FROM _pr_edges GROUP BY src
+    ), _pr_nodes AS (
+      SELECT src AS node FROM _pr_edges
+      UNION SELECT dst FROM _pr_edges
+    ), _pr_n AS (SELECT count(*) AS n FROM _pr_nodes
+    ), _pr_r0 AS (
+      SELECT node, CAST({scale} AS BIGINT) AS rank FROM _pr_nodes
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        p, c = f"_pr_r{i - 1}", f"_pr_r{i}"
+        parts.append(
+            f"""_pr_d{i} AS (
+      SELECT COALESCE(sum(r.rank), 0) // (SELECT n FROM _pr_n) AS share
+      FROM {p} r LEFT JOIN _pr_outw o ON r.node = o.src
+      WHERE o.src IS NULL
+    ), _pr_c{i} AS (
+      SELECT e.dst AS node,
+             CAST(sum((r.rank * e.weight) // o.out_w) AS BIGINT) AS contrib
+      FROM {p} r
+      JOIN _pr_edges e ON r.node = e.src
+      JOIN _pr_outw o ON e.src = o.src
+      GROUP BY e.dst
+    ), {c} AS (
+      SELECT n.node,
+             CAST({base} + ({damping_pct} * (COALESCE(c.contrib, 0)
+                    + (SELECT share FROM _pr_d{i}))) // 100 AS BIGINT)
+               AS rank
+      FROM _pr_nodes n LEFT JOIN _pr_c{i} c ON n.node = c.node
+    )"""
+        )
+    return ",\n".join(parts)

@@ -3991,3 +3991,120 @@ def q_crawl_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return politeness_gate(
         ev, "user_id", "ts", "event_id", quota=2, window_s=86400
     )
+
+
+# ---------------------------------------------------------------------------
+# Navigation-graph analytics (operators/graph.py): session co-visit
+# transition edges + fixed-point integer PageRank — the link-structure
+# view of the event stream (nodes = the page-id analog carried in
+# props.k; edges = consecutive visits within a 60-minute session).
+# ---------------------------------------------------------------------------
+from gush_spark.operators.graph import pagerank_oracle_sql as _pr_sql  # noqa: E402
+
+_COVISIT_EDGES_CTE = """
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             regexp_extract(props, '"k": ([0-9]+)', 1) AS node,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 60 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+      SELECT user_id, ts, event_id, node,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), paired AS (
+      SELECT node AS src,
+             lead(node) OVER (PARTITION BY user_id, sess_id
+                              ORDER BY ts, event_id) AS dst
+      FROM sessioned
+    ), edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+      FROM paired WHERE dst IS NOT NULL GROUP BY src, dst
+    )"""
+
+
+@query(
+    "covisit_pagerank",
+    oracle=(
+        "WITH "
+        + _COVISIT_EDGES_CTE
+        + ",\n"
+        + _pr_sql("edges", iters=3)
+        + "\nSELECT node, rank FROM _pr_r3"
+    ),
+)
+def q_covisit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the session co-visit graph: nodes are the page-id
+    analog (props.k), edges are consecutive visits within a 60-minute
+    session, 3 power iterations in scaled BIGINT (rank of 1.0 == 1e9;
+    damping 0.85, dangling mass redistributed uniformly). Edge build is
+    ONE user-keyed exchange; each iteration is one src-keyed equi-join
+    + one dst-keyed agg, the join key constant across iterations."""
+    from gush_spark.operators.graph import pagerank, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    return pagerank(edges, iters=3).select(
+        F.col("node"), F.col("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Freshness-driven recrawl prioritization (operators/recrawl.py): the
+# Cho & Garcia-Molina change-rate × staleness policy over the observed
+# fetch history — the scheduling complement of the crawl/recrawl flows
+# (operators/events.py F4/F5).
+# ---------------------------------------------------------------------------
+@query(
+    "recrawl_priorities",
+    oracle="""
+    WITH obs AS (
+      SELECT regexp_extract(props, '"k": ([0-9]+)', 1) AS page,
+             epoch_us(ts) AS us,
+             (event_type = 'purchase') AS changed
+      FROM events
+    ), per_key AS (
+      SELECT page, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changes,
+             max(us) AS last_us
+      FROM obs GROUP BY page
+    ), now_t AS (SELECT max(us) AS now_us FROM obs
+    ), scored AS (
+      SELECT page, n_obs, n_changes,
+             CAST((n_changes * 1000000) // n_obs AS BIGINT)
+               AS change_rate_ppm,
+             CAST((now_us - last_us) // 1000000 AS BIGINT) AS staleness_s,
+             CAST(((now_us - last_us) // 1000000)
+                  * ((n_changes * 1000000) // n_obs) AS BIGINT) AS priority
+      FROM per_key, now_t
+    )
+    SELECT page, n_obs, n_changes, change_rate_ppm, staleness_s, priority,
+           CAST(row_number() OVER (ORDER BY priority DESC, page) AS BIGINT)
+             AS rnk
+    FROM scored
+    QUALIFY rnk <= 25
+    """,
+)
+def q_recrawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 recrawl candidates: per page (props.k), change rate in
+    ppm (changes = purchase events, the content-diff analog) times
+    staleness since last fetch relative to corpus-now — all BIGINT, one
+    page-keyed partial-combinable agg + a 1-row broadcast scalar join,
+    top-k via TakeOrderedAndProject."""
+    from gush_spark.operators.recrawl import recrawl_priorities
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.select(
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("page"),
+        "ts",
+        "event_type",
+    )
+    return recrawl_priorities(
+        obs, "page", "ts", F.col("event_type") == F.lit("purchase"), k=25
+    )

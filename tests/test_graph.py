@@ -1,0 +1,163 @@
+"""Navigation-graph analytics: co-visit transition edges (session
+split, step order, self-loop handling, weights) and fixed-point
+integer PageRank (pure-Python reference equality, dangling-mass
+redistribution, partitioning invariance) plus the recrawl-priority
+scheduler (hand-computed priorities, zero-change floor, top-k order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gush_spark.operators.graph import (
+    PR_DAMPING_PCT,
+    PR_SCALE,
+    pagerank,
+    transition_edges,
+)
+from gush_spark.operators.recrawl import recrawl_priorities
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, weight long")
+
+
+def _reference_pagerank(edges, iters=3, dp=PR_DAMPING_PCT, scale=PR_SCALE):
+    """The exact integer recurrence, dict-of-nodes form."""
+    out_w: dict = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    base = ((100 - dp) * scale) // 100
+    rank = {v: scale for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if v not in out_w)
+        share = dangling // n
+        contrib = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += (rank[s] * w) // out_w[s]
+        rank = {
+            v: base + (dp * (contrib[v] + share)) // 100 for v in nodes
+        }
+    return rank
+
+
+def test_transition_edges_sessions_and_weights(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1, session 1: a>b>a>b — edges a>b (x2), b>a (x1)
+            (1, 0, 1, "a"),
+            (2, 10, 1, "b"),
+            (3, 20, 1, "a"),
+            (4, 30, 1, "b"),
+            # gap > 1800 starts a new session: b>c only (NO edge b>b
+            # across the session boundary)
+            (5, 4000, 1, "b"),
+            (6, 4010, 1, "c"),
+            # user 2: tied timestamps — order falls to event_id: x>y
+            (8, 100, 2, "y"),
+            (7, 100, 2, "x"),
+        ],
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in transition_edges(ev, gap_s=1800).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1, ("x", "y"): 1}
+
+
+def test_transition_edges_self_loop_toggle(spark):
+    ev = _events(spark, [(1, 0, 1, "a"), (2, 1, 1, "a"), (3, 2, 1, "b")])
+    with_loops = {
+        (r["src"], r["dst"]) for r in transition_edges(ev).collect()
+    }
+    without = {
+        (r["src"], r["dst"])
+        for r in transition_edges(ev, drop_self_loops=True).collect()
+    }
+    assert ("a", "a") in with_loops
+    assert without == {("a", "b")}
+
+
+def test_pagerank_matches_integer_reference(spark):
+    # a small web: hub 'a' links everywhere, 'd' is dangling (no
+    # out-edges), 'c' has weighted in-links
+    edge_rows = [
+        ("a", "b", 2),
+        ("a", "c", 1),
+        ("b", "c", 3),
+        ("c", "a", 1),
+        ("b", "d", 1),
+    ]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, edge_rows), iters=3).collect()
+    }
+    assert got == _reference_pagerank(edge_rows, iters=3)
+    # dangling node 'd' holds exactly the teleport base + its share of
+    # redistributed dangling mass — never zero
+    assert got["d"] > 0
+    # the hub target 'c' outranks the leaf 'd'
+    assert got["c"] > got["d"]
+
+
+def test_pagerank_partitioning_invariance(spark):
+    edge_rows = [("a", "b", 1), ("b", "c", 2), ("c", "a", 3), ("a", "c", 1)]
+    df = _edges(spark, edge_rows)
+    one = {
+        r["node"]: r["rank"]
+        for r in pagerank(df.coalesce(1), iters=4).collect()
+    }
+    many = {
+        r["node"]: r["rank"]
+        for r in pagerank(df.repartition(7, "dst"), iters=4).collect()
+    }
+    assert one == many == _reference_pagerank(edge_rows, iters=4)
+
+
+def test_recrawl_priorities_exact(spark):
+    obs = spark.createDataFrame(
+        [
+            # page p1: 4 obs, 2 changes, last seen t=100 (corpus now=200)
+            ("p1", 10, True),
+            ("p1", 50, False),
+            ("p1", 90, True),
+            ("p1", 100, False),
+            # page p2: 2 obs, 0 changes → priority 0 regardless of staleness
+            ("p2", 20, False),
+            ("p2", 40, False),
+            # page p3: 1 obs, 1 change, last seen t=200 → staleness 0
+            ("p3", 200, True),
+        ],
+        "page string, ts long, changed boolean",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    got = {
+        r["page"]: r
+        for r in recrawl_priorities(obs, "page", "ts", F.col("changed")).collect()
+    }
+    p1 = got["p1"]
+    assert (p1["n_obs"], p1["n_changes"]) == (4, 2)
+    assert p1["change_rate_ppm"] == 500_000
+    assert p1["staleness_s"] == 100
+    assert p1["priority"] == 50_000_000
+    assert got["p2"]["priority"] == 0  # never changed → no urgency
+    assert got["p3"]["staleness_s"] == 0 and got["p3"]["priority"] == 0
+
+
+def test_recrawl_topk_rank_order(spark):
+    obs = spark.createDataFrame(
+        [("p%d" % i, 10 * i, i % 2 == 0) for i in range(1, 9)],
+        "page string, ts long, changed boolean",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    top = recrawl_priorities(obs, "page", "ts", F.col("changed"), k=3).collect()
+    assert [r["rnk"] for r in top] == [1, 2, 3]
+    pris = [r["priority"] for r in top]
+    assert pris == sorted(pris, reverse=True)

@@ -522,6 +522,26 @@ def main() -> int:
           and len(re.findall(r"\(\d+\) Exchange", p)) <= 1,
           "politeness gate grew joins or extra exchanges")
 
+    # round-5: PageRank — every per-iteration join must be an equi-join
+    # (hash or sort-merge), never a nested loop / cartesian, and the
+    # whole pipeline stays JVM-side (no Python eval nodes)
+    p = plan_of(qp.q_covisit_pagerank(spark, sf_dir))
+    check("graph.pagerank_equi_joins_only",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "Join" in p,
+          "pagerank grew a nested-loop/cartesian join")
+    check("graph.pagerank_jvm_only",
+          "EvalPython" not in p and "PythonUDF" not in p,
+          "pagerank plan contains Python eval nodes")
+
+    # round-5: recrawl priorities — the corpus scalar rides the 1-row
+    # broadcast nested-loop join (the DSIR totals pattern) and top-k is
+    # an ordered limit, not a global sort
+    p = plan_of(qp.q_recrawl_priorities(spark, sf_dir))
+    check("recrawl.scalar_bnlj_and_take_ordered",
+          "BroadcastNestedLoopJoin" in p and "TakeOrderedAndProject" in p,
+          "recrawl lost the 1-row scalar join or the ordered-limit top-k")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0

@@ -124,6 +124,26 @@ def build_fixture(spark, sf_dir: str, out_dir: str) -> None:
         f"{out_dir}/embeddings.parquet"
     )
 
+    # events 10x for the events-driven probes (sessions, politeness,
+    # graph, recrawl): variant j>0 shifts user_id and event_id past the
+    # original ranges, so the fixture is 10 independent copies of the
+    # user population — identical per-family session/window structure
+    # (linear operators should show ~10x work), while the props.k node
+    # set stays FIXED (the web analog: 10x traffic over the same site
+    # graph — PageRank's per-iteration cost must not grow with traffic)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mx = ev.agg(F.max("user_id"), F.max("event_id")).first()
+    uoff, eoff = mx[0] + 1, mx[1] + 1
+    vbig = ev
+    for j in range(1, N_VARIANTS):
+        vbig = vbig.unionByName(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(j * uoff))
+            .withColumn("event_id", F.col("event_id") + F.lit(j * eoff))
+        )
+    vbig.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
 
 def run_suite(
     spark, sf_dir: str, names: list[str] | None = None
