@@ -142,6 +142,13 @@ def main(argv: list[str] | None = None) -> int:
              "operators/trending.volume_anomaly_windows); availableNow "
              "mode only",
     )
+    ap.add_argument(
+        "--recrawl-topk", type=int, default=None,
+        help="cep pipeline: after the drain, write a recrawl schedule "
+             "(<sink>_recrawl) — top-K urls by change-rate x staleness "
+             "(Cho & Garcia-Molina; pipeline.read_recrawl_priorities); "
+             "availableNow mode only",
+    )
     args = ap.parse_args(argv)
     if args.max_pii is not None and not args.scrub:
         ap.error("--max-pii requires --scrub (the gate runs on scrubbed text)")
@@ -156,6 +163,11 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--anomaly-k only applies to --pipeline pages/featurize")
         if args.continuous:
             ap.error("--anomaly-k is a post-drain report (availableNow only)")
+    if args.recrawl_topk is not None:
+        if args.pipeline != "cep":
+            ap.error("--recrawl-topk only applies to --pipeline cep")
+        if args.continuous:
+            ap.error("--recrawl-topk is a post-drain report (availableNow only)")
     if args.pipeline != "curation":
         for flag, val, default in (
             ("--scrub", args.scrub, False),
@@ -228,6 +240,11 @@ def main(argv: list[str] | None = None) -> int:
 
         report = read_host_anomalies(spark, sink, k_sq=args.anomaly_k**2)
         report.write.mode("overwrite").parquet(f"{args.sink}_anomalies")
+    if args.recrawl_topk is not None:
+        from gush_spark.streaming.pipeline import read_recrawl_priorities
+
+        schedule = read_recrawl_priorities(spark, sink, k=args.recrawl_topk)
+        schedule.write.mode("overwrite").parquet(f"{args.sink}_recrawl")
     return 0
 
 

@@ -260,6 +260,39 @@ def read_host_anomalies(
     )
 
 
+def read_recrawl_priorities(
+    spark: SparkSession,
+    sink: IdempotentKeyedSink,
+    *,
+    k: int | None = None,
+) -> DataFrame:
+    """Recrawl schedule over a drained ``cep_pipeline`` sink: per url,
+    change-rate (recrawl events = observed content changes) ×
+    staleness vs corpus-now, the Cho & Garcia-Molina policy
+    (``operators/recrawl.recrawl_priorities``).
+
+    Read-time finalize, same layering as ``read_host_anomalies``: the
+    stream keeps only the enriched event log in the exactly-once sink
+    (counts/max are additive facts of it); the schedule is derived when
+    asked, so resumed or backfilled streams re-prioritize correctly
+    with no bespoke scheduling state. ``job.py --recrawl-topk`` writes
+    this next to the sink after the drain. ``session_closed`` summary
+    rows (when the pipeline emits closures) are not fetches and are
+    excluded."""
+    from gush_spark.operators.recrawl import recrawl_priorities
+
+    obs = sink.read(spark).filter(
+        F.col("event_type").isin("crawl", "recrawl")
+    ).select(
+        "url",
+        F.timestamp_micros(F.col("warc_ts_us")).alias("_ts"),
+        "event_type",
+    )
+    return recrawl_priorities(
+        obs, "url", "_ts", F.col("event_type") == F.lit("recrawl"), k=k
+    )
+
+
 def curation_stream_pipeline(
     spark: SparkSession,
     pages_path: str,

@@ -161,3 +161,59 @@ def test_recrawl_topk_rank_order(spark):
     assert [r["rnk"] for r in top] == [1, 2, 3]
     pris = [r["priority"] for r in top]
     assert pris == sorted(pris, reverse=True)
+
+
+def test_read_recrawl_priorities_stream_equals_batch(spark, tmp_path, tmp_dirs):
+    """job.py --recrawl-topk end to end: the recrawl schedule derived
+    from the drained cep_pipeline sink (streamed through the CEP state
+    machine + exactly-once sink, 3 microbatches) equals the batch
+    recrawl_priorities operator over the same crawl/recrawl history —
+    the read-time-finalize contract."""
+    from gush_spark.sources.fixtures import _ev, generate_page_events
+    from gush_spark.streaming.pipeline import (
+        cep_pipeline,
+        read_recrawl_priorities,
+    )
+    from gush_spark.streaming.source import read_page_events_batch
+
+    # three urls with distinct change histories: u1 changes often and
+    # goes stale; u2 never changes; u3 changes but was just fetched
+    events = [
+        _ev(1, "https://h1.example/u1", 0, "crawl"),
+        _ev(2, "https://h1.example/u1", 100, "recrawl"),
+        _ev(3, "https://h1.example/u1", 200, "recrawl"),
+        _ev(4, "https://h2.example/u2", 10, "crawl"),
+        _ev(5, "https://h2.example/u2", 500, "crawl"),
+        _ev(6, "https://h1.example/u3", 900, "crawl"),
+        _ev(7, "https://h1.example/u3", 1000, "recrawl"),
+    ]
+    events_dir = str(tmp_path / "events")
+    generate_page_events(events_dir, events, n_chunks=3)
+    query, sink = cep_pipeline(
+        spark,
+        events_dir,
+        sink_path=tmp_dirs["sink"],
+        checkpoint_path=tmp_dirs["checkpoint"],
+        max_files_per_trigger=1,
+    )
+    query.awaitTermination(120)
+    got = {
+        r["url"]: (r["n_obs"], r["n_changes"], r["staleness_s"], r["priority"])
+        for r in read_recrawl_priorities(spark, sink).collect()
+    }
+
+    from gush_spark.operators.recrawl import recrawl_priorities
+
+    batch = read_page_events_batch(spark, events_dir).filter(
+        F.col("event_type").isin("crawl", "recrawl")
+    )
+    want = {
+        r["url"]: (r["n_obs"], r["n_changes"], r["staleness_s"], r["priority"])
+        for r in recrawl_priorities(
+            batch, "url", "warc_ts", F.col("event_type") == "recrawl"
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+    # the often-changing stale url owes the most expected novelty
+    u1 = got["https://h1.example/u1"]
+    assert u1[1] == 2 and u1[3] == max(v[3] for v in got.values()) > 0

@@ -64,3 +64,13 @@ def test_anomaly_k_rejected_off_pages_featurize():
 def test_anomaly_k_rejected_with_continuous():
     with pytest.raises(SystemExit):
         main(["--pipeline", "pages", *BASE, "--anomaly-k", "3", "--continuous"])
+
+
+def test_recrawl_topk_rejected_off_cep():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "pages", *BASE, "--recrawl-topk", "5"])
+
+
+def test_recrawl_topk_rejected_with_continuous():
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "cep", *BASE, "--recrawl-topk", "5", "--continuous"])
