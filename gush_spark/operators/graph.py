@@ -113,6 +113,7 @@ def pagerank(
     iters: int = 3,
     damping_pct: int = PR_DAMPING_PCT,
     scale: int = PR_SCALE,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a weighted directed edge list
     ``(src, dst, weight)``; returns ``(node, rank)`` for every node
@@ -130,7 +131,17 @@ def pagerank(
     ``iters`` is a small fixed count (power iteration converges
     geometrically at rate ``dp``; 3-5 iterations rank-order a co-visit
     graph) — fixed so the DuckDB oracle can unroll the loop as chained
-    CTEs and match hash-exact."""
+    CTEs and match hash-exact.
+
+    ``seeds`` (a 1-column ``node`` DataFrame) switches the teleport to
+    TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the
+    ``base`` term and the initial rank go ONLY to seed nodes (trusted
+    hubs), so trust flows outward along edges and a region reachable
+    only from untrusted nodes converges to rank 0 — the web-spam /
+    domain-trust propagation that feeds a reputation gate
+    (operators/domains.py). Dangling mass still redistributes
+    uniformly (the plain-PageRank completion; a seeds-only
+    redistribution would merely rescale trust, not reorder it)."""
     edges = edges.select(
         "src", "dst", F.col("weight").cast("long").alias("weight")
     )
@@ -149,7 +160,28 @@ def pagerank(
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
     base = ((100 - damping_pct) * scale) // 100
 
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    if seeds is None:
+        is_seed = F.lit(True)
+        seeded = nodes
+    else:
+        # trusted-seed indicator rides the node table (one tiny join,
+        # before the loop); seeds outside the graph's node set are
+        # ignored by construction
+        seeded = nodes.join(
+            seeds.select(F.col("node"), F.lit(True).alias("_seed")).distinct(),
+            on="node",
+            how="left",
+        ).select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+        seeded = seeded.persist()
+        is_seed = F.col("_seed")
+    base_col = F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+
+    ranks = seeded.select(
+        "node",
+        F.when(is_seed, F.lit(scale)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
     prev = None
     for _ in range(iters):
         # dangling mass: the one scalar per iteration (driver-side, like
@@ -171,11 +203,11 @@ def pagerank(
             .agg(F.sum("_c").alias("_contrib"))
         )
         new_ranks = (
-            nodes.join(contrib, on="node", how="left")
+            seeded.join(contrib, on="node", how="left")
             .select(
                 "node",
                 (
-                    F.lit(base).cast("long")
+                    base_col
                     + F.expr(
                         f"{damping_pct} * (coalesce(_contrib, 0L) + {share}L) "
                         "DIV 100"
@@ -198,12 +230,30 @@ def pagerank_oracle_sql(
     iters: int = 3,
     damping_pct: int = PR_DAMPING_PCT,
     scale: int = PR_SCALE,
+    seeds_cte: str | None = None,
 ) -> str:
     """DuckDB CTE stack replicating ``pagerank`` bit-for-bit over an
     ``edges(src, dst, weight)`` relation named by ``edges_cte`` —
     iterations unrolled (the fixed-iteration contract exists for this),
-    every step the same non-negative BIGINT arithmetic."""
+    every step the same non-negative BIGINT arithmetic. With
+    ``seeds_cte`` (a ``node``-column relation), replicates the
+    TrustRank variant (seeded teleport + seeded init)."""
     base = ((100 - damping_pct) * scale) // 100
+    if seeds_cte is None:
+        seed_cols = f"""
+      SELECT node, CAST({scale} AS BIGINT) AS r0,
+             CAST({base} AS BIGINT) AS base
+      FROM _pr_nodes"""
+    else:
+        seed_cols = f"""
+      SELECT n.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {scale} ELSE 0 END
+                  AS BIGINT) AS r0,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {base} ELSE 0 END
+                  AS BIGINT) AS base
+      FROM _pr_nodes n
+      LEFT JOIN (SELECT DISTINCT node FROM {seeds_cte}) s
+        ON n.node = s.node"""
     parts = [
         f"""_pr_edges AS (
       SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM {edges_cte}
@@ -214,8 +264,9 @@ def pagerank_oracle_sql(
       SELECT src AS node FROM _pr_edges
       UNION SELECT dst FROM _pr_edges
     ), _pr_n AS (SELECT count(*) AS n FROM _pr_nodes
+    ), _pr_seeded AS ({seed_cols}
     ), _pr_r0 AS (
-      SELECT node, CAST({scale} AS BIGINT) AS rank FROM _pr_nodes
+      SELECT node, r0 AS rank FROM _pr_seeded
     )"""
     ]
     for i in range(1, iters + 1):
@@ -234,10 +285,10 @@ def pagerank_oracle_sql(
       GROUP BY e.dst
     ), {c} AS (
       SELECT n.node,
-             CAST({base} + ({damping_pct} * (COALESCE(c.contrib, 0)
+             CAST(n.base + ({damping_pct} * (COALESCE(c.contrib, 0)
                     + (SELECT share FROM _pr_d{i}))) // 100 AS BIGINT)
                AS rank
-      FROM _pr_nodes n LEFT JOIN _pr_c{i} c ON n.node = c.node
+      FROM _pr_seeded n LEFT JOIN _pr_c{i} c ON n.node = c.node
     )"""
         )
     return ",\n".join(parts)

@@ -81,7 +81,8 @@ _DRIVER_WINDOW_FIRST = [
     "hard_negatives_topk", "cross_lingual_pairs", "bpe_pair_stats",
     "curation_report_v3", "host_volume_anomalies", "session_path_counts",
     # --- round-5 additions (first driver rows the round they ship)
-    "crawl_politeness_gate", "covisit_pagerank", "recrawl_priorities",
+    "crawl_politeness_gate", "covisit_pagerank", "trusted_pagerank",
+    "recrawl_priorities",
     # --- re-witness: code touched in round 5 (connected-components
     # checkpoint discipline; session-gap µs precision feeds
     # session_path_counts above)
@@ -98,10 +99,10 @@ _DRIVER_WINDOW_FIRST = [
     "distinct_active_days", "cohort_set_ops", "union_dedup_events",
     "word_frequencies", "late_event_accounting",
     "sequence_pattern_within", "absence_pattern_timeout",
-    "cep_replay_batch",
-    # (salted_user_totals / percentile_summary — driver-green r01–r03
-    # and unchanged — yield their backfill slots to the round-5
-    # covisit_pagerank / recrawl_priorities additions above)
+    # (salted_user_totals / percentile_summary / cep_replay_batch —
+    # driver-green r01–r03 and unchanged — yield their backfill slots
+    # to the round-5 covisit_pagerank / trusted_pagerank /
+    # recrawl_priorities additions above)
 ]
 
 

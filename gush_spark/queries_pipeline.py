@@ -4108,3 +4108,40 @@ def q_recrawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_priorities(
         obs, "page", "ts", F.col("event_type") == F.lit("purchase"), k=25
     )
+
+
+@query(
+    "trusted_pagerank",
+    oracle=(
+        "WITH "
+        + _COVISIT_EDGES_CTE
+        + """, seeds AS (
+      SELECT DISTINCT regexp_extract(props, '"k": ([0-9]+)', 1) AS node
+      FROM events
+      WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+            % 10 = 0
+    ),
+"""
+        + _pr_sql("edges", iters=3, seeds_cte="seeds")
+        + "\nSELECT node, rank FROM _pr_r3"
+    ),
+)
+def q_trusted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the same co-visit graph: teleport and initial
+    mass restricted to a deterministic trusted seed set (page-ids
+    divisible by 10 — the curated-hub analog), so trust flows outward
+    along observed journeys and spam regions unreachable from seeds
+    converge to 0 — the propagation complement of the static
+    domain-reputation gate (operators/domains.py)."""
+    from gush_spark.operators.graph import pagerank, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    seeds = (
+        ev.select(F.col("_node").alias("node"))
+        .filter(F.col("node").cast("long") % 10 == 0)
+        .distinct()
+    )
+    return pagerank(edges, iters=3, seeds=seeds).select("node", "rank")

@@ -217,3 +217,59 @@ def test_read_recrawl_priorities_stream_equals_batch(spark, tmp_path, tmp_dirs):
     # the often-changing stale url owes the most expected novelty
     u1 = got["https://h1.example/u1"]
     assert u1[1] == 2 and u1[3] == max(v[3] for v in got.values()) > 0
+
+
+def _reference_trustrank(edges, seeds, iters=3, dp=PR_DAMPING_PCT, scale=PR_SCALE):
+    out_w: dict = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    base = ((100 - dp) * scale) // 100
+    rank = {v: (scale if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if v not in out_w)
+        share = dangling // n
+        contrib = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += (rank[s] * w) // out_w[s]
+        rank = {
+            v: (base if v in seeds else 0) + (dp * (contrib[v] + share)) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_trustrank_matches_reference_and_starves_spam(spark):
+    # trusted cycle s1<->s2 linking out to 'mix'; disconnected spam
+    # cycle x1<->x2 — no dangling nodes, so the spam region receives
+    # neither teleport nor inflow and must converge to exactly 0
+    edge_rows = [
+        ("s1", "s2", 1),
+        ("s2", "s1", 1),
+        ("s1", "mix", 1),
+        ("mix", "s1", 1),
+        ("x1", "x2", 1),
+        ("x2", "x1", 1),
+    ]
+    seeds = spark.createDataFrame([("s1",), ("s2",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, edge_rows), iters=3, seeds=seeds).collect()
+    }
+    assert got == _reference_trustrank(edge_rows, {"s1", "s2"}, iters=3)
+    assert got["x1"] == 0 and got["x2"] == 0
+    # 'mix' is not a seed but reachable from one: positive, below seeds
+    assert 0 < got["mix"] < got["s1"]
+
+
+def test_trustrank_all_seeds_equals_pagerank(spark):
+    edge_rows = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1)]
+    df = _edges(spark, edge_rows)
+    all_nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    plain = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    seeded = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=3, seeds=all_nodes).collect()
+    }
+    assert plain == seeded

@@ -533,6 +533,11 @@ def main() -> int:
     check("graph.pagerank_jvm_only",
           "EvalPython" not in p and "PythonUDF" not in p,
           "pagerank plan contains Python eval nodes")
+    p = plan_of(qp.q_trusted_pagerank(spark, sf_dir))
+    check("graph.trustrank_equi_joins_only",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "EvalPython" not in p,
+          "trustrank grew a nested-loop join or Python eval nodes")
 
     # round-5: recrawl priorities — the corpus scalar rides the 1-row
     # broadcast nested-loop join (the DSIR totals pattern) and top-k is
