@@ -10,10 +10,11 @@ ranges, co-located host reads for the CEP shuffle. The sink is a real
 table-format snapshot commit plays the role our commit-marker protocol
 plays on plain parquet (same idempotence argument, SURVEY.md §4.3).
 
-Runtime-execution status (re-checked round 4): no
-``iceberg-spark-runtime`` jar exists anywhere on this sandbox
-filesystem and the sandbox has no network (Maven Central DNS does not
-resolve), so the jar cannot be obtained offline and a live
+Runtime-execution status (re-checked rounds 4 AND 5 — same result both
+times): no ``iceberg-spark-runtime`` jar exists anywhere on this
+sandbox filesystem, pip resolves no candidate offline, and the sandbox
+has no network (Maven Central DNS does not resolve), so the jar cannot
+be obtained and a live
 readStream→MERGE round-trip has never executed here. The contract is
 pinned instead by tests/test_iceberg_contract.py: the MERGE text is
 parsed by Spark's real SQL parser, quoting/reserved-word/degenerate-key
