@@ -224,6 +224,184 @@ def pagerank(
     return result
 
 
+def hits(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg, JACM 1999) over a weighted
+    directed edge list ``(src, dst, weight)``; returns
+    ``(node, hub, auth)`` for every node appearing as a source or
+    destination, both scores in units of ``1/scale`` with the
+    per-half-step max pinned at exactly ``scale``.
+
+    The mutual-reinforcement complement of :func:`pagerank`: PageRank
+    scores where random journeys concentrate; HITS separates *hubs*
+    (pages whose out-links select good content — navigation/index
+    pages) from *authorities* (pages good hubs point at — the content
+    itself). On a crawl frontier the hub score ranks seed/index pages
+    to refetch for discovery while the authority score feeds the same
+    reputation gate PageRank does.
+
+    Integer discipline (same contract as :func:`pagerank`, so the
+    DuckDB oracle is hash-exact):
+
+        auth_raw(v) = Σ over in-edges  hub(u)·weight(u,v)
+        auth(v)     = auth_raw(v) DIV ceil(max(auth_raw) / scale)
+        hub_raw(u)  = Σ over out-edges auth(v)·weight(u,v)
+        hub(u)      = hub_raw(u) DIV ceil(max(hub_raw) / scale)
+
+    Max-normalization replaces the textbook L2 norm — a square root
+    has no exact integer form, and any monotone normalization
+    preserves HITS' ranking fixed point; the max is the one scalar per
+    half-step (driver-side, like pagerank's dangling mass). Dividing
+    by ``ceil(max/scale)`` rather than multiplying by ``scale`` keeps
+    every product inside the ``score·weight`` budget (the naive
+    ``raw·scale DIV max`` squares the scale and overflows); the
+    normalized max lands in ``(scale/2, scale]`` each half-step, so
+    scores neither blow up nor collapse. Every operand is non-negative
+    BIGINT, so Spark's truncating DIV and DuckDB's ``//`` agree
+    bit-for-bit and all sums are order-free.
+
+    Scale shape: each half-step is one equi-join (scores ⋈ edges, key
+    src or dst) + one map-side-combinable agg; the edge frame is
+    persisted once and both half-steps reuse it (on a cluster: bucket
+    by src, the dst-keyed agg is the one exchange per half-step).
+    Overflow budget: score ≤ scale, so a raw sum ≤ scale·Σweights —
+    with scale=10^9 that allows ~9.2·10^9 total edge weight; heavier
+    graphs pass a smaller ``scale``.
+    """
+    edges = edges.select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    ).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if nodes.count() == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("auth"),
+        )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # one scalar per half-step (like pagerank's dangling mass);
+        # max >= scale whenever any edge exists because hubs start at
+        # scale, so denom >= 1 and the normalized max sits in
+        # (scale/2, scale]
+        mx = raw.agg(F.coalesce(F.max(col), F.lit(0)).alias("m")).collect()[
+            0
+        ]["m"]
+        if mx <= 0:
+            return raw.select("node", F.lit(0).cast("long").alias(col))
+        denom = (int(mx) + scale - 1) // scale
+        return raw.select(
+            "node", F.expr(f"{col} DIV {max(denom, 1)}L").alias(col)
+        )
+
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auths = nodes.select("node", F.lit(scale).cast("long").alias("auth"))
+    prev_h = prev_a = None
+    for _ in range(iters):
+        auth_raw = (
+            hubs.join(edges, hubs["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), F.expr("hub * weight").alias("_r"))
+            .groupBy("node")
+            .agg(F.sum("_r").alias("auth"))
+        )
+        auths = nodes.join(auth_raw, on="node", how="left").select(
+            "node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth")
+        )
+        auths = _normalize(auths, "auth").persist()
+        auths.count()
+        if prev_a is not None:
+            prev_a.unpersist()
+        prev_a = auths
+        hub_raw = (
+            auths.join(edges, auths["node"] == edges["dst"])
+            .select(F.col("src").alias("node"), F.expr("auth * weight").alias("_r"))
+            .groupBy("node")
+            .agg(F.sum("_r").alias("hub"))
+        )
+        hubs = nodes.join(hub_raw, on="node", how="left").select(
+            "node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
+        )
+        hubs = _normalize(hubs, "hub").persist()
+        hubs.count()
+        if prev_h is not None:
+            prev_h.unpersist()
+        prev_h = hubs
+    return hubs.join(auths, on="node").select("node", "hub", "auth")
+
+
+def hits_oracle_sql(
+    edges_cte: str,
+    *,
+    iters: int = 3,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB CTE stack replicating :func:`hits` bit-for-bit over an
+    ``edges(src, dst, weight)`` relation named by ``edges_cte`` —
+    iterations unrolled, the per-half-step max a whole-relation window
+    ``max() OVER ()`` (NOT a scalar subquery: DuckDB inlines CTEs, so
+    each extra reference to the previous level re-expands its whole
+    chain and three references per level compound exponentially across
+    unrolled iterations — one window reference keeps the plan linear
+    in ``iters``), all arithmetic non-negative BIGINT. Final relation:
+    ``_hits_h{iters}`` (hub) and ``_hits_a{iters}`` (auth), join on
+    node."""
+    parts = [
+        f"""_hits_edges AS (
+      SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM {edges_cte}
+    ), _hits_nodes AS (
+      SELECT src AS node FROM _hits_edges
+      UNION SELECT dst FROM _hits_edges
+    ), _hits_h0 AS (
+      SELECT node, CAST({scale} AS BIGINT) AS hub FROM _hits_nodes
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        ph = f"_hits_h{i - 1}"
+        parts.append(
+            f"""_hits_araw{i} AS (
+      SELECT n.node,
+             CAST(COALESCE(s.v, 0) AS BIGINT) AS auth,
+             max(CAST(COALESCE(s.v, 0) AS BIGINT)) OVER () AS mx
+      FROM _hits_nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(h.hub * e.weight) AS v
+        FROM {ph} h JOIN _hits_edges e ON h.node = e.src
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    ), _hits_a{i} AS (
+      SELECT node,
+             CASE WHEN mx <= 0 THEN 0
+                  ELSE auth // GREATEST((mx + {scale} - 1) // {scale}, 1)
+             END AS auth
+      FROM _hits_araw{i}
+    ), _hits_hraw{i} AS (
+      SELECT n.node,
+             CAST(COALESCE(s.v, 0) AS BIGINT) AS hub,
+             max(CAST(COALESCE(s.v, 0) AS BIGINT)) OVER () AS mx
+      FROM _hits_nodes n LEFT JOIN (
+        SELECT e.src AS node, sum(a.auth * e.weight) AS v
+        FROM _hits_a{i} a JOIN _hits_edges e ON a.node = e.dst
+        GROUP BY e.src
+      ) s ON n.node = s.node
+    ), _hits_h{i} AS (
+      SELECT node,
+             CASE WHEN mx <= 0 THEN 0
+                  ELSE hub // GREATEST((mx + {scale} - 1) // {scale}, 1)
+             END AS hub
+      FROM _hits_hraw{i}
+    )"""
+        )
+    return ",\n".join(parts)
+
+
 def pagerank_oracle_sql(
     edges_cte: str,
     *,

@@ -4145,3 +4145,36 @@ def q_trusted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, iters=3, seeds=seeds).select("node", "rank")
+
+
+from gush_spark.operators.graph import hits_oracle_sql as _hits_sql  # noqa: E402
+
+
+@query(
+    "covisit_hits",
+    oracle=(
+        "WITH "
+        + _COVISIT_EDGES_CTE
+        + ",\n"
+        + _hits_sql("edges", iters=3)
+        + """
+    SELECT h.node, h.hub, a.auth
+    FROM _hits_h3 h JOIN _hits_a3 a ON h.node = a.node"""
+    ),
+)
+def q_covisit_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the same co-visit graph as
+    covisit_pagerank: 3 mutual-reinforcement iterations in scaled
+    BIGINT (per-half-step max pinned at 1e9 via overflow-safe
+    ceil-divide normalization). Hubs rank the index/navigation pages a
+    crawler refetches for discovery; authorities rank the content
+    those hubs select — the two-sided complement of PageRank's single
+    score. Each half-step is one src- or dst-keyed equi-join + one
+    map-side-combinable agg over the persisted edge frame."""
+    from gush_spark.operators.graph import hits, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    return hits(edges, iters=3).select("node", "hub", "auth")

@@ -263,6 +263,75 @@ def test_trustrank_matches_reference_and_starves_spam(spark):
     assert 0 < got["mix"] < got["s1"]
 
 
+def _reference_hits(edges, iters=3, scale=PR_SCALE):
+    """The exact integer HITS recurrence, dict-of-nodes form."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    hub = {v: scale for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iters):
+        auth = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            auth[d] += hub[s] * w
+        mx = max(auth.values())
+        denom = max((mx + scale - 1) // scale, 1)
+        auth = {v: (a // denom if mx > 0 else 0) for v, a in auth.items()}
+        hub = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            hub[s] += auth[d] * w
+        mx = max(hub.values())
+        denom = max((mx + scale - 1) // scale, 1)
+        hub = {v: (h // denom if mx > 0 else 0) for v, h in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_integer_reference(spark):
+    from gush_spark.operators.graph import hits
+
+    # 'a' and 'b' are hubs pointing at the shared authority 'c';
+    # 'c' links back to 'a' only; 'd' is isolated-in (pure authority
+    # of a weak hub)
+    edge_rows = [
+        ("a", "c", 2),
+        ("b", "c", 3),
+        ("c", "a", 1),
+        ("b", "d", 1),
+    ]
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(_edges(spark, edge_rows), iters=3).collect()
+    }
+    want_hub, want_auth = _reference_hits(edge_rows, iters=3)
+    assert got == {v: (want_hub[v], want_auth[v]) for v in want_hub}
+    # 'c' is the consensus authority; 'b' (links to both c and d,
+    # heavier weight) is the top hub
+    assert got["c"][1] == max(a for _, a in got.values())
+    assert got["b"][0] == max(h for h, _ in got.values())
+    # mutual reinforcement separates roles: the pure authority 'd'
+    # has no out-edges, hence zero hub score
+    assert got["d"][0] == 0
+
+
+def test_hits_partitioning_invariance_and_norm_band(spark):
+    from gush_spark.operators.graph import hits
+
+    edge_rows = [("a", "b", 5), ("b", "c", 2), ("c", "a", 7), ("a", "c", 1)]
+    df = _edges(spark, edge_rows)
+    one = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df.coalesce(1), iters=4).collect()
+    }
+    many = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df.repartition(7, "dst"), iters=4).collect()
+    }
+    want_hub, want_auth = _reference_hits(edge_rows, iters=4)
+    assert one == many == {v: (want_hub[v], want_auth[v]) for v in want_hub}
+    # ceil-divide normalization pins each half-step max into
+    # (scale/2, scale] — scores neither blow up nor collapse
+    assert PR_SCALE // 2 < max(h for h, _ in one.values()) <= PR_SCALE
+    assert PR_SCALE // 2 < max(a for _, a in one.values()) <= PR_SCALE
+
+
 def test_trustrank_all_seeds_equals_pagerank(spark):
     edge_rows = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1)]
     df = _edges(spark, edge_rows)

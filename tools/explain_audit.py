@@ -538,6 +538,16 @@ def main() -> int:
           "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
           and "EvalPython" not in p,
           "trustrank grew a nested-loop join or Python eval nodes")
+    # round-5: HITS — same contract as pagerank (equi-joins only,
+    # JVM-side end to end)
+    p = plan_of(qp.q_covisit_hits(spark, sf_dir))
+    check("graph.hits_equi_joins_only",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "Join" in p,
+          "hits grew a nested-loop/cartesian join")
+    check("graph.hits_jvm_only",
+          "EvalPython" not in p and "PythonUDF" not in p,
+          "hits plan contains Python eval nodes")
 
     # round-5: recrawl priorities — the corpus scalar rides the 1-row
     # broadcast nested-loop join (the DSIR totals pattern) and top-k is
