@@ -338,6 +338,153 @@ def hits(
     return hubs.join(auths, on="node").select("node", "hub", "auth")
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Minimum hop distance from a seed set over a directed edge list
+    ``(src, dst, weight)`` — the crawl-frontier-depth view of the
+    co-visit graph: how many observed journey steps separate a page
+    from the trusted hubs (the TrustRank seed set; see
+    :func:`pagerank`)? Returns ``(node, hops)`` for every node REACHED
+    within ``max_hops`` (unreached nodes are absent — at a 10^12-page
+    frontier the reached set is the deliverable, not a row per node).
+
+    Classic frontier BFS as iterated equi-joins (Pregel's shape without
+    the framework):
+
+    - ``visited`` starts as seeds ∩ graph nodes at hop 0 (seeds outside
+      the edge set are ignored by construction, matching pagerank's
+      node universe);
+    - each round: frontier ⋈ edges on ``node = src`` → distinct dst,
+      minus already-visited (left-anti) → next frontier at hop h;
+    - early-exit on an empty frontier (one driver-side scalar per
+      round, the same discipline as pagerank's dangling mass — and the
+      count doubles as the materialization barrier for the persist).
+
+    Determinism: hop levels are set-valued (first-reached level IS the
+    min distance; no ordering enters), so the result is independent of
+    partitioning and matches a DuckDB recursive-CTE oracle
+    (``walk(node, hops)`` with UNION dedup, ``min(hops)`` per node)
+    hash-exact. All hop values BIGINT.
+
+    Scale shape: each round is one equi-join keyed on the SAME column
+    (src) — a cluster co-partitions edges once and every round reuses
+    the layout; the anti-join is keyed on node. Frontier and visited
+    frames carry (node, hops) only — no payload columns ride the
+    iteration. Lineage stays one-round deep via persist/unpersist;
+    ``max_hops`` is a small fixed bound (crawl depth budgets are single
+    digits), which is also what lets the oracle bound its recursion.
+    """
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .join(nodes, on="node")
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .persist()
+    )
+    frontier = visited
+    prev_visited = None
+    for h in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, on="node", how="left_anti")
+            .select("node", F.lit(h).cast("long").alias("hops"))
+        )
+        new_visited = visited.unionByName(nxt).persist()
+        new_visited.count()  # materialize before dropping the parent
+        if prev_visited is not None:
+            prev_visited.unpersist()
+        prev_visited, visited, frontier = visited, new_visited, nxt
+    return visited.select("node", "hops")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Per-node triangle participation over an UNDIRECTED simple graph
+    given as canonical edges ``(id_a, id_b)`` with ``id_a < id_b``
+    (the covisit_components convention): returns
+    ``(node, degree, triangles, clustering_x1e9)`` where
+    ``clustering_x1e9 = (2·T·scale) DIV (deg·(deg−1))`` — the local
+    clustering coefficient in the repo's fixed-point BIGINT discipline
+    (0 when degree < 2), so the DuckDB oracle is hash-exact.
+
+    Triangles measure browse-cluster DENSITY where components
+    (min_label_components) measure mere connectivity: a star of
+    weakly-related pages and a tight clique are both one component,
+    but only the clique closes wedges. High-clustering regions of the
+    co-visit graph are coherent site sections / topic hubs — the
+    navigational analog of SemDeDup's semantic cells.
+
+    Enumeration is the textbook ordered triple join, each triangle
+    counted exactly once as ``a < b < c``:
+
+        wedges (a,b,c):  e1(a,b) ⋈ e2(b,c)  on  e1.id_b = e2.id_a
+        triangles:       wedge ⋈ e3(a,c)    on  (a, c) — closing edge
+
+    then each triangle credits all three corners (explode + count).
+
+    Scale shape: two equi-joins + one agg, node ids only on the wire
+    (no payload). The wedge join keys on the shared middle vertex —
+    the canonical ``a < b`` orientation bounds each vertex's wedge
+    fan-out by its FORWARD degree, the standard skew cut; production
+    graphs order by (degree, id) instead of raw id for the sharpest
+    bound, which reorders labels but not counts — counts are
+    orientation-invariant, and the oracle pins the id ordering used
+    here. The closing-edge join is a two-column equi-join (hash, never
+    nested-loop; pinned by the plan audit).
+    """
+    e = edges.select("id_a", "id_b").distinct().persist()
+    deg = (
+        e.select(F.col("id_a").alias("node"))
+        .unionByName(e.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tris = wedges.join(e3, on=["a", "c"])
+    per_node = (
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return deg.join(per_node, on="node", how="left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                f"2 * coalesce(triangles, 0L) * {scale}L "
+                "DIV (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clustering_x1e9"),
+    )
+
+
 def hits_oracle_sql(
     edges_cte: str,
     *,

@@ -82,7 +82,8 @@ _DRIVER_WINDOW_FIRST = [
     "curation_report_v3", "host_volume_anomalies", "session_path_counts",
     # --- round-5 additions (first driver rows the round they ship)
     "crawl_politeness_gate", "covisit_pagerank", "trusted_pagerank",
-    "recrawl_priorities", "covisit_hits",
+    "recrawl_priorities", "covisit_hits", "covisit_components",
+    "crawl_frontier_hops", "covisit_triangles",
     # --- re-witness: code touched in round 5 (connected-components
     # checkpoint discipline; session-gap µs precision feeds
     # session_path_counts above)
@@ -97,13 +98,13 @@ _DRIVER_WINDOW_FIRST = [
     "sliding_window_count", "session_window_count",
     "session_stats_per_user", "trailing_window_stats", "top_users",
     "distinct_active_days", "cohort_set_ops", "union_dedup_events",
-    "word_frequencies", "late_event_accounting",
-    "sequence_pattern_within",
     # (salted_user_totals / percentile_summary / cep_replay_batch /
-    # absence_pattern_timeout — driver-green r01–r03 and unchanged —
-    # yield their backfill slots to the round-5 covisit_pagerank /
-    # trusted_pagerank / recrawl_priorities / covisit_hits additions
-    # above)
+    # sequence_pattern_within / absence_pattern_timeout /
+    # word_frequencies / late_event_accounting — driver-green
+    # r01–r03 and unchanged — yield their backfill slots to the
+    # round-5 covisit_pagerank / trusted_pagerank / recrawl_priorities
+    # / covisit_hits / covisit_components / crawl_frontier_hops /
+    # covisit_triangles additions above)
 ]
 
 

@@ -4151,6 +4151,62 @@ from gush_spark.operators.graph import hits_oracle_sql as _hits_sql  # noqa: E40
 
 
 @query(
+    "covisit_components",
+    oracle=(
+        "WITH RECURSIVE "
+        + _COVISIT_EDGES_CTE
+        + """, und AS (
+      SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+      FROM edges WHERE src <> dst AND weight >= 3
+    ), nodes AS (
+      SELECT id_a AS node FROM und UNION SELECT id_b FROM und
+    ), bedges AS (
+      SELECT id_a AS s, id_b AS d FROM und
+      UNION ALL SELECT id_b, id_a FROM und
+    ), walk(id, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, w2.lbl FROM walk w2 JOIN bedges e ON e.s = w2.id
+    )
+    SELECT id AS node, min(lbl) AS component_id FROM walk GROUP BY id"""
+    ),
+)
+def q_covisit_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components over the STRONGLY co-visited page
+    graph (edges with >= 3 observed transitions — the weight floor is
+    what makes components meaningful: the raw session graph is one
+    giant component, the thresholded one splits into browse-cluster /
+    site-section groups, the navigational analog of near-dup text
+    clusters). Reuses min_label_components (near-dup/SemDeDup's
+    engine): only edge-touched vertices ride the propagation, labels
+    converge on the lexicographic-min reachable node id — exact in
+    both engines, so the recursive-CTE DuckDB oracle is hash-exact."""
+    from gush_spark.operators.dedup import min_label_components
+    from gush_spark.operators.graph import transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    und = (
+        edges.filter((F.col("src") != F.col("dst")) & (F.col("weight") >= 3))
+        .select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("id_a").alias("node"))
+        .unionByName(und.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    return min_label_components(nodes, "node", und).select(
+        "node", F.col("cluster_id").alias("component_id")
+    )
+
+
+@query(
     "covisit_hits",
     oracle=(
         "WITH "
@@ -4178,3 +4234,106 @@ def q_covisit_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = transition_edges(ev, node_col="_node", gap_s=3600)
     return hits(edges, iters=3).select("node", "hub", "auth")
+
+
+@query(
+    "crawl_frontier_hops",
+    oracle=(
+        "WITH RECURSIVE "
+        + _COVISIT_EDGES_CTE
+        + """, bnodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), bseeds AS (
+      SELECT node FROM bnodes WHERE CAST(node AS BIGINT) % 10 = 0
+    ), walk(node, hops) AS (
+      SELECT node, CAST(0 AS BIGINT) FROM bseeds
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node WHERE w.hops < 4
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node"""
+    ),
+)
+def q_crawl_frontier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier depth: minimum journey-step distance from the
+    trusted seed set (the trusted_pagerank seeds — page-ids divisible
+    by 10) over the directed co-visit graph, capped at 4 hops. The
+    discovery-budget complement of TrustRank: TrustRank says how much
+    trust REACHES a page, frontier depth says how many fetch waves it
+    takes to GET there — together they order a crawl schedule. Frontier
+    BFS as iterated src-keyed equi-joins with set semantics (first
+    reach IS the min distance), so the recursive-CTE DuckDB oracle is
+    hash-exact; unreached nodes are absent by contract."""
+    from gush_spark.operators.graph import bfs_hops, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    seeds = (
+        ev.select(F.col("_node").alias("node"))
+        .filter(F.col("node").cast("long") % 10 == 0)
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=4)
+
+
+@query(
+    "covisit_triangles",
+    oracle=(
+        "WITH "
+        + _COVISIT_EDGES_CTE
+        + """, und AS (
+      SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+      FROM edges WHERE src <> dst
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS node FROM und UNION ALL SELECT id_b FROM und
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM und e1
+      JOIN und e2 ON e1.id_b = e2.id_a
+      JOIN und e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ), per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN d.degree >= 2
+                     THEN (2 * COALESCE(p.triangles, 0) * 1000000000)
+                          // (d.degree * (d.degree - 1))
+                     ELSE 0 END AS BIGINT) AS clustering_x1e9
+    FROM deg d LEFT JOIN per_node p ON d.node = p.node"""
+    ),
+)
+def q_covisit_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation + fixed-point local clustering
+    coefficient over the undirected co-visit graph (raw edges, self
+    loops dropped — triangles need the full co-visit structure, not the
+    weight-thresholded skeleton components uses). Triangles measure
+    browse-cluster DENSITY where components measure connectivity: a
+    tight topic hub closes its wedges, a drive-by star does not.
+    Ordered triple-join enumeration (a < b < c, each triangle once);
+    clustering = (2·T·1e9) DIV (deg·(deg−1)) all-BIGINT, so the DuckDB
+    oracle is hash-exact."""
+    from gush_spark.operators.graph import transition_edges, triangle_counts
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .distinct()
+    )
+    return triangle_counts(und)

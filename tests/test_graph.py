@@ -332,6 +332,47 @@ def test_hits_partitioning_invariance_and_norm_band(spark):
     assert PR_SCALE // 2 < max(a for _, a in one.values()) <= PR_SCALE
 
 
+def test_covisit_components_weight_threshold(spark):
+    """The covisit_components construction: only edges with >= 3
+    observed transitions enter the component graph, so weakly-linked
+    browse clusters stay separate."""
+    from gush_spark.operators.dedup import min_label_components
+
+    # user 1 bounces a<->b three times (strong), hops to c once (weak);
+    # user 2 bounces d<->e three times — two strong clusters {a,b} and
+    # {d,e}, with c dropped entirely (no strong edge touches it)
+    rows = []
+    eid = 0
+    for t in (0, 20, 40):
+        rows += [(eid, t, 1, "a"), (eid + 1, t + 10, 1, "b")]
+        eid += 2
+    rows += [(eid, 60, 1, "c")]
+    eid += 1
+    for t in (0, 20, 40):
+        rows += [(eid, t, 2, "d"), (eid + 1, t + 10, 2, "e")]
+        eid += 2
+    ev = _events(spark, rows)
+    edges = transition_edges(ev, gap_s=3600)
+    und = (
+        edges.filter((F.col("src") != F.col("dst")) & (F.col("weight") >= 3))
+        .select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("id_a").alias("node"))
+        .unionByName(und.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in min_label_components(nodes, "node", und).collect()
+    }
+    assert got == {"a": "a", "b": "a", "d": "d", "e": "d"}
+
+
 def test_trustrank_all_seeds_equals_pagerank(spark):
     edge_rows = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1)]
     df = _edges(spark, edge_rows)
@@ -342,3 +383,67 @@ def test_trustrank_all_seeds_equals_pagerank(spark):
         for r in pagerank(df, iters=3, seeds=all_nodes).collect()
     }
     assert plain == seeded
+
+
+def test_bfs_hops_levels_and_reach(spark):
+    """Min hop distance from seeds over directed edges; unreached
+    nodes absent; seeds outside the graph ignored."""
+    from gush_spark.operators.graph import bfs_hops
+
+    # a -> b -> c -> d  and  a -> c (shortcut), e -> a (e unreachable
+    # FROM a: direction matters), plus isolated pair x -> y
+    edge_rows = [
+        ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+        ("a", "c", 1), ("e", "a", 1), ("x", "y", 1),
+    ]
+    edges = _edges(spark, edge_rows)
+    seeds = spark.createDataFrame([("a",), ("zz",)], "node string")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    # shortcut wins: c at 1 not 2; e/x/y unreached; zz not in graph
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_hops_max_hops_truncates(spark):
+    from gush_spark.operators.graph import bfs_hops
+
+    chain = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hops"] for r in bfs_hops(chain, seeds, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {a,b,c,d}: every node degree 3, in 3 triangles,
+    clustering exactly 1.0; pendant node e off a: degree bumps to 4,
+    triangle count unchanged, clustering = 2*3/(4*3) = 0.5; e itself
+    degree 1 -> coefficient defined as 0."""
+    from gush_spark.operators.graph import triangle_counts
+
+    und_rows = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("a", "e"),
+    ]
+    und = spark.createDataFrame(und_rows, "id_a string, id_b string")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering_x1e9"])
+        for r in triangle_counts(und).collect()
+    }
+    assert got["b"] == (3, 3, PR_SCALE)
+    assert got["c"] == (3, 3, PR_SCALE)
+    assert got["d"] == (3, 3, PR_SCALE)
+    assert got["a"] == (4, 3, PR_SCALE // 2)
+    assert got["e"] == (1, 0, 0)
+
+
+def test_triangle_counts_triangle_free(spark):
+    from gush_spark.operators.graph import triangle_counts
+
+    # a path and a star: wedges everywhere, no closure
+    und_rows = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")]
+    und = spark.createDataFrame(und_rows, "id_a string, id_b string")
+    rows = triangle_counts(und).collect()
+    assert all(r["triangles"] == 0 and r["clustering_x1e9"] == 0 for r in rows)
+    assert {r["node"]: r["degree"] for r in rows} == {
+        "a": 1, "b": 3, "c": 2, "d": 1, "e": 1,
+    }

@@ -549,6 +549,22 @@ def main() -> int:
           "EvalPython" not in p and "PythonUDF" not in p,
           "hits plan contains Python eval nodes")
 
+    # round-5: frontier BFS — every round is an equi-join (src-keyed
+    # expand + node-keyed anti), never nested-loop, JVM end to end
+    p = plan_of(qp.q_crawl_frontier_hops(spark, sf_dir))
+    check("graph.bfs_equi_joins_only",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "Join" in p and "EvalPython" not in p,
+          "bfs grew a nested-loop/cartesian join or Python eval nodes")
+    # round-5: triangles — wedge join and the two-column closing-edge
+    # join must both be hash/sort-merge equi-joins (the classic failure
+    # is the closing edge falling back to a nested loop)
+    p = plan_of(qp.q_covisit_triangles(spark, sf_dir))
+    check("graph.triangles_equi_joins_only",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "Join" in p and "EvalPython" not in p,
+          "triangles grew a nested-loop/cartesian join or Python eval")
+
     # round-5: recrawl priorities — the corpus scalar rides the 1-row
     # broadcast nested-loop join (the DSIR totals pattern) and top-k is
     # an ordered limit, not a global sort
