@@ -70,6 +70,22 @@ HEAVY = [
     "token_budget_plan",
 ]
 
+# events-driven probes (sessions / graph / scheduling): run as an argv
+# subset — `python tools/smoke_10x.py <sf> <out> $EVENTS_PROBE...` —
+# against the events fixture below (10x traffic over a FIXED props.k
+# node set). README's "10x events probe" numbers come from this list.
+EVENTS_PROBE = [
+    "covisit_pagerank",
+    "covisit_hits",
+    "covisit_components",
+    "covisit_triangles",
+    "crawl_frontier_hops",
+    "recrawl_priorities",
+    "crawl_politeness_gate",
+    "session_path_counts",
+    "host_volume_anomalies",
+]
+
 N_VARIANTS = 10
 
 
