@@ -485,6 +485,72 @@ def triangle_counts(
     )
 
 
+def reciprocity(
+    edges: DataFrame,
+    *,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Per-node navigation symmetry over a directed edge list
+    ``(src, dst, ...)``: returns
+    ``(node, out_deg, in_deg, mutual, reciprocity_x1e9)`` where
+    degrees count DISTINCT neighbors (self-loops dropped), ``mutual``
+    counts out-neighbors that also link back, and
+    ``reciprocity_x1e9 = mutual·scale DIV out_deg`` (0 when out_deg is
+    0) — fixed-point BIGINT per the repo's integer discipline, so a
+    DuckDB oracle is hash-exact.
+
+    High reciprocity marks genuine back-and-forth browsing (content
+    hubs, paginated series); near-zero reciprocity on high out-degree
+    marks funnel/redirect pages — a crawler-trap and
+    boilerplate-navigation signal complementing triangles (density)
+    and HITS (role separation).
+
+    Scale shape: one distinct pass, one self-equi-join on the reversed
+    (src, dst) pair (hash join, two-column key), three
+    map-side-combinable degree aggs — node ids only on the wire."""
+    d = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    outs = d.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    ins = d.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mut = (
+        d.join(rev, on=["src", "dst"], how="left_semi")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("mutual"))
+    )
+    uni = (
+        d.select(F.col("src").alias("node"))
+        .unionByName(d.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        uni.join(outs, on="node", how="left")
+        .join(ins, on="node", how="left")
+        .join(mut, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("mutual", F.lit(0)).cast("long").alias("mutual"),
+            F.when(
+                F.coalesce("out_deg", F.lit(0)) > 0,
+                F.expr(f"coalesce(mutual, 0L) * {scale}L DIV out_deg"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("reciprocity_x1e9"),
+        )
+    )
+
+
 def hits_oracle_sql(
     edges_cte: str,
     *,

@@ -83,7 +83,7 @@ _DRIVER_WINDOW_FIRST = [
     # --- round-5 additions (first driver rows the round they ship)
     "crawl_politeness_gate", "covisit_pagerank", "trusted_pagerank",
     "recrawl_priorities", "covisit_hits", "covisit_components",
-    "crawl_frontier_hops", "covisit_triangles",
+    "crawl_frontier_hops", "covisit_triangles", "covisit_reciprocity",
     # --- re-witness: code touched in round 5 (connected-components
     # checkpoint discipline; session-gap µs precision feeds
     # session_path_counts above)
@@ -97,14 +97,15 @@ _DRIVER_WINDOW_FIRST = [
     "dim_join_revenue", "tumbling_window_count", "tumbling_window_avg",
     "sliding_window_count", "session_window_count",
     "session_stats_per_user", "trailing_window_stats", "top_users",
-    "distinct_active_days", "cohort_set_ops", "union_dedup_events",
+    "distinct_active_days", "cohort_set_ops",
     # (salted_user_totals / percentile_summary / cep_replay_batch /
     # sequence_pattern_within / absence_pattern_timeout /
-    # word_frequencies / late_event_accounting — driver-green
-    # r01–r03 and unchanged — yield their backfill slots to the
-    # round-5 covisit_pagerank / trusted_pagerank / recrawl_priorities
-    # / covisit_hits / covisit_components / crawl_frontier_hops /
-    # covisit_triangles additions above)
+    # word_frequencies / late_event_accounting / union_dedup_events —
+    # driver-green r01–r03 and unchanged — yield their backfill slots
+    # to the round-5 covisit_pagerank / trusted_pagerank /
+    # recrawl_priorities / covisit_hits / covisit_components /
+    # crawl_frontier_hops / covisit_triangles / covisit_reciprocity
+    # additions above)
 ]
 
 

@@ -4337,3 +4337,56 @@ def q_covisit_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(und)
+
+
+@query(
+    "covisit_reciprocity",
+    oracle=(
+        "WITH "
+        + _COVISIT_EDGES_CTE
+        + """, d AS (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ), outs AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+      FROM d GROUP BY src
+    ), ins AS (
+      SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+      FROM d GROUP BY dst
+    ), mut AS (
+      SELECT d.src AS node, CAST(count(*) AS BIGINT) AS mutual
+      FROM d JOIN d r ON d.src = r.dst AND d.dst = r.src
+      GROUP BY d.src
+    ), uni AS (
+      SELECT src AS node FROM d UNION SELECT dst FROM d
+    )
+    SELECT u.node,
+           CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+           CAST(COALESCE(m.mutual, 0) AS BIGINT) AS mutual,
+           CAST(CASE WHEN COALESCE(o.out_deg, 0) > 0
+                     THEN COALESCE(m.mutual, 0) * 1000000000
+                          // o.out_deg
+                     ELSE 0 END AS BIGINT) AS reciprocity_x1e9
+    FROM uni u
+    LEFT JOIN outs o ON u.node = o.node
+    LEFT JOIN ins i ON u.node = i.node
+    LEFT JOIN mut m ON u.node = m.node"""
+    ),
+)
+def q_covisit_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node navigation symmetry over the directed co-visit graph:
+    out/in degree (distinct neighbors), mutual count (out-neighbors
+    that also link back), and fixed-point reciprocity
+    ``mutual·1e9 DIV out_deg``. High reciprocity marks genuine
+    back-and-forth browsing (content hubs, paginated series); near-zero
+    reciprocity on high out-degree marks funnel/redirect pages — a
+    crawler-trap and boilerplate-navigation signal that complements
+    triangles (density) and HITS (role separation). One distinct pass,
+    one self-equi-join on the reversed pair, three degree aggs — node
+    ids only on the wire, all BIGINT so the oracle is hash-exact."""
+    from gush_spark.operators.graph import reciprocity, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    return reciprocity(transition_edges(ev, node_col="_node", gap_s=3600))

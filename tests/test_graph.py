@@ -447,3 +447,27 @@ def test_triangle_counts_triangle_free(spark):
     assert {r["node"]: r["degree"] for r in rows} == {
         "a": 1, "b": 3, "c": 2, "d": 1, "e": 1,
     }
+
+
+def test_reciprocity_known_graph(spark):
+    """a<->b mutual pair, a->c one-way, c->d chain: exact degrees,
+    mutual counts, and fixed-point ratios; sink-only node d gets
+    out_deg 0 and coefficient 0; self-loops dropped."""
+    from gush_spark.operators.graph import reciprocity
+
+    edge_rows = [
+        ("a", "b", 3), ("b", "a", 1), ("a", "c", 2),
+        ("c", "d", 1), ("d", "d", 5),  # self-loop must not count
+    ]
+    got = {
+        r["node"]: (
+            r["out_deg"], r["in_deg"], r["mutual"], r["reciprocity_x1e9"]
+        )
+        for r in reciprocity(_edges(spark, edge_rows)).collect()
+    }
+    assert got == {
+        "a": (2, 1, 1, PR_SCALE // 2),
+        "b": (1, 1, 1, PR_SCALE),
+        "c": (1, 1, 0, 0),
+        "d": (0, 1, 0, 0),
+    }

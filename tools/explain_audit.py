@@ -565,6 +565,14 @@ def main() -> int:
           and "Join" in p and "EvalPython" not in p,
           "triangles grew a nested-loop/cartesian join or Python eval")
 
+    # round-5: reciprocity — the reversed-pair self-join is a
+    # two-column hash equi-join, never nested-loop; JVM end to end
+    p = plan_of(qp.q_covisit_reciprocity(spark, sf_dir))
+    check("graph.reciprocity_equi_joins_only",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "Join" in p and "EvalPython" not in p,
+          "reciprocity grew a nested-loop/cartesian join or Python eval")
+
     # round-5: recrawl priorities — the corpus scalar rides the 1-row
     # broadcast nested-loop join (the DSIR totals pattern) and top-k is
     # an ordered limit, not a global sort
