@@ -155,6 +155,16 @@ def pagerank(
     # this frame (on a cluster: bucketed by src, layout reused per iter)
     edges_w = edges.join(out_w, on="src").persist()
     nodes = nodes.persist()
+    # the dangling NODE SET is loop-invariant: in the graph but never a
+    # source. Derive it once from the persisted frames — the per-iter
+    # left_anti against an unpersisted out_w would re-run the whole
+    # upstream edge derivation (e.g. the sessionized transition build)
+    # every iteration
+    dangling_nodes = nodes.join(
+        edges_w.select("src").distinct(),
+        nodes["node"] == F.col("src"),
+        "left_anti",
+    ).persist()
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
@@ -188,7 +198,7 @@ def pagerank(
         # min_label_components' changed counter) — integer sum, so the
         # collected value is deterministic
         dangling = (
-            ranks.join(out_w, ranks["node"] == out_w["src"], "left_anti")
+            ranks.join(dangling_nodes, on="node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
             .collect()[0]["d"]
         )
@@ -267,7 +277,13 @@ def hits(
     Scale shape: each half-step is one equi-join (scores ⋈ edges, key
     src or dst) + one map-side-combinable agg; the edge frame is
     persisted once and both half-steps reuse it (on a cluster: bucket
-    by src, the dst-keyed agg is the one exchange per half-step).
+    by src, the dst-keyed agg is the one exchange per half-step). The
+    raw sums are persisted and materialized by the max-collect itself
+    (one action per half-step), the normalizing division stays a lazy
+    projection over that persisted frame, and nodes that received no
+    mass are left absent mid-loop — a zero score contributes zero to
+    the next half-step's sum and cannot move the max, so the zero-fill
+    join happens exactly once, on the final output.
     Overflow budget: score ≤ scale, so a raw sum ≤ scale·Σweights —
     with scale=10^9 that allows ~9.2·10^9 total edge weight; heavier
     graphs pass a smaller ``scale``.
@@ -289,18 +305,26 @@ def hits(
         )
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
-        # one scalar per half-step (like pagerank's dangling mass);
-        # max >= scale whenever any edge exists because hubs start at
-        # scale, so denom >= 1 and the normalized max sits in
-        # (scale/2, scale]
+        # one scalar — and one action — per half-step (like pagerank's
+        # dangling mass): persist the raw sums, let the max-collect
+        # materialize them, and keep the division a lazy projection so
+        # the expensive join+agg never re-runs. max >= scale whenever
+        # any edge exists because hubs start at scale, so denom >= 1
+        # and the normalized max sits in (scale/2, scale]. Rows absent
+        # from raw (no mass received) are implicitly zero — they cannot
+        # move the max and contribute nothing downstream.
+        raw = raw.persist()
         mx = raw.agg(F.coalesce(F.max(col), F.lit(0)).alias("m")).collect()[
             0
         ]["m"]
         if mx <= 0:
-            return raw.select("node", F.lit(0).cast("long").alias(col))
+            return raw.select("node", F.lit(0).cast("long").alias(col)), raw
         denom = (int(mx) + scale - 1) // scale
-        return raw.select(
-            "node", F.expr(f"{col} DIV {max(denom, 1)}L").alias(col)
+        return (
+            raw.select(
+                "node", F.expr(f"{col} DIV {max(denom, 1)}L").alias(col)
+            ),
+            raw,
         )
 
     hubs = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
@@ -311,31 +335,33 @@ def hits(
             hubs.join(edges, hubs["node"] == edges["src"])
             .select(F.col("dst").alias("node"), F.expr("hub * weight").alias("_r"))
             .groupBy("node")
-            .agg(F.sum("_r").alias("auth"))
+            .agg(F.sum("_r").cast("long").alias("auth"))
         )
-        auths = nodes.join(auth_raw, on="node", how="left").select(
-            "node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth")
-        )
-        auths = _normalize(auths, "auth").persist()
-        auths.count()
+        auths, a_pin = _normalize(auth_raw, "auth")
         if prev_a is not None:
             prev_a.unpersist()
-        prev_a = auths
+        prev_a = a_pin
         hub_raw = (
             auths.join(edges, auths["node"] == edges["dst"])
             .select(F.col("src").alias("node"), F.expr("auth * weight").alias("_r"))
             .groupBy("node")
-            .agg(F.sum("_r").alias("hub"))
+            .agg(F.sum("_r").cast("long").alias("hub"))
         )
-        hubs = nodes.join(hub_raw, on="node", how="left").select(
-            "node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
-        )
-        hubs = _normalize(hubs, "hub").persist()
-        hubs.count()
+        hubs, h_pin = _normalize(hub_raw, "hub")
         if prev_h is not None:
             prev_h.unpersist()
-        prev_h = hubs
-    return hubs.join(auths, on="node").select("node", "hub", "auth")
+        prev_h = h_pin
+    # the one zero-fill: every node in the graph gets a row, nodes that
+    # never received hub/auth mass at 0 (matching the oracle's LEFT JOIN)
+    return (
+        nodes.join(hubs, on="node", how="left")
+        .join(auths, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )
 
 
 def bfs_hops(
@@ -392,22 +418,29 @@ def bfs_hops(
         .persist()
     )
     frontier = visited
-    prev_visited = None
+    prev_visited = prev_frontier = None
     for h in range(1, max_hops + 1):
         if frontier.count() == 0:
             break
+        # persist the frontier: the union materialization below fills its
+        # cache, so the next round's early-exit count and edge join read
+        # it instead of re-running this round's join+distinct+anti-join
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, on="node", how="left_anti")
             .select("node", F.lit(h).cast("long").alias("hops"))
+            .persist()
         )
         new_visited = visited.unionByName(nxt).persist()
-        new_visited.count()  # materialize before dropping the parent
+        new_visited.count()  # materialize before dropping the parents
         if prev_visited is not None:
             prev_visited.unpersist()
-        prev_visited, visited, frontier = visited, new_visited, nxt
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_visited, prev_frontier = visited, frontier
+        visited, frontier = new_visited, nxt
     return visited.select("node", "hops")
 
 
