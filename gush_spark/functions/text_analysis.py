@@ -141,6 +141,99 @@ def argmax_lang(scores: dict[str, Column]) -> Column:
     return pred
 
 
+# Gopher rule-set constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1 —
+# the MassiveText quality heuristics, the published baseline every
+# web-text curation stack starts from). The stopword list is the
+# paper's own 8-word English list, distinct from the per-language
+# profiles above.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """The seven Gopher/MassiveText document-quality rules as pure JVM
+    column expressions, plus the conjunction ``keep``.
+
+    Every ratio threshold is evaluated as a multiplied-out BIGINT
+    comparison (``10*n_symbols <= n_words`` instead of
+    ``n_symbols/n_words <= 0.1``) so the verdicts are integer-exact —
+    no float division can make the two engines disagree at the
+    boundary. Counters ride along in the output so a curation report
+    can show WHY a document failed, not just that it did:
+
+    - r_word_count:    50 <= words <= 100,000
+    - r_mean_word_len: mean word length in [3, 10]
+    - r_symbol_ratio:  (# of '#' + '...') <= 0.1 * words
+    - r_ellipsis_lines: < 30% of lines end with '...'
+    - r_bullet_lines:  >= 90% of lines do NOT start with a bullet
+    - r_alpha_words:   >= 80% of words contain an alphabetic char
+    - r_stopwords:     >= 2 distinct hits on the paper's stopword list
+
+    Scale shape: one codegen projection over the scan — zero shuffles,
+    zero Python; at 10^12 pages this is a map-only gate fused into
+    whatever scan feeds it (same discipline as quality_features)."""
+    norm = norm_text(text)
+    ws = F.split(norm, " ")
+    n_words = F.size(ws).cast("long")
+    # single-space joined => word chars = chars minus the separators
+    word_chars = (F.length(norm) - (n_words - F.lit(1))).cast("long")
+    n_alpha_words = F.size(
+        F.filter(ws, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    n_hash = (
+        F.length(norm) - F.length(F.replace(norm, F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ellipsis = (
+        (F.length(norm) - F.length(F.replace(norm, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("long")
+    n_symbols = n_hash + n_ellipsis
+    # raw text keeps its line structure (norm collapses whitespace)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("* ")
+            | ln.startswith("•"),
+        )
+    ).cast("long")
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.endswith("..."))
+    ).cast("long")
+    stop_arr = F.array([F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stopword_hits = F.size(
+        F.array_intersect(F.array_distinct(ws), stop_arr)
+    ).cast("long")
+    rules = {
+        "r_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (F.lit(3) * n_words <= word_chars)
+        & (word_chars <= F.lit(10) * n_words),
+        "r_symbol_ratio": F.lit(10) * n_symbols <= n_words,
+        "r_ellipsis_lines": F.lit(10) * n_ellipsis_lines < F.lit(3) * n_lines,
+        "r_bullet_lines": F.lit(10) * n_bullet_lines <= n_lines,
+        "r_alpha_words": F.lit(10) * n_alpha_words >= F.lit(8) * n_words,
+        "r_stopwords": n_stopword_hits >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return {
+        "n_words": n_words,
+        "word_chars": word_chars,
+        "n_symbols": n_symbols,
+        "n_lines": n_lines,
+        "n_alpha_words": n_alpha_words,
+        "n_stopword_hits": n_stopword_hits,
+        **rules,
+        "keep": keep,
+    }
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized text (hex)."""
     return F.md5(norm_text(text))

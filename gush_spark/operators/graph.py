@@ -716,3 +716,206 @@ def pagerank_oracle_sql(
     )"""
         )
     return ",\n".join(parts)
+
+
+def kcore(
+    und_edges: DataFrame,
+    *,
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core membership over an UNDIRECTED simple graph given as
+    canonical edges ``(id_a, id_b)`` with ``id_a < id_b`` (the
+    covisit_components / triangle_counts convention): iteratively peel
+    every node whose degree in the surviving subgraph is below ``k``
+    (Seidman, Social Networks 1983), for a FIXED ``rounds`` peels with
+    fixpoint early-exit. Returns ``(node, degree)`` for the nodes still
+    alive after the last round, degree measured inside the surviving
+    subgraph.
+
+    Where triangle_counts measures local density and components mere
+    connectivity, the k-core isolates the globally dense region — on a
+    web/co-visit graph the classic link-farm / spam-cluster signal
+    (dense cores survive peeling; organically browsed trees do not) and
+    the standard seed set for crawl prioritization of well-embedded
+    hubs.
+
+    Fixed rounds (not run-to-fixpoint) keep the DuckDB oracle an
+    unrolled CTE chain — the same contract as pagerank/hits. The peel
+    set only shrinks, so if a round removes nothing the state is the
+    true k-core and every later round is a no-op; the early exit keys
+    on the survivor COUNT (monotone shrinkage makes equal counts equal
+    sets), so stopping early returns exactly what round ``rounds``
+    would.
+
+    Scale shape: per round one map-side-combinable degree agg + two
+    semi-joins keyed on the endpoint columns — node ids only on the
+    wire, lineage one round deep via persist/unpersist, the same
+    discipline as bfs_hops. Degrees are exact BIGINT counts, so the
+    oracle is hash-exact.
+    """
+    bedges = (
+        und_edges.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .unionByName(
+            und_edges.select(
+                F.col("id_b").alias("s"), F.col("id_a").alias("d")
+            )
+        )
+        .persist()
+    )
+    alive = None  # (node, degree) of the current survivor set
+    n_alive = -1
+    prev_alive = prev_b = None
+    for _ in range(rounds):
+        deg = (
+            bedges.groupBy(F.col("s").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .filter(F.col("degree") >= k)
+            .persist()
+        )
+        n_new = deg.count()
+        if prev_alive is not None:
+            prev_alive.unpersist()
+        prev_alive, alive = alive, deg
+        if n_new == n_alive or n_new == 0:
+            break  # fixpoint (monotone shrink: equal count == equal set)
+        n_alive = n_new
+        nodes_now = deg.select("node")
+        new_b = (
+            bedges.join(nodes_now, bedges["s"] == nodes_now["node"], "left_semi")
+            .join(nodes_now, bedges["d"] == nodes_now["node"], "left_semi")
+            .persist()
+        )
+        if prev_b is not None:
+            prev_b.unpersist()
+        prev_b, bedges = bedges, new_b
+    return alive.select("node", "degree")
+
+
+def kcore_oracle_sql(und_cte: str, *, k: int = 3, rounds: int = 4) -> str:
+    """DuckDB CTE stack replicating :func:`kcore` bit-for-bit over a
+    canonical undirected relation ``{und_cte}(id_a, id_b)`` — rounds
+    unrolled; a converged round recomputes the identical survivor set,
+    matching the Spark early-exit. Final relation: ``_kc_a{rounds}``
+    with ``(node, degree)``."""
+    parts = [
+        f"""_kc_b0 AS (
+      SELECT id_a AS s, id_b AS d FROM {und_cte}
+      UNION ALL SELECT id_b, id_a FROM {und_cte}
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        pb = f"_kc_b{i - 1}"
+        parts.append(
+            f"""_kc_a{i} AS (
+      SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM {pb} GROUP BY s HAVING count(*) >= {k}
+    ), _kc_b{i} AS (
+      SELECT b.s, b.d FROM {pb} b
+      WHERE b.s IN (SELECT node FROM _kc_a{i})
+        AND b.d IN (SELECT node FROM _kc_a{i})
+    )"""
+        )
+    return ",\n".join(parts)
+
+
+def hash_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    steps: int = 4,
+) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus (Perozzi et al., KDD
+    2014 — the graph-embedding training-data prep): from every seed
+    node, take ``steps`` hops where the hop from node ``u`` at step
+    ``t`` goes to the out-neighbor minimizing
+    ``md5(u || '|' || t || '|' || dst)`` (tie-break on ``dst``; md5 is
+    identical hex in both engines, so every walk is reproducible and
+    oracle-exact). Returns ``(start, s1..s{steps})``, NULL from the
+    first step where the walk left the graph (no out-edges).
+
+    Hash-argmin replaces the published weighted random sample — the
+    embedding corpus needs *coverage and reproducibility*, not true
+    randomness (the repo-wide determinism discipline: the same
+    hash-not-rand trade as hash_split_sample / stratified quotas), and
+    salting the hash input with the step index decorrelates revisits.
+
+    Scale shape: per step one equi-join keyed on the CURRENT node (the
+    walk frontier ⋈ edges on src — a cluster co-partitions edges once
+    and every step reuses the layout, bfs_hops' shape) and one
+    per-start argmin (``min_by`` tuple trick via struct ordering —
+    map-side combinable, no window sort). Only (start, current) ride
+    the iteration; completed step columns stay in a compact frame
+    joined back once per step.
+    """
+    # fresh attribute ids for the edge columns: seeds are typically
+    # derived from the same edge frame, and reusing the original attrs
+    # trips Spark's ambiguous-self-join detection
+    e = edges.select(
+        F.col("src").alias("_e_src"), F.col("dst").alias("_e_dst")
+    )
+    walks = seeds.select(
+        F.col("node").alias("start"), F.col("node").alias("_cur")
+    ).persist()
+    prev = None
+    for t in range(1, steps + 1):
+        nxt = (
+            walks.filter(F.col("_cur").isNotNull())
+            .join(e, F.col("_cur") == F.col("_e_src"))
+            .select(
+                "start",
+                F.col("_e_dst").alias("_dst"),
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("_cur"), F.lit(str(t)), F.col("_e_dst")
+                    )
+                ).alias("_h"),
+            )
+            .groupBy("start")
+            .agg(
+                F.min(F.struct("_h", "_dst")).alias("_best")
+            )
+            .select("start", F.col("_best._dst").alias(f"s{t}"))
+        )
+        new_walks = (
+            walks.join(nxt, on="start", how="left")
+            .drop("_cur")
+            .withColumn("_cur", F.col(f"s{t}"))
+            .persist()
+        )
+        new_walks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev, walks = walks, new_walks
+    return walks.drop("_cur")
+
+
+def hash_walks_oracle_sql(
+    edges_cte: str, seeds_cte: str, *, steps: int = 4
+) -> str:
+    """DuckDB CTE stack replicating :func:`hash_walks`: per step a join
+    on the current node + ``row_number`` argmin over ``(md5, dst)``.
+    Final relation ``_hw_w{steps}(start, s1..s{steps})``."""
+    parts = [
+        f"""_hw_w0 AS (
+      SELECT node AS start, node AS cur FROM {seeds_cte}
+    )"""
+    ]
+    for t in range(1, steps + 1):
+        pw = f"_hw_w{t - 1}"
+        carried = ", ".join(f"w.s{j}" for j in range(1, t))
+        carried = (carried + ", ") if carried else ""
+        parts.append(
+            f"""_hw_p{t} AS (
+      SELECT w.start, e.dst AS s{t}
+      FROM {pw} w JOIN {edges_cte} e ON w.cur = e.src
+      WHERE w.cur IS NOT NULL
+      QUALIFY row_number() OVER (
+        PARTITION BY w.start
+        ORDER BY md5(w.cur || '|' || '{t}' || '|' || e.dst), e.dst) = 1
+    ), _hw_w{t} AS (
+      SELECT w.start, {carried}p.s{t}, p.s{t} AS cur
+      FROM {pw} w LEFT JOIN _hw_p{t} p ON w.start = p.start
+    )"""
+        )
+    return ",\n".join(parts)

@@ -208,6 +208,72 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOPS = ", ".join(f"'{s}'" for s in ta.GOPHER_STOPWORDS)
+
+
+@query(
+    "gopher_quality_gate",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, text, {NORM} AS norm FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(string_split(norm, ' ')) AS n_words,
+             length(norm) - (len(string_split(norm, ' ')) - 1) AS word_chars,
+             (length(norm) - length(replace(norm, '#', '')))
+               + (length(norm) - length(replace(norm, '...', ''))) // 3
+               AS n_symbols,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(norm, ' '),
+                 x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+             len(list_filter(string_split(text, chr(10)),
+                 x -> starts_with(x, '- ') OR starts_with(x, '* ')
+                      OR starts_with(x, '•'))) AS n_bullet_lines,
+             len(list_filter(string_split(text, chr(10)),
+                 x -> ends_with(x, '...'))) AS n_ellipsis_lines,
+             len(list_intersect(list_distinct(string_split(norm, ' ')),
+                 [{_GOPHER_STOPS}])) AS n_stopword_hits
+      FROM raw
+    ), rules AS (
+      SELECT doc_id, n_words, word_chars, n_symbols, n_lines,
+             n_alpha_words, n_stopword_hits,
+             (n_words >= {ta.GOPHER_MIN_WORDS}
+              AND n_words <= {ta.GOPHER_MAX_WORDS}) AS r_word_count,
+             (3 * n_words <= word_chars
+              AND word_chars <= 10 * n_words) AS r_mean_word_len,
+             (10 * n_symbols <= n_words) AS r_symbol_ratio,
+             (10 * n_ellipsis_lines < 3 * n_lines) AS r_ellipsis_lines,
+             (10 * n_bullet_lines <= n_lines) AS r_bullet_lines,
+             (10 * n_alpha_words >= 8 * n_words) AS r_alpha_words,
+             (n_stopword_hits >= 2) AS r_stopwords
+      FROM feat
+    )
+    SELECT *,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio
+            AND r_ellipsis_lines AND r_bullet_lines AND r_alpha_words
+            AND r_stopwords) AS keep
+    FROM rules
+    """,
+)
+def q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seven published Gopher/MassiveText quality rules (Rae et al.
+    2021, A1.1) per document, with the per-rule verdicts, the counters
+    behind them, and the conjunction ``keep`` — the industry-baseline
+    heuristic gate alongside the repo's own blended quality_score. All
+    thresholds compared as multiplied-out BIGINTs (never float ratios),
+    so the gate is bit-exact across engines; one codegen projection,
+    zero shuffles, zero Python."""
+    docs = load(spark, sf_dir, "documents")
+    cols = ta.gopher_rules(F.col("text"))
+    wanted = [
+        "n_words", "word_chars", "n_symbols", "n_lines", "n_alpha_words",
+        "n_stopword_hits", "r_word_count", "r_mean_word_len",
+        "r_symbol_ratio", "r_ellipsis_lines", "r_bullet_lines",
+        "r_alpha_words", "r_stopwords", "keep",
+    ]
+    return docs.select("doc_id", *[cols[n].alias(n) for n in wanted])
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -4390,3 +4456,89 @@ def q_covisit_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
     )
     return reciprocity(transition_edges(ev, node_col="_node", gap_s=3600))
+
+
+from gush_spark.operators.graph import (  # noqa: E402
+    kcore_oracle_sql as _kc_sql,
+    hash_walks_oracle_sql as _hw_sql,
+)
+
+
+@query(
+    "covisit_kcore",
+    oracle=(
+        "WITH "
+        + _COVISIT_EDGES_CTE
+        + """, und AS (
+      SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+      FROM edges WHERE src <> dst
+    ),
+"""
+        + _kc_sql("und", k=12, rounds=4)
+        + "\nSELECT node, degree FROM _kc_a4"
+    ),
+)
+def q_covisit_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-core of the co-visited page graph (undirected, self-loops
+    dropped): iterative peel of nodes with fewer than 12 surviving
+    neighbors, 4 rounds with fixpoint early-exit — each round strips
+    the weakly-embedded fringe and lowers the degrees of what remains,
+    so the survivor set shrinks round over round until only the
+    densely inter-browsed core is left. The core that survives peeling
+    is the link-farm / well-embedded-hub signal — the global-density
+    complement of triangles (local density) and components
+    (connectivity). Per round one degree agg + two semi-joins, node
+    ids only on the wire."""
+    from gush_spark.operators.graph import kcore, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .distinct()
+    )
+    return kcore(und, k=12, rounds=4)
+
+
+@query(
+    "covisit_walks",
+    oracle=(
+        "WITH "
+        + _COVISIT_EDGES_CTE
+        + """, bnodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), bseeds AS (
+      SELECT node FROM bnodes WHERE CAST(node AS BIGINT) % 10 = 0
+    ),
+"""
+        + _hw_sql("edges", "bseeds", steps=4)
+        + "\nSELECT start, s1, s2, s3, s4 FROM _hw_w4"
+    ),
+)
+def q_covisit_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-step DeepWalk corpus from the trusted-hub seed
+    set (page-ids % 10 == 0, the frontier-hops convention) over the
+    directed co-visit graph: each hop goes to the out-neighbor
+    minimizing md5(cur|step|dst) — reproducible walk sequences for
+    graph-embedding training prep, NULL-padded where a walk leaves the
+    graph. Per step one src-keyed equi-join + one map-side-combinable
+    struct-min argmin; no window sort, no randomness."""
+    from gush_spark.operators.graph import hash_walks, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node").cast("long") % 10 == 0)
+    return hash_walks(edges, seeds, steps=4)

@@ -471,3 +471,72 @@ def test_reciprocity_known_graph(spark):
         "c": (1, 1, 0, 0),
         "d": (0, 1, 0, 0),
     }
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    """Triangle a-b-c with a pendant chain c-d-e: the 2-core peel
+    removes e (degree 1), then d, and converges on exactly the
+    triangle with all degrees 2; a 3-core of the same graph is empty
+    (kcore returns the survivors of the LAST round)."""
+    from gush_spark.operators.graph import kcore
+
+    und = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "id_a string, id_b string",
+    )
+    got = {r["node"]: r["degree"] for r in kcore(und, k=2, rounds=4).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    assert kcore(und, k=3, rounds=4).count() == 0
+
+
+def test_kcore_early_exit_matches_full_rounds(spark):
+    """On an already-converged graph (a square, every degree 2) the
+    early exit after round 1 returns what any deeper unroll would."""
+    from gush_spark.operators.graph import kcore
+
+    und = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "id_a string, id_b string",
+    )
+    one = sorted(kcore(und, k=2, rounds=1).collect())
+    many = sorted(kcore(und, k=2, rounds=6).collect())
+    assert one == many and len(one) == 4
+
+
+def test_hash_walks_deterministic_and_null_padded(spark):
+    """Walks follow the md5-argmin rule exactly (recomputed in Python
+    against hashlib), are identical across runs, and NULL-pad from the
+    first step that leaves the graph."""
+    import hashlib as _h
+
+    from gush_spark.operators.graph import hash_walks
+
+    edge_rows = [("a", "b", 1), ("a", "c", 1), ("b", "c", 1), ("c", "x", 1)]
+    edges = _edges(spark, edge_rows)
+    seeds = spark.createDataFrame([("a",), ("x",)], "node string")
+    out = {r["start"]: r for r in hash_walks(edges, seeds, steps=3).collect()}
+    adj: dict = {}
+    for s, d, _ in edge_rows:
+        adj.setdefault(s, []).append(d)
+
+    def step(cur, t):
+        outs = adj.get(cur)
+        if not outs:
+            return None
+        return min(
+            outs,
+            key=lambda d: (
+                _h.md5(f"{cur}|{t}|{d}".encode()).hexdigest(), d
+            ),
+        )
+
+    cur = "a"
+    for t in (1, 2, 3):
+        cur = step(cur, t) if cur is not None else None
+        assert out["a"][f"s{t}"] == cur
+    # 'x' has no out-edges: the whole walk is NULL
+    assert all(out["x"][f"s{t}"] is None for t in (1, 2, 3))
+    again = {r["start"]: r for r in hash_walks(edges, seeds, steps=3).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }

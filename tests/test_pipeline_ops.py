@@ -331,3 +331,56 @@ def test_source_overlap_matrix_finds_mirrors(spark):
     assert cells.get(("mirror", "wire")) == 2  # docs 1,4 each pair doc 2
     assert cells.get(("wire", "wire")) == 1    # templating diagonal
     assert not any("blog" in k for k in cells)
+
+
+def test_gopher_rules_word_level(spark):
+    """The word-level Gopher rules on hand-built texts: a 60-word
+    natural sentence passes everything; too-short, symbol-heavy,
+    non-alphabetic and stopword-free texts each trip exactly the rule
+    aimed at them (integer-exact threshold comparisons)."""
+    good = "the cat and the dog have to be of use with that plan " * 5  # 65 words
+    rows = [
+        (1, good.strip()),
+        (2, "short text only"),  # < 50 words -> r_word_count
+        (3, ("num " * 20 + "42 " * 40).strip()),  # 33% numeric -> r_alpha_words
+        (4, ("xx " * 30 + "# " * 30).strip()),  # symbol-heavy -> r_symbol_ratio
+        (5, ("zz qq ww rr ss tt " * 10).strip()),  # no stopwords -> r_stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cols = ta.gopher_rules(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[cols[n].alias(n) for n in cols]
+        ).collect()
+    }
+    assert got[1]["keep"] and all(
+        got[1][n] for n in got[1].asDict() if n.startswith("r_")
+    )
+    assert not got[2]["r_word_count"] and not got[2]["keep"]
+    assert not got[3]["r_alpha_words"] and got[3]["r_word_count"]
+    assert not got[4]["r_symbol_ratio"]
+    assert not got[5]["r_stopwords"] and got[5]["r_alpha_words"]
+
+
+def test_gopher_rules_line_level(spark):
+    """The line-level rules (invisible on the newline-free fixture
+    corpus): bullet-dominated and ellipsis-terminated line sets fail
+    their thresholds; the counters are exact."""
+    base = "the cat and the dog have to be of use with that plan " * 5
+    bullets = "\n".join(f"- {w}" for w in ["item one", "item two", "item three"])
+    ell = "\n".join([base.strip(), "to be continued...", "and more..."])
+    rows = [(1, base.strip() + "\n" + bullets), (2, ell)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cols = ta.gopher_rules(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[cols[n].alias(n) for n in cols]
+        ).collect()
+    }
+    # doc 1: 4 lines, 3 bullets -> 10*3 > 4 fails r_bullet_lines
+    assert got[1]["n_lines"] == 4 and not got[1]["r_bullet_lines"]
+    # doc 2: 3 lines, 2 ellipsis-ended -> 10*2 >= 3*3 fails r_ellipsis_lines
+    assert got[2]["n_lines"] == 3 and not got[2]["r_ellipsis_lines"]
+    assert got[2]["n_symbols"] >= 2  # '...' counted as symbols too

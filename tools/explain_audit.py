@@ -581,6 +581,35 @@ def main() -> int:
           "BroadcastNestedLoopJoin" in p and "TakeOrderedAndProject" in p,
           "recrawl lost the 1-row scalar join or the ordered-limit top-k")
 
+    # round-5 session 3: Gopher gate — one codegen projection over the
+    # scan, zero shuffles, zero joins, zero Python
+    p = plan_of(qp.q_gopher_quality_gate(spark, sf_dir))
+    check("gopher.map_only_jvm",
+          "Exchange" not in p and "Join" not in p
+          and "EvalPython" not in p and "PythonUDF" not in p,
+          "gopher gate grew a shuffle/join or Python eval nodes")
+
+    # round-5 session 3: k-core peel — per round one degree agg + two
+    # semi-joins, all equi (never nested-loop), JVM end to end
+    p = plan_of(qp.q_covisit_kcore(spark, sf_dir))
+    check("graph.kcore_equi_joins_only",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "EvalPython" not in p,
+          "kcore grew a nested-loop/cartesian join or Python eval")
+
+    # round-5 session 3: hash walks — per step one src-keyed equi-join
+    # + a struct-min argmin AGG (map-side combinable min, no per-start
+    # row_number Window; the only Window nodes allowed are the ones the
+    # sessionized edge build itself carries — lag/lead/sum, never
+    # row_number)
+    p = plan_of(qp.q_covisit_walks(spark, sf_dir))
+    check("graph.walks_equi_join_argmin_no_rownumber",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "EvalPython" not in p and "row_number" not in p
+          and "partial_min" in p,
+          "walks grew a nested-loop join, a row_number sort, or Python "
+          "eval, or lost the map-side-combinable argmin")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
