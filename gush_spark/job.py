@@ -127,6 +127,14 @@ def main(argv: list[str] | None = None) -> int:
              "under the --lm-ref model to keep a page (requires --lm-ref)",
     )
     ap.add_argument(
+        "--gopher-gate", action="store_true",
+        help="curation pipeline: additionally gate pages on the seven "
+             "published Gopher/MassiveText quality rules "
+             "(functions/text_analysis.gopher_rules, Rae et al. 2021 "
+             "A1.1) — stateless column expressions fused into the "
+             "quality/language projection",
+    )
+    ap.add_argument(
         "--politeness-quota", type=int, default=None,
         help="cep pipeline: run the crawl-politeness gate instead of the "
              "default machine — at most N fetches per (host, event-time "
@@ -179,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--fix-encoding", args.fix_encoding, False),
             ("--lm-ref", args.lm_ref, None),
             ("--lm-min-logp", args.lm_min_logp, None),
+            ("--gopher-gate", args.gopher_gate, False),
         ):
             if val != default:
                 ap.error(f"{flag} only applies to --pipeline curation")
@@ -205,6 +214,8 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["lang"] = args.lang
         if args.fix_encoding:
             kwargs["fix_encoding"] = True
+        if args.gopher_gate:
+            kwargs["gopher_gate"] = True
         if args.scrub:
             kwargs["scrub"] = True
             kwargs["max_pii"] = args.max_pii

@@ -310,6 +310,7 @@ def curation_stream_pipeline(
     fix_encoding: bool = False,
     lm_model=None,
     lm_min_logp: float = -7.0,
+    gopher_gate: bool = False,
 ):
     """Crawl-time corpus curation: pages stream → blacklist filters →
     vectorized extraction (optionally fused with mojibake repair) →
@@ -352,7 +353,13 @@ def curation_stream_pipeline(
     head/middle/tail cut). It runs inside foreachBatch like the
     decontamination gate: the model tables are broadcast, the only
     microbatch shuffle is the per-fingerprint score aggregation — no
-    stream state."""
+    stream state.
+
+    ``gopher_gate=True`` additionally applies the seven published
+    Gopher/MassiveText rules (functions/text_analysis.gopher_rules —
+    Rae et al. 2021 A1.1) as a stateless column-expression filter fused
+    into the same projection as the quality/language gates: zero extra
+    shuffles, zero Python, zero stream state."""
     from gush_spark.functions import text_analysis as ta
     from gush_spark.streaming.dedup import dedup_pages_stream
 
@@ -388,6 +395,10 @@ def curation_stream_pipeline(
             & (F.col("pred_lang") == lang)
         )
     )
+    if gopher_gate:
+        curated = curated.filter(
+            ta.gopher_rules(F.col("extracted_text"))["keep"]
+        )
 
     if bench_keys is not None and bench_bitmap is not None:
         raise ValueError("pass bench_keys OR bench_bitmap, not both")

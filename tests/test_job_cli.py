@@ -28,6 +28,7 @@ def test_max_pii_requires_scrub():
         ["--fix-encoding"],
         ["--lm-ref", "ref.parquet"],
         ["--lm-ref", "ref.parquet", "--lm-min-logp", "-6.5"],
+        ["--gopher-gate"],
     ],
 )
 def test_curation_flags_rejected_on_other_pipelines(flags):
