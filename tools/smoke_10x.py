@@ -68,6 +68,8 @@ HEAVY = [
     "decayed_trending_terms",
     "quality_percentile_by_source",
     "token_budget_plan",
+    # round-5 session 3
+    "gopher_quality_gate",
 ]
 
 # events-driven probes (sessions / graph / scheduling): run as an argv
@@ -84,6 +86,9 @@ EVENTS_PROBE = [
     "crawl_politeness_gate",
     "session_path_counts",
     "host_volume_anomalies",
+    # round-5 session 3
+    "covisit_kcore",
+    "covisit_walks",
 ]
 
 N_VARIANTS = 10
