@@ -847,17 +847,29 @@ def hash_walks(
     map-side combinable, no window sort). Only (start, current) ride
     the iteration; completed step columns stay in a compact frame
     joined back once per step.
+
+    Unlike the other graph loops there is NO per-step driver scalar, so
+    no per-step action either: every step frame is pinned lazily
+    (each is read twice — by the next step's expansion and by the
+    carry join — and the cache fills on first compute within the one
+    materializing job), a single count at the end materializes the
+    whole chain, and only then are the intermediates unpersisted. With
+    a bounded ``steps`` the lineage stays shallow and the walk frames
+    are seed-count-sized.
     """
     # fresh attribute ids for the edge columns: seeds are typically
     # derived from the same edge frame, and reusing the original attrs
-    # trips Spark's ambiguous-self-join detection
+    # trips Spark's ambiguous-self-join detection. Persisted ONCE —
+    # every step joins this frame, and an unpersisted edge list would
+    # re-run the whole upstream derivation (e.g. the sessionized
+    # transition build) per step (the pagerank dangling-mass lesson)
     e = edges.select(
         F.col("src").alias("_e_src"), F.col("dst").alias("_e_dst")
-    )
+    ).persist()
     walks = seeds.select(
         F.col("node").alias("start"), F.col("node").alias("_cur")
     ).persist()
-    prev = None
+    pins = [e, walks]
     for t in range(1, steps + 1):
         nxt = (
             walks.filter(F.col("_cur").isNotNull())
@@ -883,10 +895,11 @@ def hash_walks(
             .withColumn("_cur", F.col(f"s{t}"))
             .persist()
         )
-        new_walks.count()
-        if prev is not None:
-            prev.unpersist()
-        prev, walks = walks, new_walks
+        pins.append(new_walks)
+        walks = new_walks
+    walks.count()  # ONE action materializes the chain (caches fill in-job)
+    for p in pins[:-1]:
+        p.unpersist()
     return walks.drop("_cur")
 
 

@@ -4542,3 +4542,79 @@ def q_covisit_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.filter(F.col("node").cast("long") % 10 == 0)
     return hash_walks(edges, seeds, steps=4)
+
+
+@query(
+    "ccnet_ppl_buckets",
+    oracle=f"""
+    WITH {BASEL}, {WLANG},
+    refbg AS (SELECT unnest({_BG_LIST}) AS gk FROM wlang WHERE lang = 'en'),
+    refctx AS (SELECT unnest({_CTX_LIST}) AS h1 FROM wlang WHERE lang = 'en'),
+    model AS (SELECT gk, count(*) AS c FROM refbg GROUP BY gk),
+    ctx AS (SELECT h1, count(*) AS cc FROM refctx GROUP BY h1),
+    vocab AS (SELECT count(DISTINCT u) AS V
+              FROM (SELECT unnest({_UG_LIST}) AS u FROM wlang WHERE lang = 'en')),
+    docbg AS (SELECT doc_id, unnest({_BG_LIST}) AS gk, unnest({_CTX_LIST}) AS h1
+              FROM wlang),
+    scored AS (
+      SELECT doc_id, count(*) AS n,
+             sum(((coalesce(c, 0) + 1) * 1000000000) // (coalesce(cc, 0) + V))
+               AS s
+      FROM docbg LEFT JOIN model USING (gk) LEFT JOIN ctx USING (h1)
+      CROSS JOIN vocab
+      GROUP BY doc_id),
+    means AS (
+      SELECT d.doc_id, d.source,
+             CAST(CASE WHEN coalesce(n, 0) > 0 THEN s // n ELSE 0 END
+                  AS BIGINT) AS mean_p9
+      FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id)
+    SELECT doc_id, source, mean_p9,
+           CAST(ntile(3) OVER w AS BIGINT) AS bucket,
+           CASE ntile(3) OVER w WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_label
+    FROM means
+    WINDOW w AS (PARTITION BY source ORDER BY mean_p9 DESC, doc_id)
+    """,
+)
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail selection (Wenzek et al., LREC 2020): mean
+    in-domain bigram likelihood per doc (the lm_likelihood_scores model,
+    exact fixed point — sum_p9 DIV n_bigrams, 0 when a doc has no
+    bigrams) bucketed into per-SOURCE tertiles by ntile over
+    (likelihood DESC, doc_id) — the published curation move of keeping
+    'head' (most in-domain) text per origin rather than a single global
+    cut that would empty low-resource sources. One window sort per
+    source on an already-reduced (doc_id, source, mean) frame — the
+    corpus text never enters the sort; for mega-sources the sort-free
+    decile alternative (quality_decile_assignment's histogram form)
+    applies unchanged."""
+    from pyspark.sql import Window
+    from gush_spark.operators import lm
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    model, ctx, vocab = lm.train_bigram_lm(ref, "doc_id", "text")
+    scores = lm.score_with_bigram_lm(
+        docs, model, ctx, vocab, "doc_id", "text"
+    )
+    means = docs.select("doc_id", "source").join(
+        scores.select("doc_id", "n_bigrams", "sum_p9"), on="doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("n_bigrams") > 0, F.expr("sum_p9 DIV n_bigrams")
+        ).otherwise(F.lit(0)).cast("long").alias("mean_p9"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("mean_p9").desc(), F.col("doc_id")
+    )
+    bucket = F.ntile(3).over(w)
+    return means.select(
+        "doc_id", "source", "mean_p9",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket_label"),
+    )

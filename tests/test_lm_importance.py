@@ -250,3 +250,46 @@ def test_best_per_cluster_argmax_and_ties(spark):
     assert {(r["cluster_id"], r["n_members"]) for r in rows} == {
         (1, 3), (4, 1), (5, 2),
     }
+
+
+def test_ccnet_buckets_balanced_and_head_is_in_domain(spark):
+    """Per-source tertiles are balanced (ntile semantics: sizes differ
+    by at most 1) and the docs written in the reference vocabulary land
+    in 'head' while out-of-domain word salad lands in 'tail'."""
+    from pyspark.sql import Window
+
+    ref_text = "the model reads the data and the model writes the table"
+    rows = []
+    for i in range(6):
+        rows.append((i, ref_text, "en", "src_a"))
+    for i in range(6, 9):
+        rows.append((i, f"zz{i} qq{i} ww{i} rr{i} ss{i} tt{i}", "xx", "src_a"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    model, ctx, vocab = lm.train_bigram_lm(
+        docs.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+    scores = lm.score_with_bigram_lm(docs, model, ctx, vocab, "doc_id", "text")
+    means = docs.select("doc_id", "source").join(
+        scores.select("doc_id", "n_bigrams", "sum_p9"), on="doc_id"
+    ).select(
+        "doc_id", "source",
+        F.when(F.col("n_bigrams") > 0, F.expr("sum_p9 DIV n_bigrams"))
+        .otherwise(F.lit(0)).cast("long").alias("mean_p9"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("mean_p9").desc(), F.col("doc_id")
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in means.select(
+            "doc_id", F.ntile(3).over(w).alias("bucket")
+        ).collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # the three out-of-domain docs all score lower than every in-domain
+    # doc, so they fill the tail bucket
+    assert {got[i] for i in (6, 7, 8)} == {3}
+    assert all(got[i] in (1, 2) for i in range(6))
