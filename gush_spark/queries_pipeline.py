@@ -4618,3 +4618,52 @@ def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket_label"),
     )
+
+
+@query(
+    "corpus_drift_report",
+    oracle=f"""
+    WITH o AS (
+      SELECT source, least(length({NORM}) // 32, 15) AS b
+      FROM (SELECT source,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END
+                     AS text
+            FROM documents WHERE doc_id % 11 <> 0)
+    ), n AS (
+      SELECT source, least(length({NORM}) // 32, 15) AS b
+      FROM documents WHERE doc_id % 13 <> 0
+    ), oc AS (SELECT source, b, count(*) AS c_old FROM o GROUP BY 1, 2
+    ), nc AS (SELECT source, b, count(*) AS c_new FROM n GROUP BY 1, 2
+    ), ot AS (SELECT source, count(*) AS n_old FROM o GROUP BY 1
+    ), nt AS (SELECT source, count(*) AS n_new FROM n GROUP BY 1
+    ), al AS (
+      SELECT COALESCE(oc.source, nc.source) AS source,
+             coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+      FROM oc FULL OUTER JOIN nc
+        ON oc.source = nc.source AND oc.b = nc.b
+    ), tt AS (
+      SELECT COALESCE(ot.source, nt.source) AS source,
+             coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      FROM ot FULL OUTER JOIN nt ON ot.source = nt.source
+    )
+    SELECT source,
+           CAST(max(n_old) AS BIGINT) AS n_old,
+           CAST(max(n_new) AS BIGINT) AS n_new,
+           CAST(sum(abs(
+             CASE WHEN n_old > 0 THEN c_old * 1000000000 // n_old ELSE 0 END
+             - CASE WHEN n_new > 0 THEN c_new * 1000000000 // n_new ELSE 0 END
+           )) AS BIGINT) AS drift_x1e9
+    FROM al JOIN tt USING (source)
+    GROUP BY source
+    """,
+)
+def q_corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift between the two synthetic snapshot
+    versions (operators/snapshot.drift_report): fixed-point L1 distance
+    between old/new normalized-length histograms — the shape-change
+    monitor next to snapshot_diff's membership delta. Histograms only
+    on the wire; documents never cross an exchange."""
+    from gush_spark.operators import snapshot
+
+    old, new = _snapshot_views(spark, sf_dir)
+    return snapshot.drift_report(old, new, "source", "text")

@@ -71,3 +71,30 @@ def test_fingerprint_projection_carries_no_text(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_drift_report_identical_and_disjoint(spark):
+    """Identical snapshots drift 0 for every source; a source whose
+    length histogram moves entirely from one bucket to another drifts
+    exactly 2e9 (the L1 maximum); a source present on one side only
+    reports the empty side as 0 rows with the full 1e9 mass drift."""
+    from gush_spark.operators.snapshot import drift_report
+
+    short = "a b"                       # bucket 0 (norm length 3)
+    long = "word " * 20                 # bucket >= 2
+    old = spark.createDataFrame(
+        [("s1", short), ("s1", short), ("s2", short), ("gone", short)],
+        ["source", "text"],
+    )
+    same = drift_report(old, old, "source", "text").collect()
+    assert all(r["drift_x1e9"] == 0 for r in same)
+
+    new = spark.createDataFrame(
+        [("s1", long), ("s1", long), ("s2", short)],
+        ["source", "text"],
+    )
+    got = {r["source"]: r for r in drift_report(old, new, "source", "text").collect()}
+    assert got["s1"]["drift_x1e9"] == 2_000_000_000  # full mass moved
+    assert got["s2"]["drift_x1e9"] == 0
+    assert got["gone"]["n_new"] == 0
+    assert got["gone"]["drift_x1e9"] == 1_000_000_000
