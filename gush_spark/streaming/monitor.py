@@ -154,3 +154,120 @@ def quality_monitor_report(
         ),
         F.greatest(dup_est, F.lit(0.0)).alias("dup_rate_est"),
     )
+
+
+def windowed_length_histogram(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    text_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    group_cols: tuple[str, ...] = (),
+    buckets: int = 16,
+    width: int = 32,
+) -> DataFrame:
+    """Per-window normalized-length histogram as ADDITIVE counters:
+    ``(window_start, group…, bucket, n)`` with
+    ``bucket = length(norm_text) DIV width`` clamped to the last bin —
+    the streaming feed for :func:`drift_monitor_report`. One
+    watermarked aggregation; counts merge associatively, so resumes
+    and batch backfills sum into the same (window, group, bucket) row.
+    State per open window is ≤ ``buckets`` longs per group — the same
+    bounded-state argument as the quality counters."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    b = F.least(
+        (F.length(norm_text(F.col(text_col))) / F.lit(width)).cast("long"),
+        F.lit(buckets - 1),
+    )
+    proj = df.select(
+        F.col(ts_col).alias("_ts"), *group_cols, b.alias("bucket")
+    )
+    return (
+        proj.groupBy(
+            F.window(F.col("_ts"), window_duration).alias("w"),
+            *group_cols,
+            "bucket",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"), *group_cols, "bucket", "n"
+        )
+    )
+
+
+def drift_monitor_report(
+    hist: DataFrame,
+    *,
+    window_seconds: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Read-time window-over-window drift from the histogram sink: for
+    every (group, window) WITH a predecessor window, the fixed-point L1
+    distance between the two length histograms — the LIVE form of
+    ``operators/snapshot.drift_report`` (there: two corpus versions;
+    here: consecutive event-time windows of one stream). A crawler
+    regression (truncated pages, boilerplate floods) moves the
+    histogram the moment the window closes, typically before any
+    membership diff runs.
+
+    Same integer discipline as the batch operator: exact counts,
+    ``count·1e9 DIV total`` shares, integer abs — deterministic across
+    resumes because the sink rows it reads are additive-exact. Windows
+    without a predecessor emit nothing (a monitor needs a baseline, not
+    a spurious full-mass alarm). Duplicate sink rows from a resumed run
+    must be pre-summed by the caller if the sink is append-replay
+    (IdempotentKeyedSink already guarantees uniqueness)."""
+    from gush_spark.operators.snapshot import DRIFT_SCALE
+
+    gc = list(group_cols)
+    cur = hist.select(
+        F.col("window_start").alias("w"), *gc,
+        F.col("bucket").alias("b"), F.col("n").alias("c_new"),
+    )
+    prev = hist.select(
+        (F.col("window_start") + F.expr(f"INTERVAL {window_seconds} SECOND"))
+        .alias("w"),
+        *[F.col(g).alias(f"_p_{g}") for g in gc],
+        F.col("bucket").alias("b"),
+        F.col("n").alias("c_old"),
+    )
+    # rename-based keys keep the self-join unambiguous
+    for g in gc:
+        prev = prev.withColumnRenamed(f"_p_{g}", g)
+    aligned = cur.join(prev, on=["w", *gc, "b"], how="full_outer").select(
+        "w", *gc, "b",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    tot = aligned.groupBy("w", *gc).agg(
+        F.sum("c_old").cast("long").alias("n_prev"),
+        F.sum("c_new").cast("long").alias("n_cur"),
+    )
+    scored = aligned.join(tot, on=["w", *gc]).select(
+        "w", *gc, "n_prev", "n_cur",
+        F.abs(
+            F.when(
+                F.col("n_prev") > 0,
+                F.expr(f"c_old * {DRIFT_SCALE}L DIV n_prev"),
+            ).otherwise(F.lit(0))
+            - F.when(
+                F.col("n_cur") > 0,
+                F.expr(f"c_new * {DRIFT_SCALE}L DIV n_cur"),
+            ).otherwise(F.lit(0))
+        ).alias("_d"),
+    )
+    return (
+        scored.filter((F.col("n_prev") > 0) & (F.col("n_cur") > 0))
+        .groupBy("w", *gc)
+        .agg(
+            F.max("n_prev").alias("n_prev"),
+            F.max("n_cur").alias("n_cur"),
+            F.sum("_d").cast("long").alias("drift_x1e9"),
+        )
+        .select(
+            F.col("w").alias("window_start"), *gc,
+            "n_prev", "n_cur", "drift_x1e9",
+        )
+    )

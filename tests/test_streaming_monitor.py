@@ -115,3 +115,70 @@ def test_report_clamps_negative_dup_estimate(spark):
     ).withColumn("window_start", F.to_timestamp("window_start"))
     (row,) = quality_monitor_report(counters, regs).collect()
     assert row["dup_rate_est"] == 0.0
+
+
+def test_stream_histogram_equals_batch_and_drift_math(spark, pages_dir, tmp_dirs):
+    """The windowed length histogram emitted by the watermarked stream
+    equals the batch twin over the same non-late rows, and the
+    read-time drift report matches a hand-computed L1 on consecutive
+    windows (first window emits nothing — no baseline)."""
+    from gush_spark.operators.snapshot import DRIFT_SCALE
+    from gush_spark.streaming.monitor import (
+        drift_monitor_report,
+        windowed_length_histogram,
+    )
+
+    kw = dict(_KW, text_col="extracted_text")
+    stream_in = extracted_pages(
+        _drop_late(read_pages_stream(spark, pages_dir, max_files_per_trigger=2))
+    )
+    q = (
+        windowed_length_histogram(stream_in, **kw)
+        .writeStream.format("parquet")
+        .option("path", tmp_dirs["sink"])
+        .option("checkpointLocation", tmp_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(tmp_dirs["sink"]).toPandas()
+    assert len(got), "no windows finalized"
+    exp = windowed_length_histogram(
+        extracted_pages(_drop_late(read_pages_batch(spark, pages_dir))), **kw
+    ).toPandas()
+    exp = exp[exp.window_start.isin(set(got.window_start))]
+    key = ["window_start", "bucket"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+    )
+
+    # drift math on the emitted histogram rows, vs pure-python L1
+    hist = spark.read.parquet(tmp_dirs["sink"])
+    rep = drift_monitor_report(hist, window_seconds=300).toPandas()
+    by_w = {}
+    for r in got.itertuples():
+        by_w.setdefault(r.window_start, {})[r.bucket] = r.n
+    wins = sorted(by_w)
+    expect = {}
+    for prev_w, cur_w in zip(wins, wins[1:]):
+        if (cur_w - prev_w).total_seconds() != 300:
+            continue
+        p, c = by_w[prev_w], by_w[cur_w]
+        tp, tc = sum(p.values()), sum(c.values())
+        drift = sum(
+            abs(
+                (p.get(b, 0) * DRIFT_SCALE) // tp
+                - (c.get(b, 0) * DRIFT_SCALE) // tc
+            )
+            for b in set(p) | set(c)
+        )
+        expect[cur_w] = (tp, tc, drift)
+    assert len(rep), "no drift rows (need >= 2 consecutive windows)"
+    got_map = {
+        r.window_start: (r.n_prev, r.n_cur, r.drift_x1e9)
+        for r in rep.itertuples()
+    }
+    assert got_map == expect
+    assert wins[0] not in got_map  # first window has no baseline
