@@ -121,3 +121,90 @@ def classify_change_events(
         F.when(F.col("page_event_type").isNull(),
                F.concat(F.lit("unsupported event kind: "), F.col(type_col))),
     )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    *,
+    step_horizon_s: int = 7 * 86400,
+) -> DataFrame:
+    """Ordered multi-stage funnel over the event stream (the classic
+    crawl/product analytics rollup the pairwise sequence_pattern_within
+    generalizes to N stages): a user completes stage ``i`` at the
+    EARLIEST event of ``stages[i]`` that happens strictly after their
+    stage ``i-1`` completion and within ``step_horizon_s`` of it
+    (µs-precision; stage 0 is simply the user's earliest ``stages[0]``
+    event). Returns one row per stage:
+    ``(stage, stage_name, n_users, conv_from_prev_ppm, conv_from_first_ppm)``
+    with conversions in exact integer ppm (``n·10^6 DIV n_prev``).
+
+    These are FIRST-TOUCH funnel semantics (the standard product-
+    analytics variant): every stage anchors on the earliest admissible
+    event given the previous anchor. It is deterministic and
+    replay-stable, but it is NOT exists-any-chain — a user whose only
+    completing chain starts at a LATER stage-0 event (possible with a
+    bounded horizon: a later anchor admits events the earlier anchor's
+    window excludes) counts as not converted, by definition.
+
+    Scale shape: one map-side-combinable min-agg per stage over a frame
+    that SHRINKS as the funnel narrows, chained by user-keyed
+    equi-joins (stage i's survivors ⋈ stage-i+1 events); each stage
+    frame is persisted so its count doubles as the materialization
+    (never recomputing the chain), and the final report aggregates
+    driver-side over ``len(stages)`` scalars — no window sort, no cross
+    join, the event table is scanned once per stage with the stage
+    filter pushed down.
+    """
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    horizon_us = int(step_horizon_s) * 1_000_000
+    cur = (
+        df.filter(F.col(type_col) == stages[0])
+        .select(F.col(user_col).alias("_u"), us.alias("_t"))
+        .groupBy("_u")
+        .agg(F.min("_t").alias("_done"))
+        .persist()
+    )
+    counts = [cur.count()]
+    pins = [cur]
+    for stage in stages[1:]:
+        ev = df.filter(F.col(type_col) == stage).select(
+            F.col(user_col).alias("_u"), us.alias("_t")
+        )
+        cur = (
+            cur.join(ev, on="_u")
+            .filter(
+                (F.col("_t") > F.col("_done"))
+                & (F.col("_t") <= F.col("_done") + F.lit(horizon_us))
+            )
+            .groupBy("_u")
+            .agg(F.min("_t").alias("_done"))
+            .persist()
+        )
+        counts.append(cur.count())
+        pins.append(cur)
+    for p in pins:
+        p.unpersist()
+    spark = df.sparkSession
+    rows = []
+    for i, (stage, n) in enumerate(zip(stages, counts)):
+        prev = counts[i - 1] if i > 0 else None
+        rows.append(
+            (
+                i,
+                stage,
+                n,
+                (n * 1_000_000) // prev if prev else None,
+                (n * 1_000_000) // counts[0] if counts[0] else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "stage long, stage_name string, n_users long, "
+        "conv_from_prev_ppm long, conv_from_first_ppm long",
+    )

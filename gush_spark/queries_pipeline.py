@@ -4667,3 +4667,63 @@ def q_corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old, new = _snapshot_views(spark, sf_dir)
     return snapshot.drift_report(old, new, "source", "text")
+
+
+_FUNNEL_H_US = 86400 * 1_000_000
+
+
+@query(
+    "funnel_conversion",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id AS u, min(epoch_us(ts)) AS done
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id AS u, min(epoch_us(e.ts)) AS done
+      FROM events e JOIN s0 ON e.user_id = s0.u
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > s0.done
+        AND epoch_us(e.ts) <= s0.done + {_FUNNEL_H_US}
+      GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id AS u, min(epoch_us(e.ts)) AS done
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s1.done
+        AND epoch_us(e.ts) <= s1.done + {_FUNNEL_H_US}
+      GROUP BY 1
+    ), c AS (
+      SELECT (SELECT count(*) FROM s0) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'view' AS stage_name,
+           CAST(n0 AS BIGINT) AS n_users,
+           CAST(NULL AS BIGINT) AS conv_from_prev_ppm,
+           CAST(CASE WHEN n0 > 0 THEN 1000000 END AS BIGINT)
+             AS conv_from_first_ppm
+    FROM c
+    UNION ALL
+    SELECT 1, 'click', CAST(n1 AS BIGINT),
+           CAST(CASE WHEN n0 > 0 THEN n1 * 1000000 // n0 END AS BIGINT),
+           CAST(CASE WHEN n0 > 0 THEN n1 * 1000000 // n0 END AS BIGINT)
+    FROM c
+    UNION ALL
+    SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+           CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 END AS BIGINT),
+           CAST(CASE WHEN n0 > 0 THEN n2 * 1000000 // n0 END AS BIGINT)
+    FROM c
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch view→click→purchase funnel with a 1-day per-step
+    horizon (operators/events.funnel_conversion): per-stage user counts
+    and exact integer-ppm conversions — the N-stage generalization of
+    sequence_pattern_within's A→B check. Each stage is one min-agg over
+    a shrinking user-keyed frame; no window sort."""
+    from gush_spark.operators.events import funnel_conversion
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, ["view", "click", "purchase"], step_horizon_s=86400
+    )

@@ -540,3 +540,35 @@ def test_hash_walks_deterministic_and_null_padded(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_funnel_first_touch_semantics(spark):
+    """Hand funnel: u1 completes view>click>purchase in order; u2's
+    click precedes their view (not counted); u3's click lands outside
+    the horizon of their FIRST view even though a later view would
+    admit it (first-touch semantics, documented); u4 views only."""
+    from gush_spark.operators.events import funnel_conversion
+
+    rows = [
+        # u1: clean conversion
+        (1, 100, 1, "view"), (2, 200, 1, "click"), (3, 300, 1, "purchase"),
+        # u2: click BEFORE view
+        (4, 100, 2, "click"), (5, 200, 2, "view"),
+        # u3: first view at t=0, click at t=2000 (horizon 1000s), and a
+        # second view at 1500 that would admit it under any-chain
+        (6, 0, 3, "view"), (7, 1500, 3, "view"), (8, 2000, 3, "click"),
+        # u4: view only
+        (9, 100, 4, "view"),
+    ]
+    ev = _events(spark, rows)
+    got = {
+        r["stage_name"]: (
+            r["n_users"], r["conv_from_prev_ppm"], r["conv_from_first_ppm"]
+        )
+        for r in funnel_conversion(
+            ev, ["view", "click", "purchase"], step_horizon_s=1000
+        ).collect()
+    }
+    assert got["view"] == (4, None, 1_000_000)
+    assert got["click"] == (1, 250_000, 250_000)
+    assert got["purchase"] == (1, 1_000_000, 250_000)
