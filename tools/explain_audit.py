@@ -597,6 +597,32 @@ def main() -> int:
           and "EvalPython" not in p,
           "kcore grew a nested-loop/cartesian join or Python eval")
 
+    # round-5 session 3: funnel — per-stage min-aggs chained by
+    # user-keyed equi-joins; the stage filter reaches the scan
+    # (PushedFilters on event_type), no window sort, no Python.
+    # funnel_conversion's catalog entry collects 3 driver scalars and
+    # returns a local frame, so audit the stage-2 lineage directly.
+    from gush_spark.operators.events import funnel_conversion as _fc  # noqa: E402
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as _F
+    us = _F.unix_micros(_F.col("ts").cast("timestamp"))
+    s0 = (ev.filter(_F.col("event_type") == "view")
+          .select(_F.col("user_id").alias("_u"), us.alias("_t"))
+          .groupBy("_u").agg(_F.min("_t").alias("_done")))
+    s1 = (s0.join(ev.filter(_F.col("event_type") == "click")
+                  .select(_F.col("user_id").alias("_u"), us.alias("_t")),
+                  on="_u")
+          .filter((_F.col("_t") > _F.col("_done"))
+                  & (_F.col("_t") <= _F.col("_done") + _F.lit(86400000000)))
+          .groupBy("_u").agg(_F.min("_t").alias("_done")))
+    p = plan_of(s1)
+    check("funnel.pushed_stage_filter_no_window",
+          "PushedFilters" in p and "event_type" in p
+          and "Window" not in p and "EvalPython" not in p
+          and "partial_min" in p,
+          "funnel stage lineage lost filter pushdown / map-side min, "
+          "or grew a window/Python node")
+
     # round-5 session 3: hash walks — per step one src-keyed equi-join
     # + a struct-min argmin AGG (map-side combinable min, no per-start
     # row_number Window; the only Window nodes allowed are the ones the
