@@ -89,6 +89,7 @@ EVENTS_PROBE = [
     # round-5 session 3
     "covisit_kcore",
     "covisit_walks",
+    "funnel_conversion",
 ]
 
 N_VARIANTS = 10
