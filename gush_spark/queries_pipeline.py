@@ -4727,3 +4727,67 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(
         ev, ["view", "click", "purchase"], step_horizon_s=86400
     )
+
+
+_TRIGRAM_LIST = (
+    "CASE WHEN length(norm) >= 3 THEN "
+    "list_transform(generate_series(1, length(norm) - 2), "
+    "i -> substring(norm, i, 3)) ELSE [] END"
+)
+_LANGID_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query(
+    "trigram_lang_id",
+    oracle=f"""
+    WITH {BASEL},
+    tg AS (SELECT lang, unnest({_TRIGRAM_LIST}) AS tg FROM basel),
+    cnt AS (SELECT lang, tg, count(*) AS c FROM tg GROUP BY 1, 2),
+    prof AS (
+      SELECT lang, tg FROM cnt
+      QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg)
+              <= {'{}'.format(64)}
+    ),
+    dtg AS (SELECT doc_id, unnest(list_distinct({_TRIGRAM_LIST})) AS tg
+            FROM basel),
+    hits AS (SELECT d.doc_id, p.lang FROM dtg d JOIN prof p USING (tg)),
+    sc AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN lang = '{L}' THEN 1 ELSE 0 END) AS s_{L}"
+                 for L in _LANGID_LANGS)}
+      FROM hits GROUP BY doc_id
+    ), filled AS (
+      SELECT d.doc_id,
+             {", ".join(
+                 f"CAST(coalesce(s_{L}, 0) AS BIGINT) AS score_{L}"
+                 for L in _LANGID_LANGS)}
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    )
+    SELECT doc_id, {", ".join(f"score_{L}" for L in _LANGID_LANGS)},
+           CASE WHEN greatest({", ".join(f"score_{L}" for L in _LANGID_LANGS)}) <= 0
+                THEN NULL
+                {" ".join(
+                    f"WHEN score_{L} = greatest("
+                    + ", ".join(f"score_{M}" for M in _LANGID_LANGS)
+                    + f") THEN '{L}'" for L in _LANGID_LANGS)}
+           END AS pred_lang
+    FROM filled
+    """,
+)
+def q_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle character-trigram language-ID
+    (operators/langid.py): per-language top-64 trigram profiles trained
+    on the labeled lang column (deterministic count-desc/trigram-asc
+    rank), every doc scored by distinct-trigram profile overlap (exact
+    BIGINT) with lang-ascending argmax and an explicit NULL verdict
+    when nothing matches. Training never puts the corpus through a
+    window (only counted profile candidates); scoring is one explode +
+    broadcast join + conditional counts. Catalog form trains and scores
+    on the same corpus slice (the held-out split at scale is
+    grouped_split_sample's job)."""
+    from gush_spark.operators import langid
+
+    docs = langid.with_norm(load(spark, sf_dir, "documents"))
+    profiles = langid.trigram_profiles(docs)
+    return langid.trigram_lang_scores(docs, profiles, _LANGID_LANGS)

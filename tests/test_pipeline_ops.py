@@ -384,3 +384,56 @@ def test_gopher_rules_line_level(spark):
     # doc 2: 3 lines, 2 ellipsis-ended -> 10*2 >= 3*3 fails r_ellipsis_lines
     assert got[2]["n_lines"] == 3 and not got[2]["r_ellipsis_lines"]
     assert got[2]["n_symbols"] >= 2  # '...' counted as symbols too
+
+
+def test_trigram_langid_on_real_text(spark):
+    """Trained on a few real sentences per language, the Cavnar-Trenkle
+    trigram scorer identifies held-out sentences the stopword-profile
+    scorer has no hope on (no profile stopword present), and returns an
+    explicit NULL for a too-short doc. (The synthetic catalog corpus
+    carries no language signal in its text — its lang column is
+    metadata — so accuracy there is majority-class noise; THIS is the
+    semantics pin.)"""
+    from gush_spark.operators import langid
+
+    train = [
+        (1, "der hund läuft durch den wald und der vogel singt über dem baum", "de"),
+        (2, "die kinder spielen im garten und das wetter ist schön heute", "de"),
+        (3, "le chien court dans la forêt et l'oiseau chante sur l'arbre", "fr"),
+        (4, "les enfants jouent dans le jardin et le temps est beau aujourd'hui", "fr"),
+        (5, "el perro corre por el bosque y el pájaro canta sobre el árbol", "es"),
+        (6, "los niños juegan en el jardín y el clima es hermoso hoy", "es"),
+        (7, "the dog runs through the forest and the bird sings above the tree", "en"),
+        (8, "the children play in the garden and the weather is lovely today", "en"),
+    ]
+    held_out = [
+        (101, "das mädchen liest ein buch über die geschichte der stadt", "de"),
+        (102, "la fille lit un livre sur l'histoire de la ville", "fr"),
+        (103, "la niña lee un libro sobre la historia de la ciudad", "es"),
+        (104, "the girl reads a book about the history of the city", "en"),
+        (105, "zz", None),  # shorter than one trigram -> NULL verdict
+    ]
+    langs = ["de", "en", "es", "fr"]
+    tr = langid.with_norm(
+        spark.createDataFrame(train, ["doc_id", "text", "lang"])
+    )
+    profiles = langid.trigram_profiles(tr)
+    te = langid.with_norm(
+        spark.createDataFrame(
+            [(i, t) for i, t, _ in held_out], ["doc_id", "text"]
+        )
+    )
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in langid.trigram_lang_scores(
+            te, profiles, langs
+        ).collect()
+    }
+    for i, _, want in held_out:
+        assert got[i] == want, (i, got[i], want)
+    # determinism: a rerun produces the identical verdicts
+    again = {
+        r["doc_id"]: r["pred_lang"]
+        for r in langid.trigram_lang_scores(te, profiles, langs).collect()
+    }
+    assert again == got
