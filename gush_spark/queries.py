@@ -86,7 +86,7 @@ _DRIVER_WINDOW_FIRST = [
     "crawl_frontier_hops", "covisit_triangles", "covisit_reciprocity",
     "gopher_quality_gate", "covisit_kcore", "covisit_walks",
     "ccnet_ppl_buckets", "corpus_drift_report", "funnel_conversion",
-    "trigram_lang_id",
+    "trigram_lang_id", "crawl_budget_apportionment",
     # --- re-witness: code touched in round 5 (connected-components
     # checkpoint discipline; session-gap µs precision feeds
     # session_path_counts above)
@@ -97,13 +97,14 @@ _DRIVER_WINDOW_FIRST = [
     # --- backfill: core §2 catalog, driver-green r01–r03 and unchanged
     "filter_classify_events", "map_field_projection",
     "field_projection_avg", "prior_event_join", "asof_last_purchase",
-    "dim_join_revenue", "tumbling_window_count", "tumbling_window_avg",
+    "dim_join_revenue", "tumbling_window_count",
     # (salted_user_totals / percentile_summary / cep_replay_batch /
     # sequence_pattern_within / absence_pattern_timeout /
     # word_frequencies / late_event_accounting / union_dedup_events /
     # top_users / distinct_active_days / cohort_set_ops /
     # trailing_window_stats / session_stats_per_user /
-    # session_window_count / sliding_window_count —
+    # session_window_count / sliding_window_count /
+    # tumbling_window_avg —
     # driver-green r01–r03 and unchanged — yield their backfill slots
     # to the round-5 covisit_pagerank / trusted_pagerank /
     # recrawl_priorities / covisit_hits / covisit_components /

@@ -4791,3 +4791,49 @@ def q_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = langid.with_norm(load(spark, sf_dir, "documents"))
     profiles = langid.trigram_profiles(docs)
     return langid.trigram_lang_scores(docs, profiles, _LANGID_LANGS)
+
+
+@query(
+    "crawl_budget_apportionment",
+    oracle="""
+    WITH wts AS (
+      SELECT source AS key, CAST(count(*) AS BIGINT) AS wt
+      FROM documents GROUP BY source
+    ), t AS (SELECT sum(wt) AS tw FROM wts
+    ), j AS (
+      SELECT key, wt,
+             CAST(997 * wt // tw AS BIGINT) AS base_alloc,
+             CAST(997 * wt % tw AS BIGINT) AS rem
+      FROM wts, t
+    ), s AS (
+      SELECT *,
+             997 - sum(base_alloc) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, key) AS rnk
+      FROM j
+    )
+    SELECT key AS source, wt AS weight, base_alloc,
+           CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_alloc
+                + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM s
+    """,
+)
+def q_crawl_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 997-slot global
+    fetch budget across sources weighted by document count
+    (operators/budget.py): exact BIGINT floor shares + remainder-ranked
+    +1s, Σ alloc == budget always — the per-cycle slot allocator ahead
+    of the politeness rate gate and the recrawl priority ranking. The
+    remainder ranking is one window over the HOST-level frame (sources
+    here), never the corpus."""
+    from gush_spark.operators.budget import apportion_budget
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    return apportion_budget(w, 997, key_col="host", weight_col="weight").select(
+        F.col("host").alias("source"), "weight", "base_alloc", "extra", "alloc"
+    )

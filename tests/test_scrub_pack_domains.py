@@ -228,3 +228,32 @@ def test_domain_gate_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_budget_apportionment_exact(spark):
+    """Hamilton apportionment: hand-checked allocation, sum == budget
+    exactly, zero-weight host gets nothing, all-zero table allocates
+    nothing."""
+    from gush_spark.operators.budget import apportion_budget
+
+    w = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1), ("z", 0)], ["host", "weight"]
+    )
+    # budget 10, W=9: base = [5,3,1,0] rem = [5,3,1,0] -> leftover 1
+    # goes to 'a' (largest remainder)
+    got = {r["host"]: (r["base_alloc"], r["extra"], r["alloc"])
+           for r in apportion_budget(w, 10).collect()}
+    assert got == {"a": (5, 1, 6), "b": (3, 0, 3), "c": (1, 0, 1),
+                   "z": (0, 0, 0)}
+    assert sum(a for _, _, a in got.values()) == 10
+    # prime budget, awkward weights: the sum invariant must still hold
+    w2 = spark.createDataFrame(
+        [(f"h{i}", i * i + 1) for i in range(7)], ["host", "weight"]
+    )
+    rows = apportion_budget(w2, 101).collect()
+    assert sum(r["alloc"] for r in rows) == 101
+    # all-zero weights: nothing allocated (no division by zero)
+    w3 = spark.createDataFrame([("a", 0), ("b", 0)], ["host", "weight"])
+    assert all(
+        r["alloc"] == 0 for r in apportion_budget(w3, 10).collect()
+    )
