@@ -234,6 +234,68 @@ def gopher_rules(text: Column) -> dict[str, Column]:
     }
 
 
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_rules(text: Column) -> dict[str, Column]:
+    """The C4 cleaning heuristics (Raffel et al., *Exploring the Limits
+    of Transfer Learning* — JMLR 2020, §2.2) as pure JVM column
+    expressions: the line-level keep predicate plus the page-level drop
+    rules, with the cleaned text and the counters behind every verdict.
+
+    Line KEPT iff (all three):
+    - it ends in a terminal punctuation mark (``.`` ``!`` ``?`` ``\"``),
+    - it has at least ``C4_MIN_LINE_WORDS`` words,
+    - it does not mention "javascript" (case-insensitive).
+
+    Page DROPPED if any of:
+    - the cleaned text has fewer than ``C4_MIN_SENTENCES`` sentences
+      (terminal-punctuation occurrences in the kept lines — the
+      deterministic stand-in for the paper's sentence splitter),
+    - the raw text contains "lorem ipsum" (case-insensitive),
+    - the raw text contains a curly brace (the paper's
+      code-page signal).
+
+    The paper's fourth page rule (its external profanity wordlist) is a
+    caller-supplied concern: gate on ``decontaminate``-style broadcast
+    membership over that list; no list ships here.
+
+    Scale shape: one codegen projection over the scan — zero shuffles,
+    zero Python, same discipline as gopher_rules. The cleaned text is
+    produced in the same map, so the downstream pipeline (fingerprint,
+    dedup, tokenize) fuses onto it without re-reading the raw page."""
+    lines = F.split(text, "\n")
+
+    def _kept(ln: Column) -> Column:
+        t = F.trim(ln)
+        words = F.split(F.regexp_replace(F.lower(t), r"\s+", " "), " ")
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(words) >= C4_MIN_LINE_WORDS)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept = F.filter(lines, _kept)
+    cleaned = F.array_join(kept, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_kept_lines = F.size(kept).cast("long")
+    n_sentences = F.regexp_count(cleaned, F.lit("[.!?]")).cast("long")
+    d_lorem = F.lower(text).contains("lorem ipsum")
+    d_brace = text.contains("{")
+    r_min_sentences = n_sentences >= C4_MIN_SENTENCES
+    return {
+        "n_lines": n_lines,
+        "n_kept_lines": n_kept_lines,
+        "n_sentences": n_sentences,
+        "d_lorem": d_lorem,
+        "d_brace": d_brace,
+        "r_min_sentences": r_min_sentences,
+        "keep": ~d_lorem & ~d_brace & r_min_sentences,
+        "cleaned_text": cleaned,
+    }
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized text (hex)."""
     return F.md5(norm_text(text))

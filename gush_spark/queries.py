@@ -86,7 +86,8 @@ _DRIVER_WINDOW_FIRST = [
     "crawl_frontier_hops", "covisit_triangles", "covisit_reciprocity",
     "gopher_quality_gate", "covisit_kcore", "covisit_walks",
     "ccnet_ppl_buckets", "corpus_drift_report", "funnel_conversion",
-    "trigram_lang_id", "crawl_budget_apportionment",
+    "trigram_lang_id", "crawl_budget_apportionment", "c4_line_filter",
+    "collocation_pmi",
     # --- re-witness: code touched in round 5 (connected-components
     # checkpoint discipline; session-gap µs precision feeds
     # session_path_counts above)
@@ -97,8 +98,8 @@ _DRIVER_WINDOW_FIRST = [
     # --- backfill: core §2 catalog, driver-green r01–r03 and unchanged
     "filter_classify_events", "map_field_projection",
     "field_projection_avg", "prior_event_join", "asof_last_purchase",
-    "dim_join_revenue", "tumbling_window_count",
-    # (salted_user_totals / percentile_summary / cep_replay_batch /
+    # (dim_join_revenue / tumbling_window_count /
+    # salted_user_totals / percentile_summary / cep_replay_batch /
     # sequence_pattern_within / absence_pattern_timeout /
     # word_frequencies / late_event_accounting / union_dedup_events /
     # top_users / distinct_active_days / cohort_set_ops /
@@ -109,8 +110,8 @@ _DRIVER_WINDOW_FIRST = [
     # to the round-5 covisit_pagerank / trusted_pagerank /
     # recrawl_priorities / covisit_hits / covisit_components /
     # crawl_frontier_hops / covisit_triangles / covisit_reciprocity /
-    # gopher_quality_gate / covisit_kcore / covisit_walks
-    # additions above)
+    # gopher_quality_gate / covisit_kcore / covisit_walks /
+    # c4_line_filter / collocation_pmi additions above)
 ]
 
 

@@ -274,6 +274,63 @@ def q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[cols[n].alias(n) for n in wanted])
 
 
+@query(
+    "c4_line_filter",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lns FROM documents
+    ), kept AS (
+      SELECT doc_id, text, len(lns) AS n_lines,
+             list_filter(lns, ln ->
+               regexp_matches(trim(ln), '[.!?"]$')
+               AND len(string_split(
+                     regexp_replace(lower(trim(ln)), '\\s+', ' ', 'g'),
+                     ' ')) >= {ta.C4_MIN_LINE_WORDS}
+               AND NOT contains(lower(ln), 'javascript')) AS klns
+      FROM raw
+    ), feat AS (
+      SELECT doc_id, text, n_lines,
+             len(klns) AS n_kept_lines,
+             coalesce(array_to_string(klns, chr(10)), '') AS cleaned_text
+      FROM kept
+    ), rules AS (
+      SELECT doc_id, n_lines, n_kept_lines,
+             len(regexp_extract_all(cleaned_text, '[.!?]')) AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS d_lorem,
+             contains(text, '{{') AS d_brace,
+             cleaned_text
+      FROM feat
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, d_lorem, d_brace,
+           (n_sentences >= {ta.C4_MIN_SENTENCES}) AS r_min_sentences,
+           (NOT d_lorem AND NOT d_brace
+            AND n_sentences >= {ta.C4_MIN_SENTENCES}) AS keep,
+           cleaned_text
+    FROM rules
+    """,
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. JMLR 2020 §2.2): line-level
+    terminal-punctuation / min-words / javascript keeps plus the
+    page-level lorem-ipsum / curly-brace / min-sentences drops, emitting
+    the cleaned text alongside every verdict and counter. The
+    industry-baseline web-cleaning heuristic next to gopher_quality_gate
+    (document-level ratios) and boilerplate_line_removal
+    (corpus-frequency line dedup) — C4's line rules are content-local,
+    so this is one codegen projection: zero shuffles, zero Python.
+    The fixture corpus is newline-free word soup, so the catalog run
+    exercises the degenerate everything-dropped path end-to-end;
+    the rule mechanics are pinned on synthetic multi-line texts in
+    tests/test_pipeline_ops.py."""
+    docs = load(spark, sf_dir, "documents")
+    cols = ta.c4_rules(F.col("text"))
+    wanted = [
+        "n_lines", "n_kept_lines", "n_sentences", "d_lorem", "d_brace",
+        "r_min_sentences", "keep", "cleaned_text",
+    ]
+    return docs.select("doc_id", *[cols[n].alias(n) for n in wanted])
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------

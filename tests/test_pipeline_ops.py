@@ -386,6 +386,57 @@ def test_gopher_rules_line_level(spark):
     assert got[2]["n_symbols"] >= 2  # '...' counted as symbols too
 
 
+def test_c4_rules_line_and_page_level(spark):
+    """The C4 cleaning pass (invisible on the newline-free fixture
+    corpus): each line rule drops exactly the line aimed at it, the
+    cleaned text preserves kept-line order, and each page rule trips on
+    its targeted fixture."""
+    good = "the cat sat on the warm mat today."
+    rows = [
+        # doc 1: one good line survives; no-terminal / short / javascript
+        # lines drop; 3 sentences total via '!' and '?' lines -> keep
+        (1, "\n".join([
+            good,                                  # kept
+            "no terminal punctuation here at all", # dropped: no [.!?"]
+            "too short line.",                     # dropped: < 5 words
+            "please enable javascript to continue viewing this page.",  # dropped
+            "is this the second sentence we keep?",  # kept
+            "yes it is the third one!",              # kept
+        ])),
+        # doc 2: fine lines but a lorem-ipsum marker -> page dropped
+        (2, good + "\nlorem ipsum dolor sit amet was pasted here today."),
+        # doc 3: fine line but a curly brace -> page dropped
+        (3, good + "\nfunction f() { return 1; }"),
+        # doc 4: only two sentences survive -> r_min_sentences fails
+        (4, good + "\nthe dog barked at the mail truck."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cols = ta.c4_rules(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[cols[n].alias(n) for n in cols]
+        ).collect()
+    }
+    assert got[1]["n_lines"] == 6 and got[1]["n_kept_lines"] == 3
+    assert got[1]["cleaned_text"].splitlines() == [
+        good,
+        "is this the second sentence we keep?",
+        "yes it is the third one!",
+    ]
+    assert got[1]["n_sentences"] == 3 and got[1]["keep"]
+    assert got[2]["d_lorem"] and not got[2]["keep"]
+    assert got[3]["d_brace"] and not got[3]["keep"]
+    assert got[2]["n_kept_lines"] == 2 and got[3]["n_kept_lines"] == 1
+    assert (
+        got[4]["n_sentences"] == 2
+        and not got[4]["r_min_sentences"]
+        and not got[4]["keep"]
+        and not got[4]["d_lorem"]
+        and not got[4]["d_brace"]
+    )
+
+
 def test_trigram_langid_on_real_text(spark):
     """Trained on a few real sentences per language, the Cavnar-Trenkle
     trigram scorer identifies held-out sentences the stopword-profile
