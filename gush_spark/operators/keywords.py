@@ -325,3 +325,89 @@ def bm25_search(
         (F.col("score_micro").cast("double") / F.lit(1000000.0)).alias("score"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+LIFT_SCALE = 1_000_000  # fixed-point lift scale (1.0 == 1e6)
+
+
+def collocation_lift(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    k: int = 200,
+    scale: int = LIFT_SCALE,
+) -> DataFrame:
+    """Corpus collocations: the top-``k`` adjacent word pairs by
+    pointwise-mutual-information LIFT — ``P(w1 w2) / (P(w1·)·P(·w2))``,
+    the classic collocation statistic (Church & Hanks 1990) with the
+    log dropped so it stays in exact BIGINT fixed point:
+    ``lift_scaled = c_xy · T · scale div (c_x· · c_·y)`` where the
+    margins are the bigram table's own row/column sums (so they add to
+    ``T`` exactly). The "what multi-word units does this corpus
+    repeat" report a curator reads next to frequent_phrases (raw
+    counts) and bpe_pair_stats (merge candidates) — lift surfaces
+    pairs that are *bound* to each other, not merely common.
+
+    Scale shape:
+    - bigram slots come from lm.py's map-only
+      ``arrays_zip(ws, slice(ws, 2, n-1))`` + explode — zero shuffle,
+      zero interpreted lambda — and immediately collapse into the
+      ``(w1, w2)``-keyed count, map-side combined, so the first
+      exchange carries one row per DISTINCT pair per partition;
+    - both margins are window sums OVER THE REDUCED PAIR FRAME
+      (vocabulary-bounded, partitioned by a word — never the corpus),
+      chained so the corpus is tokenized once for all three counts;
+    - the grand total is a 1-row aggregate broadcast back (the
+      quality_decile_assignment pattern — one extra reduced pass; a
+      10^12-page run materializes the pair table once and derives all
+      margins from it);
+    - ``min_count`` prunes AFTER the margins (probabilities need the
+      full mass) but BEFORE the division and the top-k, and the top-k
+      is orderBy+limit — TakeOrderedAndProject per-partition heads,
+      never a global sort.
+
+    Exactness: every operand is a non-negative BIGINT and the one
+    division is truncating (Spark ``div`` == DuckDB ``//`` on
+    non-negatives, the graph.py discipline), so the driver's value
+    hash cannot diverge. Overflow budget: ``c_xy · T · scale < 2^63``
+    — with scale=10^6 that holds while ``c_xy · T < 9.2·10^12``; a
+    corpus past that passes a smaller ``scale`` (the ranking only
+    needs relative order) or pre-prunes with ``min_count``.
+    """
+    from gush_spark.operators.lm import zipped_token_pairs
+
+    pairs = zipped_token_pairs(docs, id_col, text_col).filter(
+        F.col("pr._nxt").isNotNull()
+        & (F.col("pr._ws") != "")
+        & (F.col("pr._nxt") != "")
+    )
+    pc = pairs.groupBy(
+        F.col("pr._ws").alias("w1"), F.col("pr._nxt").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("pair_count"))
+    total = pc.agg(F.sum("pair_count").alias("total_pairs"))
+    margins = pc.withColumn(
+        "left_count", F.sum("pair_count").over(Window.partitionBy("w1"))
+    ).withColumn(
+        "right_count", F.sum("pair_count").over(Window.partitionBy("w2"))
+    )
+    scored = (
+        margins.filter(F.col("pair_count") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "left_count",
+            "right_count",
+            "total_pairs",
+            F.expr(
+                f"pair_count * total_pairs * {scale}"
+                " div (left_count * right_count)"
+            ).alias("lift_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_scaled"), F.desc("pair_count"), "w1", "w2"
+    ).limit(k)

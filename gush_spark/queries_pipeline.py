@@ -4894,3 +4894,76 @@ def q_crawl_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apportion_budget(w, 997, key_col="host", weight_col="weight").select(
         F.col("host").alias("source"), "weight", "base_alloc", "extra", "alloc"
     )
+
+
+@query(
+    "collocation_pmi",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    prs AS (
+      SELECT unnest(list_transform(generate_series(1, len(ws)-1),
+             i -> [ws[i], ws[i+1]])) AS pr
+      FROM w WHERE len(ws) >= 2),
+    pc AS (
+      SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM prs WHERE pr[1] != '' AND pr[2] != ''
+      GROUP BY 1, 2),
+    m AS (
+      SELECT w1, w2, pair_count,
+             CAST(sum(pair_count) OVER (PARTITION BY w1) AS BIGINT)
+               AS left_count,
+             CAST(sum(pair_count) OVER (PARTITION BY w2) AS BIGINT)
+               AS right_count,
+             CAST(sum(pair_count) OVER () AS BIGINT) AS total_pairs
+      FROM pc)
+    SELECT w1, w2, pair_count, left_count, right_count, total_pairs,
+           CAST(pair_count * total_pairs * 1000000
+                // (left_count * right_count) AS BIGINT) AS lift_scaled
+    FROM m WHERE pair_count >= 5
+    ORDER BY lift_scaled DESC, pair_count DESC, w1, w2
+    LIMIT 200
+    """,
+)
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 collocations by exact fixed-point PMI lift
+    (operators/keywords.py::collocation_lift — Church & Hanks 1990):
+    map-only bigram slots collapse straight into a (w1, w2)-keyed
+    count, margins are window sums over the reduced pair frame (never
+    the corpus), the grand total rides a 1-row broadcast, and the one
+    division is truncating BIGINT on both engines. Top-k is
+    orderBy+limit — TakeOrderedAndProject, never a global sort."""
+    from gush_spark.operators.keywords import collocation_lift
+
+    docs = load(spark, sf_dir, "documents")
+    return collocation_lift(docs, "doc_id", "text", min_count=5, k=200)
+
+
+@query(
+    "heavy_hitter_trigrams",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    tg AS (SELECT unnest(list_transform(generate_series(1, len(ws)-2),
+           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS gram
+           FROM w WHERE len(ws) >= 3),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total_slots FROM tg)
+    SELECT gram, CAST(count(*) AS BIGINT) AS n, t.total_slots,
+           CAST(count(*) * 1000000 // t.total_slots AS BIGINT) AS share_scaled
+    FROM tg, t GROUP BY gram, t.total_slots
+    HAVING count(*) * 4000 > t.total_slots
+    """,
+)
+def q_heavy_hitter_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigrams above a 1/4000 corpus share
+    (operators/heavy_hitters.py): pass 1 is a bounded-memory
+    Misra-Gries summary per partition (mapInPandas, vectorized batch
+    merges) emitting ≤ m candidates + slot totals; pass 2 exact-counts
+    the candidate set behind a broadcast semi-join. The n-gram universe
+    never crosses a shuffle — the 10^12-page answer to "top phrases of
+    the crawl" where groupBy(gram) would exchange an n-gram universe
+    the size of the corpus. Output is partition-invariant and equals
+    the plain GROUP BY / HAVING the oracle runs (MG survival guarantee
+    + exact re-count)."""
+    from gush_spark.operators.heavy_hitters import heavy_hitter_ngrams
+
+    docs = load(spark, sf_dir, "documents")
+    return heavy_hitter_ngrams(docs, "doc_id", "text", n=3, inv_share=4000)

@@ -171,3 +171,61 @@ def test_bm25_search_topk_plans_ordered_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition heads, no global sort
     assert len(df.collect()) == 5
+
+
+def test_collocation_lift_exact_values(spark):
+    from gush_spark.operators.keywords import collocation_lift
+
+    # Corpus: "a b" x3, "a c" x1 — bigram slots within each doc only.
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    rows = collocation_lift(docs, "doc_id", "text", min_count=1, k=10).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    # T=4; c(a b)=3, left a=4, right b=3 -> 3*4*1e6 div (4*3) = 1e6 (lift 1.0)
+    ab = by_pair[("a", "b")]
+    assert ab["pair_count"] == 3 and ab["left_count"] == 4
+    assert ab["right_count"] == 3 and ab["total_pairs"] == 4
+    assert ab["lift_scaled"] == 1_000_000
+    # c(a c)=1, left a=4, right c=1 -> 1*4*1e6 div (4*1) = 1e6
+    assert by_pair[("a", "c")]["lift_scaled"] == 1_000_000
+
+
+def test_collocation_lift_bound_pair_beats_common_pair(spark):
+    from gush_spark.operators.keywords import collocation_lift
+
+    # "x y" always co-occur exclusively; "the end"/"the start" split
+    # "the"'s mass -> lift(x,y) > lift(the,*) even at equal counts.
+    data = [(i, "x y") for i in range(5)]
+    data += [(100 + i, "the end") for i in range(5)]
+    data += [(200 + i, "the start") for i in range(5)]
+    rows = collocation_lift(
+        spark.createDataFrame(data, "doc_id long, text string"),
+        min_count=1, k=10,
+    ).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    # T=15: lift(x,y) = 5*15e6 div 25 = 3e6; lift(the,end) = 5*15e6 div (10*5) = 1.5e6
+    assert by_pair[("x", "y")]["lift_scaled"] == 3_000_000
+    assert by_pair[("the", "end")]["lift_scaled"] == 1_500_000
+    assert rows[0]["w1"] == "x"  # bound pair ranks first
+    # min_count prunes (margins still computed on full mass)
+    pruned = collocation_lift(
+        spark.createDataFrame(data, "doc_id long, text string"),
+        min_count=6, k=10,
+    ).collect()
+    assert pruned == []
+
+
+def test_collocation_lift_plans_take_ordered(spark):
+    from gush_spark.operators.keywords import collocation_lift
+
+    docs = spark.createDataFrame(
+        [(i, "web crawl page index rank host") for i in range(50)],
+        "doc_id long, text string",
+    )
+    df = collocation_lift(docs, min_count=1, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k never a global sort
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total broadcast
+    assert len(df.collect()) == 3
