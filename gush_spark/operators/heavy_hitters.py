@@ -49,25 +49,44 @@ from gush_spark.functions.text_analysis import words_of
 HH_SCALE = 1_000_000  # fixed-point share scale (1.0 == 1e6)
 
 
+def _gram_expr(arr_name: str, n: int):
+    """Word-``n``-gram strings from a BOUND words-array column named
+    ``arr_name`` (bind with ``withColumn`` first — the CSE discipline
+    from dedup.shingles, so the split runs once, not once per element).
+    Callers must guard ``size >= n`` (Spark's ``sequence(0, -1)``
+    DESCENDS rather than returning empty — the trigram_lang_id gotcha)."""
+    joined = ", ".join(f"{arr_name}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"transform(sequence(0, size({arr_name}) - {n}),"
+        f" i -> concat_ws(' ', {joined}))"
+    )
+
+
 def ngram_slots(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, n: int = 3
 ) -> DataFrame:
     """One row per word-``n``-gram slot of the normalized text — the
     map-only shifted-window form (``transform(sequence(...))`` over the
     split array, all codegen): zero shuffle, zero Python."""
-    joined = ", ".join(f"_ws[i + {j}]" for j in range(n))
     return (
         docs.withColumn("_ws", words_of(F.col(text_col)))
         .filter(F.size("_ws") >= n)
-        .select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(_ws) - {n}),"
-                    f" i -> concat_ws(' ', {joined}))"
-                )
-            ).alias("gram")
-        )
+        .select(F.explode(_gram_expr("_ws", n)).alias("gram"))
     )
+
+
+def mg_merge(residual: pd.Series, counts: pd.Series, m: int) -> pd.Series:
+    """One Misra-Gries merge step: add a batch's value counts into the
+    residual summary, then (if more than ``m`` grams are live) subtract
+    the (m+1)-th largest residual from all and keep the positive ones.
+    Vectorized Series ops only; shared by the batch per-partition pass
+    and the streaming per-window state update — the MG survival bound
+    (Agarwal et al., mergeable summaries) holds under any merge order."""
+    residual = residual.add(counts, fill_value=0).astype("int64")
+    if len(residual) > m:
+        d = residual.nlargest(m + 1).iloc[-1]
+        residual = residual[residual > d] - d
+    return residual
 
 
 def _mg_summary(m: int):
@@ -84,11 +103,7 @@ def _mg_summary(m: int):
         slots = 0
         for pdf in batches:
             slots += len(pdf)
-            vc = pdf["gram"].value_counts()
-            residual = residual.add(vc, fill_value=0).astype("int64")
-            if len(residual) > m:
-                d = residual.nlargest(m + 1).iloc[-1]
-                residual = residual[residual > d] - d
+            residual = mg_merge(residual, pdf["gram"].value_counts(), m)
         if slots == 0:
             return
         out = pd.DataFrame({"gram": residual.index.astype(object)})
