@@ -932,3 +932,120 @@ def hash_walks_oracle_sql(
     )"""
         )
     return ",\n".join(parts)
+
+
+def label_propagation(
+    und_edges: DataFrame,
+    *,
+    iters: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007) over an UNDIRECTED weighted
+    graph given as canonical edges ``(id_a, id_b, w)`` with
+    ``id_a < id_b``: every node starts labeled with itself; each
+    round it adopts the label carrying the highest total incident
+    weight among its neighbors (ties broken by SMALLEST label — the
+    repo-wide determinism trade, replacing the paper's random
+    tie-break so reruns, partitionings and the DuckDB oracle agree
+    bit-for-bit). Dense neighborhoods agree on a label within a few
+    rounds; the label is the community id. On a co-visit graph the
+    communities are browse-topic clusters — the unsupervised
+    complement of min_label_components (which needs a similarity
+    threshold and gives connectivity, not density).
+
+    Fixed ``iters`` with fixpoint early-exit, the pagerank/kcore
+    contract: the update is a pure function of the label frame, so a
+    round that changes nothing proves every later round is identical
+    (the oracle's extra unrolled rounds recompute the same relation).
+    Synchronous updates can 2-cycle on bipartite structure rather than
+    converge — fixed rounds make that deterministic too, on both
+    engines.
+
+    Scale shape: per round ONE src-keyed equi-join against the
+    persisted bidirectional edge frame + one (node, label)-keyed
+    map-side-combinable weight agg + one node-keyed argmin-struct agg
+    (``min(struct(-w_sum, label))`` — no row_number window); only node
+    ids and labels (node ids) cross the wire; lineage one round deep
+    via persist/unpersist. The changed-row count is the one scalar
+    action per round (the pagerank dangling-mass discipline).
+    """
+    bedges = (
+        und_edges.select(
+            F.col("id_a").alias("s"), F.col("id_b").alias("d"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .unionByName(
+            und_edges.select(
+                F.col("id_b").alias("s"), F.col("id_a").alias("d"),
+                F.col("w").cast("long").alias("w"),
+            )
+        )
+        .persist()
+    )
+    labels = (
+        bedges.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    labels.count()
+    prev = None
+    for _ in range(iters):
+        scores = (
+            labels.join(bedges, labels["node"] == bedges["s"])
+            .select(F.col("d").alias("node"), "label", "w")
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("w_sum"))
+        )
+        new_labels = (
+            scores.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("w_sum")).alias("nw"), F.col("label").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = labels, new_labels
+        if changed == 0:
+            break  # fixpoint: the update is pure, later rounds identical
+    return labels.select("node", "label")
+
+
+def label_prop_oracle_sql(und_cte: str, *, iters: int = 4) -> str:
+    """DuckDB CTE stack replicating :func:`label_propagation` over a
+    weighted undirected relation ``{und_cte}(id_a, id_b, w)`` — rounds
+    unrolled, argmax-by-weight/min-label via row_number. Final
+    relation: ``_lp_l{iters}`` with ``(node, label)``."""
+    parts = [
+        f"""_lp_b AS (
+      SELECT id_a AS s, id_b AS d, CAST(w AS BIGINT) AS w FROM {und_cte}
+      UNION ALL SELECT id_b, id_a, CAST(w AS BIGINT) FROM {und_cte}
+    ), _lp_l0 AS (
+      SELECT DISTINCT s AS node, s AS label FROM _lp_b
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""_lp_s{i} AS (
+      SELECT b.d AS node, l.label, CAST(sum(b.w) AS BIGINT) AS w_sum
+      FROM _lp_b b JOIN _lp_l{i - 1} l ON b.s = l.node
+      GROUP BY 1, 2
+    ), _lp_l{i} AS (
+      SELECT node, label FROM _lp_s{i}
+      QUALIFY row_number() OVER (
+        PARTITION BY node ORDER BY w_sum DESC, label ASC) = 1
+    )"""
+        )
+    return ",\n".join(parts)

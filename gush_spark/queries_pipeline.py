@@ -4563,6 +4563,54 @@ def q_covisit_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(und, k=12, rounds=4)
 
 
+from gush_spark.operators.graph import (  # noqa: E402
+    label_prop_oracle_sql as _lp_sql,
+)
+
+
+@query(
+    "covisit_communities",
+    oracle=(
+        "WITH "
+        + _COVISIT_EDGES_CTE
+        + """, undw AS (
+      SELECT least(src, dst) AS id_a, greatest(src, dst) AS id_b,
+             CAST(sum(weight) AS BIGINT) AS w
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+"""
+        + _lp_sql("undw", iters=4)
+        + "\nSELECT node, label FROM _lp_l4"
+    ),
+)
+def q_covisit_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Browse-topic communities by synchronous label propagation
+    (Raghavan et al. 2007) over the weighted undirected co-visit graph
+    (self-loops dropped, both directions folded into one weight): 4
+    rounds of adopt-the-heaviest-neighbor-label with min-label
+    tie-break (deterministic — no random tie-break), fixpoint
+    early-exit. The unsupervised density complement of
+    covisit_components' threshold connectivity. Per round one
+    src-keyed equi-join + two map-side-combinable aggs
+    (min(struct(-w_sum, label)) argmax — no row_number window); only
+    node ids cross the wire."""
+    from gush_spark.operators.graph import label_propagation, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    undw = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .agg(F.sum("weight").alias("w"))
+    )
+    return label_propagation(undw, iters=4)
+
+
 @query(
     "covisit_walks",
     oracle=(

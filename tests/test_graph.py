@@ -572,3 +572,64 @@ def test_funnel_first_touch_semantics(spark):
     assert got["view"] == (4, None, 1_000_000)
     assert got["click"] == (1, 250_000, 250_000)
     assert got["purchase"] == (1, 1_000_000, 250_000)
+
+
+def _lpa_reference(edges_w, iters):
+    """Pure-python synchronous LPA twin: heaviest neighbor label, ties
+    to the smallest label, fixed iterations."""
+    adj: dict = {}
+    for a, b, w in edges_w:
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + w
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + w
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            score: dict = {}
+            for m, w in nbrs.items():
+                score[labels[m]] = score.get(labels[m], 0) + w
+            best = min(score.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Two dense triangles joined by a weight-1 bridge: each triangle
+    converges on one label, the bridge does not merge them; every
+    (node, label) pair equals the python twin exactly."""
+    from gush_spark.operators.graph import label_propagation
+
+    ew = [
+        ("a", "b", 5), ("a", "c", 5), ("b", "c", 5),
+        ("x", "y", 5), ("x", "z", 5), ("y", "z", 5),
+        ("c", "x", 1),
+    ]
+    und = spark.createDataFrame(ew, "id_a string, id_b string, w long")
+    got = {r["node"]: r["label"] for r in label_propagation(und, iters=4).collect()}
+    assert got == _lpa_reference(ew, 4)
+    # communities separated: triangle labels agree within, differ across
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]
+
+
+def test_label_propagation_tie_breaks_and_invariance(spark):
+    """Equal-weight ties go to the SMALLEST label (path a-b-c: b sees
+    {a: 1, c: 1} and takes 'a'), and the result is independent of
+    input partitioning."""
+    from gush_spark.operators.graph import label_propagation
+
+    ew = [("a", "b", 1), ("b", "c", 1)]
+    und = spark.createDataFrame(ew, "id_a string, id_b string, w long")
+    got1 = {r["node"]: r["label"] for r in label_propagation(und, iters=1).collect()}
+    assert got1["b"] == "a"  # tie broken to the smallest label
+    ref = _lpa_reference(ew, 4)
+    for parts in (1, 7):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(und.repartition(parts), iters=4).collect()
+        }
+        assert got == ref
