@@ -71,3 +71,64 @@ def bpe_pair_counts(
     return top.select(
         "pair", "n", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    vocab_k: int = 500,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-``vocab_k``
+    word vocabulary — the tokenizer-sizing / coverage report
+    (how much of the corpus does a K-entry word vocab cover; the
+    whole-word analog of what BPE fertility measures): documents with
+    a high OOV fraction are the ones a word-level model truncates to
+    UNK and a subword trainer must budget merges for, and a sudden
+    OOV-rate shift per source is the same drift signal
+    corpus_drift_report reads from lengths.
+
+    Returns ``(doc_id, n_tokens, n_oov, oov_ppm)`` for every doc with
+    at least one non-empty token; ``oov_ppm = n_oov·scale div
+    n_tokens`` is exact BIGINT fixed point (both engines truncate).
+
+    Scale shape: the vocabulary is one map-side-combinable word count
+    (VOCABULARY-sized output, the word_freqs pass) topped by
+    ``orderBy(n desc, word).limit(k)`` — TakeOrderedAndProject
+    per-partition heads with a DETERMINISTIC boundary (ties broken by
+    the word itself, so the cut never depends on partitioning); the
+    corpus pass marks membership through ONE broadcast left join (the
+    K-row vocab ships to every executor; the corpus never shuffles for
+    the membership test) and folds to the per-doc counts in one
+    doc-keyed agg.
+    """
+    toks = (
+        docs.withColumn("_ws", words_of(F.col(text_col)))
+        .select(F.col(id_col), F.explode("_ws").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(vocab_k)
+        .select("word", F.lit(1).alias("_iv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.expr(f"n_oov * {scale} div n_tokens").alias("oov_ppm"),
+        )
+    )

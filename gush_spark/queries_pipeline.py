@@ -3893,6 +3893,40 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_oov_report",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    tok2 AS (SELECT doc_id, word FROM tok WHERE word != ''),
+    vc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+           FROM tok2 GROUP BY word),
+    vocab AS (SELECT word FROM vc ORDER BY n DESC, word LIMIT 500),
+    rep AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM tok2 t LEFT JOIN vocab v USING (word)
+            GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+    FROM rep
+    """,
+)
+def q_vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate against the corpus's own top-500 word vocab
+    (operators/bpe.py::vocab_coverage) — the tokenizer-sizing coverage
+    report. Vocabulary cut is deterministic (count desc, word asc —
+    TakeOrderedAndProject, never a global sort); membership is one
+    broadcast left join (the corpus never shuffles for the test); the
+    per-doc fold is one doc-keyed agg; oov_ppm is truncating BIGINT on
+    both engines."""
+    from gush_spark.operators.bpe import vocab_coverage
+
+    return vocab_coverage(
+        load(spark, sf_dir, "documents"), "doc_id", "text", vocab_k=500
+    )
+
+
+@query(
     "curation_report_v3",
     oracle=f"""
     WITH {_EXPECT_SQL},

@@ -27,3 +27,48 @@ def test_topk_rank_is_first_merge(spark):
         ("aa", 4, 1),  # 2 pairs x freq 2
         ("bb", 1, 2),
     ]
+
+
+def test_vocab_coverage_exact_and_plan(spark):
+    from gush_spark.operators.bpe import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),       # with k=2 vocab={'the','cat'}: 1 oov
+            (2, "the the dog"),       # 1 oov
+            (3, "owl"),               # 1 oov of 1
+            (4, "the cat"),           # 0 oov
+            (5, None),                # no tokens -> absent
+            (6, "   "),               # no tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    # corpus counts: the x4, cat x2, sat/dog/owl x1 -> top-2 = {cat, the}
+    # (count desc, word asc: 'the'(4), 'cat'(2))
+    out = vocab_coverage(docs, vocab_k=2).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ppm"]) for r in out}
+    assert got == {
+        1: (3, 1, 333_333),
+        2: (3, 1, 333_333),
+        3: (1, 1, 1_000_000),
+        4: (2, 0, 0),
+    }
+    df = vocab_coverage(docs, vocab_k=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan   # vocab cut, no global sort
+    assert "BroadcastHashJoin" in plan       # membership never shuffles corpus
+
+
+def test_vocab_coverage_tie_break_deterministic(spark):
+    from gush_spark.operators.bpe import vocab_coverage
+
+    # 'aa' and 'bb' tie at count 2; k=1 must keep 'aa' (word asc)
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb")], "doc_id long, text string"
+    )
+    for parts in (1, 8):
+        got = {
+            r["doc_id"]: r["n_oov"]
+            for r in vocab_coverage(docs.repartition(parts), vocab_k=1).collect()
+        }
+        assert got == {1: 1, 2: 1}  # 'bb' is the OOV in both docs
