@@ -776,3 +776,65 @@ def source_overlap_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    prefix: int = 256,
+    keep_ppm: int = 800_000,
+    spread: int | None = 0,
+) -> DataFrame:
+    """Character-level adjudication of LSH candidate pairs by
+    Levenshtein distance over the normalized-text PREFIX — the verify
+    tier for SHORT fields and title/template near-dups, where
+    shingle-set Jaccard is blind (a 5-word title has 3 shingles; one
+    edit kills all of them and Jaccard reads 0 for what an editor
+    would call the same string). Complements ngram_jaccard_pairs the
+    way SimHash complements MinHash: same candidate machinery,
+    different distance.
+
+    Returns ``(id_a, id_b, dist, sim_ppm, is_dup)`` per candidate:
+    ``dist`` = edit distance between the two ≤ ``prefix``-char
+    normalized prefixes, ``sim_ppm = (maxlen - dist)·10^6 div maxlen``
+    (1e6 == identical; exact BIGINT — lengths and distances are
+    integers, the division truncates identically in both engines;
+    two empty prefixes are defined identical), ``is_dup`` at
+    ``keep_ppm``.
+
+    Scale shape: candidates come from the banded LSH join (never
+    all-pairs); the ONLY text on the wire is the bounded ``prefix``
+    chars per side, shipped through two id-keyed joins (the
+    source-overlap-matrix attribution pattern); Levenshtein is
+    JVM codegen, O(prefix²) per pair with prefix fixed — per-pair cost
+    is a constant, total cost ∝ candidates. Full-document edit
+    distance at crawl scale is deliberately NOT offered: O(n·m) per
+    pair is the suffix-automaton literature's job; the span profile
+    (operators/spans.py) is this repo's long-document signal.
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, spread=spread)
+    pref = df.select(
+        F.col(id_col).alias("_pid"),
+        F.substring(norm_text(F.col(text_col)), 1, prefix).alias("_pref"),
+    )
+    a = pref.select(F.col("_pid").alias("id_a"), F.col("_pref").alias("_pa"))
+    b = pref.select(F.col("_pid").alias("id_b"), F.col("_pref").alias("_pb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "_maxlen", F.greatest(F.length("_pa"), F.length("_pb")).cast("long")
+        )
+        .withColumn("dist", F.levenshtein("_pa", "_pb").cast("long"))
+        .select(
+            "id_a",
+            "id_b",
+            "dist",
+            F.when(F.col("_maxlen") == 0, F.lit(1_000_000).cast("long"))
+            .otherwise(F.expr("(_maxlen - dist) * 1000000 div _maxlen"))
+            .alias("sim_ppm"),
+        )
+        .withColumn("is_dup", F.col("sim_ppm") >= F.lit(int(keep_ppm)))
+    )

@@ -395,6 +395,39 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0, spread=None)
 
 
+@query(
+    "edit_distance_verify",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}, {CAND},
+    pref AS (SELECT doc_id, substring(norm, 1, 256) AS p FROM base),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(levenshtein(x.p, y.p) AS BIGINT) AS dist,
+             CAST(greatest(length(x.p), length(y.p)) AS BIGINT) AS maxlen
+      FROM cand JOIN pref x ON x.doc_id = id_a
+                JOIN pref y ON y.doc_id = id_b)
+    SELECT id_a, id_b, dist,
+           CAST(CASE WHEN maxlen = 0 THEN 1000000
+                ELSE (maxlen - dist) * 1000000 // maxlen END AS BIGINT)
+             AS sim_ppm,
+           (CASE WHEN maxlen = 0 THEN 1000000
+                 ELSE (maxlen - dist) * 1000000 // maxlen END) >= 800000
+             AS is_dup
+    FROM scored
+    """,
+)
+def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein adjudication of the LSH candidate pairs over
+    256-char normalized prefixes (operators/dedup.py::
+    edit_distance_pairs) — the character-level verify tier where
+    shingle Jaccard is blind (short/templated texts). Only the bounded
+    prefix crosses the two id-keyed joins; the distance is JVM codegen
+    with fixed per-pair cost; sim_ppm is truncating BIGINT on both
+    engines."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(docs, "doc_id", "text", spread=None)
+
+
 _JEDGES = (
     "jedges AS (SELECT id_a, id_b FROM cand "
     "JOIN shl x ON x.doc_id = id_a JOIN shl y ON y.doc_id = id_b "

@@ -488,3 +488,31 @@ def test_trigram_langid_on_real_text(spark):
         for r in langid.trigram_lang_scores(te, profiles, langs).collect()
     }
     assert again == got
+
+
+def test_edit_distance_pairs_exact_values(spark):
+    """Identical docs score 1e6; a one-character edit scores
+    (maxlen-1)·1e6 div maxlen; the distance is over the normalized
+    256-char prefix (case/whitespace fold first)."""
+    from gush_spark.operators.dedup import edit_distance_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "  ALPHA   beta gamma delta epsilon zeta eta theta iota kappa "),
+            (3, base.replace("kappa", "kappb")),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in edit_distance_pairs(docs, "doc_id", "text", spread=None).collect()
+    }
+    n = len(base)
+    assert rows[(1, 2)]["dist"] == 0  # normalization folds case/whitespace
+    assert rows[(1, 2)]["sim_ppm"] == 1_000_000 and rows[(1, 2)]["is_dup"]
+    for pair in [(1, 3), (2, 3)]:
+        assert rows[pair]["dist"] == 1
+        assert rows[pair]["sim_ppm"] == (n - 1) * 1_000_000 // n
+        assert rows[pair]["is_dup"]  # 0.98 >> 0.8 threshold
