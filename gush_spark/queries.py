@@ -88,7 +88,7 @@ _DRIVER_WINDOW_FIRST = [
     "ccnet_ppl_buckets", "corpus_drift_report", "funnel_conversion",
     "trigram_lang_id", "crawl_budget_apportionment", "c4_line_filter",
     "collocation_pmi", "heavy_hitter_trigrams", "covisit_communities",
-    "vocab_oov_report", "edit_distance_verify",
+    "vocab_oov_report", "edit_distance_verify", "robots_rules_gate",
     # --- re-witness: code touched in round 5 (connected-components
     # checkpoint discipline; session-gap µs precision feeds
     # session_path_counts above)
@@ -97,12 +97,11 @@ _DRIVER_WINDOW_FIRST = [
     "ann_topk_lsh", "ann_topk_lsh_multiprobe", "ann_topk_ivf",
     "hash_split_sample",
     # --- backfill: core §2 catalog, driver-green r01–r03 and unchanged
-    "filter_classify_events",
     # (asof_last_purchase / prior_event_join / field_projection_avg /
-    # map_field_projection — driver-green r01–r03 and unchanged — yield
-    # their backfill slots to heavy_hitter_trigrams /
-    # covisit_communities / vocab_oov_report / edit_distance_verify
-    # above)
+    # map_field_projection / filter_classify_events — driver-green
+    # r01–r03 and unchanged — yield their backfill slots to
+    # heavy_hitter_trigrams / covisit_communities / vocab_oov_report /
+    # edit_distance_verify / robots_rules_gate above)
     # (dim_join_revenue / tumbling_window_count /
     # salted_user_totals / percentile_summary / cep_replay_batch /
     # sequence_pattern_within / absence_pattern_timeout /

@@ -1623,6 +1623,71 @@ _URL_SQL = """urls AS (
       FROM documents)"""
 
 
+@query(
+    "robots_rules_gate",
+    oracle="WITH " + _URL_SQL + r"""
+    , rules AS (
+      SELECT 'src' || CAST(k AS VARCHAR) || '.example.com' AS host,
+             r.prefix, r.allow
+      FROM generate_series(0, 19) t(k),
+           (VALUES ('/', TRUE), ('/Path/1', FALSE), ('/Path/12', TRUE))
+             r(prefix, allow)
+    ), parsed AS (
+      SELECT doc_id,
+        CASE WHEN h1 = '' THEN NULL ELSE h1 END AS host,
+        CASE WHEN h1 = '' THEN NULL
+             WHEN p0 = '' THEN '/' ELSE p0 END AS path
+      FROM (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(trim(url),
+              '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)),
+            '^www\.', ''), ':\d+$', '') AS h1,
+          regexp_replace(regexp_replace(trim(url),
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', ''),
+            '[?#].*$', '') AS p0
+        FROM urls)
+    ), m AS (
+      SELECT p.doc_id, p.host, p.path, r.prefix, r.allow,
+             CAST(length(r.prefix) AS BIGINT) AS plen
+      FROM parsed p LEFT JOIN rules r
+        ON p.host = r.host AND starts_with(p.path, r.prefix)
+    ), best AS (
+      SELECT doc_id, host, path, prefix, allow FROM m
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY CASE WHEN prefix IS NULL THEN 1 ELSE 0 END,
+                 plen DESC, CASE WHEN allow THEN 0 ELSE 1 END) = 1
+    )
+    SELECT doc_id, host, path, prefix AS matched_prefix,
+           coalesce(allow, TRUE) AS allowed
+    FROM best
+    """,
+)
+def q_robots_rules_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots matching over the messy-URL corpus
+    (operators/robots.py): per-host rule table (allow /, disallow
+    /Path/1, allow /Path/12 — the longest-match + allow-wins-ties
+    semantics all three exercise) broadcast against the parsed
+    (host, path) frame, folded by one id-keyed argmin-struct agg;
+    garbage URLs default-allow with null host. Rules broadcast, raw
+    URLs never shuffle; no row_number window on the Spark side."""
+    from gush_spark.operators.robots import robots_gate, url_host_path
+
+    docs = load(spark, sf_dir, "documents")
+    hp = url_host_path(_messy_url())
+    urls = docs.select("doc_id", hp["host"].alias("host"), hp["path"].alias("path"))
+    hosts = spark.range(20).select(
+        F.concat(F.lit("src"), F.col("id").cast("string"), F.lit(".example.com"))
+        .alias("host")
+    )
+    tmpl = spark.createDataFrame(
+        [("/", True), ("/Path/1", False), ("/Path/12", True)],
+        "prefix string, allow boolean",
+    )
+    rules = hosts.crossJoin(tmpl)
+    return robots_gate(urls, rules)
+
+
 def _messy_url() -> F.Column:
     """The deterministic messy-URL injection, Spark twin of _URL_SQL —
     ONE definition shared by url_canonicalize and url_dedup_groups so

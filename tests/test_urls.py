@@ -137,3 +137,46 @@ def test_host_hierarchy_rollup_levels(spark):
     assert rows[("com", "example.com", None, 1)] == 2  # per-domain
     assert rows[("com", "example.com", "a.example.com", 0)] == 1
     assert rows[("net", "other.net", "other.net", 0)] == 1
+
+
+def test_robots_gate_longest_match_allow_ties_default(spark):
+    """RFC 9309 semantics pinned by hand: longest prefix wins, an
+    allow rule beats a deny of the SAME prefix, no match defaults to
+    allow, garbage URLs (null host) default to allow."""
+    from gush_spark.operators.robots import robots_gate, url_host_path
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [
+            (1, "https://www.a.example/Docs/x"),     # /Docs deny
+            (2, "https://a.example/Docs/pub/x"),     # /Docs/pub allow (longer)
+            (3, "https://a.example/other"),          # no match -> allow
+            (4, "https://a.example/tie"),            # /tie allow+deny -> allow
+            (5, "not a url"),                        # garbage -> allow
+            (6, "https://b.example/Docs/x"),         # other host -> allow
+        ],
+        "doc_id long, url string",
+    )
+    hp = url_host_path(F.col("url"))
+    urls = raw.select("doc_id", hp["host"].alias("host"), hp["path"].alias("path"))
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "/Docs", False),
+            ("a.example", "/Docs/pub", True),
+            ("a.example", "/tie", True),
+            ("a.example", "/tie", False),
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    got = {r["doc_id"]: r for r in robots_gate(urls, rules).collect()}
+    assert (got[1]["matched_prefix"], got[1]["allowed"]) == ("/Docs", False)
+    assert (got[2]["matched_prefix"], got[2]["allowed"]) == ("/Docs/pub", True)
+    assert (got[3]["matched_prefix"], got[3]["allowed"]) == (None, True)
+    assert (got[4]["matched_prefix"], got[4]["allowed"]) == ("/tie", True)
+    assert got[5]["host"] is None and got[5]["allowed"]
+    assert (got[6]["matched_prefix"], got[6]["allowed"]) == (None, True)
+    # rules ride a broadcast join; the corpus never shuffles raw urls
+    plan = (
+        robots_gate(urls, rules)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
