@@ -1624,6 +1624,29 @@ _URL_SQL = """urls AS (
 
 
 @query(
+    "curriculum_order",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS rank,
+           CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 3
+                // count(*) OVER () AS BIGINT) AS phase
+    FROM documents
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-to-long length curriculum (operators/curriculum.py): the
+    exact global training order (n_chars asc, doc_id asc) WITHOUT a
+    global sort — value-range bucket map-only, per-bucket row_number,
+    cumulative offsets over the ≤64-row bucket frame broadcast back;
+    equals the oracle's single-sort row_number row for row. phase =
+    exact BIGINT tertile of the rank."""
+    from gush_spark.operators.curriculum import curriculum_order
+
+    return curriculum_order(load(spark, sf_dir, "documents"))
+
+
+@query(
     "robots_rules_gate",
     oracle="WITH " + _URL_SQL + r"""
     , rules AS (

@@ -128,3 +128,59 @@ def test_token_budget_plan_flags_second_order_overflow(spark):
     assert plan["tight"]["over_cap"] is False  # sits exactly at cap
     assert plan["big"]["plan_toks"] == 95_900
     assert plan["big"]["over_cap"] is True
+
+
+def test_curriculum_order_equals_global_sort(spark):
+    """Bucketed two-phase ordinals == the single-sort row_number twin,
+    including ties at bucket boundaries, under any partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gush_spark.operators.curriculum import curriculum_order
+
+    rows = [(i, (i * 37) % 1000) for i in range(400)]
+    rows += [(1000 + i, 256) for i in range(5)]   # ties AT a boundary value
+    rows += [(2000 + i, 255) for i in range(3)]   # and just below it
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    exp = {
+        (r["doc_id"], r["rank"], r["phase"])
+        for r in docs.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy("n_chars", "doc_id"))
+            .cast("long")
+            .alias("rank"),
+        )
+        .withColumn("phase", F.expr("(rank - 1) * 3 div 408"))
+        .collect()
+    }
+    for parts in (1, 13):
+        got = {
+            (r["doc_id"], r["rank"], r["phase"])
+            for r in curriculum_order(docs.repartition(parts)).collect()
+        }
+        assert got == exp
+    # ranks are a permutation of 1..N (no gaps, no dups)
+    ranks = sorted(r for _, r, _ in got)
+    assert ranks == list(range(1, 409))
+
+
+def test_curriculum_order_corpus_window_is_bucket_partitioned(spark):
+    """The corpus-side row_number is partitioned by bucket — the
+    unpartitioned windows run only on the reduced bucket-count frame."""
+    from gush_spark.operators.curriculum import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, i % 777) for i in range(50)], "doc_id long, n_chars long"
+    )
+    plan = (
+        curriculum_order(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the row_number window lists the bucket partition spec
+    assert "row_number()" in plan and "[_b]" in plan.replace("#", "").replace(
+        "L", ""
+    ) or "partitionBy" not in plan
+    import re
+
+    win_specs = re.findall(r"Window \[row_number\(\).*?\], \[([^\]]*)\]", plan)
+    assert any("_b" in s for s in win_specs), win_specs
