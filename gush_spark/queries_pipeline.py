@@ -17,7 +17,7 @@ possible:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gush_spark.functions import text_analysis as ta
@@ -2164,6 +2164,70 @@ def q_packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assignment = pack_sequences(docs, "doc_id", "n_tokens", budget=512, buckets=8)
     return materialize_sequences(assignment, docs, "doc_id", "norm")
+
+
+@query(
+    "source_concentration_report",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM per),
+    shares AS (
+      SELECT source, n_docs,
+             CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm,
+             CAST(row_number() OVER (ORDER BY n_docs DESC, source)
+                  AS BIGINT) AS rank
+      FROM per, tot),
+    final AS (
+      SELECT source, n_docs, share_ppm, rank,
+             CAST(sum(share_ppm) OVER (ORDER BY rank
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_share_ppm,
+             CAST(sum(share_ppm * share_ppm) OVER () // 1000000
+                  AS BIGINT) AS hhi_ppm
+      FROM shares)
+    SELECT source, n_docs, share_ppm, rank, cum_share_ppm, hhi_ppm
+    FROM final
+    """,
+)
+def q_source_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-diversity card: per-source doc share (exact ppm), size
+    rank, cumulative share down the rank, and the corpus
+    Herfindahl-Hirschman concentration index (Σ share² — the standard
+    is-one-source-dominating number, in exact fixed point:
+    hhi_ppm = Σ share_ppm² div 10^6, order-free BIGINT). A mixture
+    audit reads this next to mixture_resample/token_budget_plan: a
+    training corpus with hhi near 10^6 is one source wearing a corpus
+    costume. ONE map-side-combinable source agg reduces the corpus;
+    every window (rank, cumulative, HHI) runs over the SOURCE-level
+    frame — dozens of rows, never documents."""
+    per = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = per.agg(F.sum("n_docs").alias("total"))
+    shares = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("n_docs * 1000000 div total").alias("share_ppm"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_docs"), "source"))
+        .cast("long")
+        .alias("rank"),
+    )
+    return shares.select(
+        "source",
+        "n_docs",
+        "share_ppm",
+        "rank",
+        F.sum("share_ppm")
+        .over(Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_share_ppm"),
+        F.expr("sum(share_ppm * share_ppm) over () div 1000000").alias(
+            "hhi_ppm"
+        ),
+    )
 
 
 @query(

@@ -184,3 +184,21 @@ def test_curriculum_order_corpus_window_is_bucket_partitioned(spark):
 
     win_specs = re.findall(r"Window \[row_number\(\).*?\], \[([^\]]*)\]", plan)
     assert any("_b" in s for s in win_specs), win_specs
+
+
+def test_source_concentration_exact(spark, monkeypatch, tmp_path):
+    """Hand-checked shares/cumulative/HHI on a 3-source corpus."""
+    import gush_spark.queries_pipeline as qp
+
+    docs = spark.createDataFrame(
+        [(i, "s_a" if i < 5 else ("s_b" if i < 9 else "s_c")) for i in range(10)],
+        "doc_id long, source string",
+    )
+    monkeypatch.setattr(qp, "load", lambda s, d, t: docs)
+    rows = {r["source"]: r for r in qp.q_source_concentration_report(spark, "x").collect()}
+    # shares: a=5/10=500000, b=4/10=400000, c=1/10=100000
+    assert rows["s_a"]["share_ppm"] == 500_000 and rows["s_a"]["rank"] == 1
+    assert rows["s_b"]["cum_share_ppm"] == 900_000
+    assert rows["s_c"]["cum_share_ppm"] == 1_000_000
+    # HHI = (0.5^2 + 0.4^2 + 0.1^2) = 0.42 -> 420000 ppm, same on every row
+    assert {r["hhi_ppm"] for r in rows.values()} == {420_000}

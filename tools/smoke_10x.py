@@ -70,6 +70,14 @@ HEAVY = [
     "token_budget_plan",
     # round-5 session 3
     "gopher_quality_gate",
+    # round-5 sessions 4-5
+    "c4_line_filter",
+    "collocation_pmi",
+    "heavy_hitter_trigrams",
+    "vocab_oov_report",
+    "edit_distance_verify",
+    "curriculum_order",
+    "robots_rules_gate",
 ]
 
 # events-driven probes (sessions / graph / scheduling): run as an argv
@@ -90,6 +98,8 @@ EVENTS_PROBE = [
     "covisit_kcore",
     "covisit_walks",
     "funnel_conversion",
+    # round-5 session 5
+    "covisit_communities",
 ]
 
 N_VARIANTS = 10
