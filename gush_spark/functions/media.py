@@ -207,3 +207,130 @@ def with_image_features(
     return _map_features(
         df, blob_col, passthrough, IMAGE_FEATURES_SCHEMA, image_feature_row
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup: 64-bit average hash + pigeonhole Hamming pairing
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+_AHASH_NULLS = {f.name: None for f in AHASH_SCHEMA.fields}
+
+
+def ahash64(px: "np.ndarray") -> int:
+    """64-bit average hash (aHash — the classic perceptual baseline:
+    8×8 block means of the integer luma, one bit per block set when the
+    block mean exceeds the global mean of block means). Deterministic:
+    integer BT.601 luma (299r+587g+114b — no division, the threshold
+    comparison is scale-invariant), float64 block means in fixed
+    raster order. Bit 63 is block (0,0), raster order down to bit 0.
+    Requires at least 8×8 pixels (a smaller image has empty blocks)."""
+    g = px.astype(np.int64) @ np.array([299, 587, 114], dtype=np.int64)
+    h, w = g.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"too small for ahash: {w}x{h}")
+    rs = np.array_split(np.arange(h), 8)
+    cs = np.array_split(np.arange(w), 8)
+    means = np.array(
+        [[g[np.ix_(r, c)].mean() for c in cs] for r in rs], dtype=np.float64
+    )
+    bits = (means > means.mean()).ravel()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << (63 - i)
+    return val - (1 << 64) if val >= (1 << 63) else val  # signed long
+
+
+def ahash_row(blob) -> dict:
+    if blob is None:
+        return {**_AHASH_NULLS, "decode_error": "null blob"}
+    try:
+        px = decode_bmp(bytes(blob))
+        return {
+            "width": px.shape[1],
+            "height": px.shape[0],
+            "ahash": ahash64(px),
+            "decode_error": None,
+        }
+    except ValueError as e:
+        return {**_AHASH_NULLS, "decode_error": str(e)}
+
+
+def with_image_ahash(
+    df: DataFrame, blob_col: str, passthrough: list[str]
+) -> DataFrame:
+    """BMP decode + 64-bit aHash over an opaque binary column — the
+    same partition-preserving mapInPandas/error-row plumbing as the
+    feature extractors; only the per-row kernel differs. The hash is
+    the IMAGE analog of the text minhash band digest: computed once at
+    ingest, it is all later dedup passes ever touch (8 bytes per image
+    on every wire, never pixels)."""
+    return _map_features(df, blob_col, passthrough, AHASH_SCHEMA, ahash_row)
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "ahash",
+    *,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over 64-bit
+    perceptual hashes — the pigeonhole-complete blocking from the text
+    SimHash operator (operators/dedup.py) lifted to 64 bits: split the
+    hash into 8 byte-segments; two hashes within Hamming ``d ≤ 7``
+    differ in at most 7 segments, so they AGREE on at least one —
+    candidates from 8 equi-self-joins on (segment index, byte) lose
+    NOTHING at d ≤ 7 (``max_hamming`` above 7 raises rather than
+    silently under-recalling), and the exact ``bit_count(xor)`` verify
+    drops the rest. All JVM bit expressions; 8-byte hashes + ids on
+    the wire, pixels never."""
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks 8-segment pigeonhole (max 7)"
+        )
+    from pyspark.sql import functions as F
+
+    long = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.expr(f"({hash_col} >> {8 * k}) & 255")
+                        .cast("int")
+                        .alias("seg"),
+                    )
+                    for k in range(8)
+                ]
+            )
+        ).alias("_s"),
+    ).select("_id", "_h", F.col("_s.k").alias("k"), F.col("_s.seg").alias("seg"))
+    a = long.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "k", "seg"
+    )
+    b = long.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "k", "seg"
+    )
+    cand = (
+        a.join(b, ["k", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("_ha ^ _hb")).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -89,3 +89,108 @@ def test_media_plumbing_is_partition_preserving(spark):
     plan = with_audio_features(df, "blob", ["id"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _bmp_pattern(px_rows):
+    """Uncompressed 24-bit BMP from an explicit (h, w, 3) RGB array."""
+    import numpy as np
+
+    arr = np.asarray(px_rows, dtype="u1")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = arr[r, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - w * 3))
+    pixels = b"".join(rows)
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def test_ahash_halves_exact_value(spark):
+    """Left half black, right half white on an 8x8 image: block bits
+    are exactly 0 for the 4 left columns and 1 for the 4 right ones."""
+    import numpy as np
+
+    from gush_spark.functions.media import with_image_ahash
+
+    img = np.zeros((8, 8, 3), dtype="u1")
+    img[:, 4:, :] = 255
+    df = spark.createDataFrame(
+        [(1, _bmp_pattern(img))], "id long, blob binary"
+    )
+    row = with_image_ahash(df, "blob", ["id"]).collect()[0]
+    assert row["decode_error"] is None
+    # raster bit i (0..63) = 1 iff column i%8 >= 4 -> per-row nibble
+    # 0b00001111; bit 63 is block (0,0)
+    expected = 0
+    for i in range(64):
+        if i % 8 >= 4:
+            expected |= 1 << (63 - i)
+    expected = expected - (1 << 64) if expected >= (1 << 63) else expected
+    assert row["ahash"] == expected
+    # too-small image -> error row, never an exception
+    tiny = spark.createDataFrame(
+        [(2, _bmp_pattern(np.zeros((4, 4, 3), dtype="u1")))],
+        "id long, blob binary",
+    )
+    err = with_image_ahash(tiny, "blob", ["id"]).collect()[0]
+    assert err["ahash"] is None and "too small" in err["decode_error"]
+
+
+def test_ahash_near_dup_pairs_find_tweaked_copy(spark):
+    """A one-block brightness tweak stays within Hamming 7 and pairs
+    with its original; an unrelated pattern does not."""
+    import numpy as np
+
+    from gush_spark.functions.media import ahash_near_dup_pairs, with_image_ahash
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (16, 16, 3)).astype("u1")
+    tweak = base.copy()
+    tweak[0:2, 0:2, :] = 255  # perturb one 2x2 corner block
+    other = rng.randint(0, 256, (16, 16, 3)).astype("u1")
+    df = spark.createDataFrame(
+        [(1, _bmp_pattern(base)), (2, _bmp_pattern(tweak)),
+         (3, _bmp_pattern(other))],
+        "id long, blob binary",
+    )
+    hashes = with_image_ahash(df, "blob", ["id"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(hashes, "id").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 7
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ahash_pairing_pigeonhole_boundary(spark):
+    """Crafted hashes at EXACTLY Hamming 7 (bits spread over 7 distinct
+    byte segments) must pair — the blocking provably loses nothing at
+    the bound; Hamming 8 across all 8 segments must not."""
+    from gush_spark.functions.media import ahash_near_dup_pairs
+
+    h0 = 0
+    h7 = 0
+    for k in range(7):          # flip one bit in segments 0..6
+        h7 |= 1 << (8 * k)
+    h8 = 0
+    for k in range(8):          # flip one bit in EVERY segment
+        h8 |= 1 << (8 * k)
+    df = spark.createDataFrame(
+        [(1, h0), (2, h7), (3, h8)], "id long, ahash long"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(df, "id").collect()
+    }
+    assert pairs[(1, 2)] == 7
+    assert (1, 3) not in pairs  # hamming 8: correctly above the bound
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ahash_near_dup_pairs(df, "id", max_hamming=8)
