@@ -334,3 +334,63 @@ def ahash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+_AFP_NULLS = {f.name: None for f in AUDIO_FP_SCHEMA.fields}
+
+
+def afp64(x: "np.ndarray") -> int:
+    """64-bit energy-envelope audio fingerprint: mean-over-channels
+    signal split into 64 equal-time chunks, one bit per chunk set when
+    the chunk RMS exceeds the mean of chunk RMSes. GAIN-INVARIANT by
+    construction (a global volume change scales every chunk RMS and
+    the threshold identically — the re-encoded-louder copy hashes the
+    same), robust to small edits the way aHash is for images. Bit 63
+    is the first chunk. Needs ≥ 64 frames (shorter clips have empty
+    chunks)."""
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    n = mono.shape[0]
+    if n < 64:
+        raise ValueError(f"too short for afp: {n} frames")
+    chunks = np.array_split(mono, 64)
+    rms = np.array([float(np.sqrt(np.mean(np.square(c)))) for c in chunks])
+    bits = rms > rms.mean()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << (63 - i)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def afp_row(blob) -> dict:
+    if blob is None:
+        return {**_AFP_NULLS, "decode_error": "null blob"}
+    try:
+        nch, rate, n, x = decode_wav(bytes(blob))
+        return {
+            "n_frames": n,
+            "duration_s": (n / rate) if rate else 0.0,
+            "afp": afp64(x),
+            "decode_error": None,
+        }
+    except ValueError as e:
+        return {**_AFP_NULLS, "decode_error": str(e)}
+
+
+def with_audio_fingerprint(
+    df: DataFrame, blob_col: str, passthrough: list[str]
+) -> DataFrame:
+    """WAV decode + 64-bit envelope fingerprint — same plumbing, same
+    8-bytes-forever contract as the image aHash; pair downstream with
+    :func:`ahash_near_dup_pairs` (it is hash-source-agnostic: any
+    64-bit column, same pigeonhole guarantee)."""
+    return _map_features(df, blob_col, passthrough, AUDIO_FP_SCHEMA, afp_row)

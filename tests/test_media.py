@@ -194,3 +194,54 @@ def test_ahash_pairing_pigeonhole_boundary(spark):
 
     with _pt.raises(ValueError):
         ahash_near_dup_pairs(df, "id", max_hamming=8)
+
+
+def test_audio_fingerprint_gain_invariant_and_pairs(spark):
+    """The envelope fingerprint is bit-identical under a global volume
+    change (re-encoded-louder copy), pairs with a lightly clipped copy
+    within Hamming 7, and differs from an unrelated envelope."""
+    import numpy as np
+
+    from gush_spark.functions.media import (
+        afp64,
+        ahash_near_dup_pairs,
+        with_audio_fingerprint,
+    )
+
+    rng = np.random.RandomState(11)
+    env = np.repeat(rng.rand(64), 100)  # 6400-frame random envelope
+    carrier = np.sin(np.arange(6400) * 0.7)
+    sig = env * carrier
+
+    def wav_of(x):
+        import io as _io
+        import wave as _wave
+
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+            w.writeframes(pcm)
+        return buf.getvalue()
+
+    assert afp64(sig) == afp64(sig * 0.5)  # gain invariance, exact
+    tweaked = sig.copy()
+    tweaked[:300] = 0.0  # silence the first chunks' worth
+    other = rng.rand(6400) * np.sin(np.arange(6400) * 1.3)
+    df = spark.createDataFrame(
+        [(1, wav_of(sig)), (2, wav_of(sig * 0.8)), (3, wav_of(tweaked)),
+         (4, wav_of(other)), (5, wav_of(sig[:40]))],
+        "id long, blob binary",
+    )
+    fps = with_audio_fingerprint(df, "blob", ["id"])
+    rows = {r["id"]: r for r in fps.collect()}
+    assert "too short" in rows[5]["decode_error"]  # 40 frames < 64
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(fps, "id", "afp").collect()
+    }
+    # 16-bit quantization of the 0.8x copy can flip at most boundary
+    # chunks; the pair must survive well under the bound
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 7
+    assert (1, 4) not in pairs
