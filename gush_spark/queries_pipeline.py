@@ -2167,6 +2167,61 @@ def q_packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "release_manifest",
+    oracle=f"""
+    WITH {BASE},
+    assigned AS (
+      SELECT doc_id, norm,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 16 AS shard
+      FROM base)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(length(norm) AS BIGINT)) AS BIGINT) AS n_chars,
+           CAST(bit_xor(('0x' || substring(md5(norm), 1, 15))::BIGINT)
+                AS BIGINT) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM assigned GROUP BY shard
+    """,
+)
+def q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-release manifest: per-shard row/char counts + an ORDER-FREE
+    content checksum (bit_xor of a 60-bit md5 prefix of the normalized
+    text — commutative, so the checksum is identical however the shard
+    was partitioned, written, or re-read; a downstream consumer
+    re-derives it in one pass and a single flipped document flips the
+    checksum). Shards are the deterministic md5 id-bucket the exporter
+    uses (sources/export.py convention), so the manifest names exactly
+    what ships. One map-only projection + one shard-keyed
+    map-side-combinable agg — 16 rows out regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    norm = ta.norm_text(F.col("text"))
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            norm.alias("_norm"),
+            fp.alias("_fp"),
+            F.col("doc_id"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("_norm").cast("long")).alias("n_chars"),
+            F.expr("bit_xor(_fp)").alias("content_hash"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@query(
     "source_concentration_report",
     oracle="""
     WITH per AS (

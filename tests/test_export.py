@@ -118,3 +118,30 @@ def test_compression_ratio_pinned_values(spark):
             assert got[i] == pytest.approx(len(zlib.compress(raw, 6)) / len(raw))
     # the repetitive page compresses far below the prose page
     assert got[0] < got[1] - 0.2
+
+
+def test_release_manifest_checksum_order_free_and_sensitive(spark, monkeypatch):
+    """The shard checksum is partitioning-invariant (bit_xor commutes)
+    and any single changed document flips its shard's checksum."""
+    import gush_spark.queries_pipeline as qp
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(40)], "doc_id long, text string"
+    )
+
+    def run(d):
+        monkeypatch.setattr(qp, "load", lambda s, p, t: d)
+        return {
+            r["shard"]: (r["n_docs"], r["n_chars"], r["content_hash"])
+            for r in qp.q_release_manifest(spark, "x").collect()
+        }
+
+    base = run(docs)
+    assert run(docs.repartition(7)) == base  # order/partitioning free
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 17, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    tampered = run(changed)
+    diff = {s for s in base if base[s][2] != tampered.get(s, (0, 0, 0))[2]}
+    assert len(diff) == 1  # exactly doc 17's shard flips
