@@ -947,3 +947,69 @@ def cross_lingual_pairs(
         .select("id_a", "id_b", "lang_a", F.col("_lang").alias("lang_b"), "cos_sim")
         .filter(F.col("lang_a") != F.col("lang_b"))
     )
+
+
+def knn_label_eval(
+    vectors: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Embedding-space quality eval by k-NN label agreement: for every
+    PROBE vector, take its exact cosine top-``k`` neighbors (self
+    excluded), predict the majority neighbor label (ties: most votes,
+    then smallest label — deterministic), and report per-label probe
+    counts, correct counts and accuracy in exact ppm. A good embedding
+    space puts same-label points together; a collapsed or shuffled one
+    scores at chance — THE smoke test run before trusting an embedding
+    column for SemDeDup / ANN retrieval / hard-negative mining.
+
+    Scale shape: eval is SAMPLED BY DESIGN — the probe set (a
+    deterministic md5 slice upstream) broadcasts through the existing
+    ``brute_force_topk`` (corpus never shuffles; only probe×k candidate
+    rows move); neighbor labels ride one id-keyed join against the
+    (id, label) projection; votes and the accuracy fold are two
+    map-side-combinable aggs over probe-sized frames. Scoring every
+    corpus point against every other is quadratic and deliberately not
+    offered — sampling the probes is what an eval means at 10^12 rows.
+    """
+    top = brute_force_topk(vectors, probes, id_col, vec_col, k=k)
+    labels = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nlabel")
+    )
+    truth = probes.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("_tlabel")
+    )
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("query_id", "_nlabel")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    pred = (
+        votes.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("_c")).alias("nc"), F.col("_nlabel").alias("l"))
+            ).alias("_m")
+        )
+        .select("query_id", F.col("_m.l").alias("_pred"))
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy(F.col("_tlabel").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(
+                F.when(F.col("_pred") == F.col("_tlabel"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_probes",
+            "n_correct",
+            F.expr("n_correct * 1000000 div n_probes").alias("acc_ppm"),
+        )
+    )

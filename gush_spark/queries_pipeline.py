@@ -764,6 +764,55 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_label_agreement",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding AS q_vec,
+             label AS true_label
+      FROM embeddings
+      WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+            % 25 = 0),
+    scored AS (
+      SELECT p.query_id, p.true_label, v.vec_id AS nid, v.label AS nlabel,
+             round({_cos_sql("p.q_vec", "v.embedding")}, 6) AS score
+      FROM probes p JOIN embeddings v ON v.vec_id != p.query_id),
+    top AS (
+      SELECT query_id, true_label, nlabel FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, nid) <= 5),
+    votes AS (
+      SELECT query_id, true_label, nlabel, count(*) AS c
+      FROM top GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT query_id, true_label, nlabel AS pred_label FROM votes
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, nlabel) = 1)
+    SELECT CAST(true_label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS acc_ppm
+    FROM pred GROUP BY 1
+    """,
+)
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space smoke test (operators/similarity.py::
+    knn_label_eval): per-label k-NN label-agreement accuracy over a
+    deterministic md5-sampled probe slice (~1/25 of vectors) — exact
+    cosine top-5 via the broadcast brute-force path (corpus never
+    shuffles), majority vote with most-votes-then-smallest-label ties,
+    accuracy in exact BIGINT ppm."""
+    vecs = load(spark, sf_dir, "embeddings")
+    probe_bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 25
+    )
+    return similarity.knn_label_eval(vecs, vecs.filter(probe_bucket == 0), k=5)
+
+
+@query(
     "ann_topk_lsh",
     oracle=f"""
     WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),

@@ -160,3 +160,34 @@ def test_cross_lingual_pairs_filters_same_lang(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == ("en", "fr")
     assert (1, 3) not in pairs  # same language -> dedup signal, not alignment
     assert (2, 3) in pairs
+
+
+def test_knn_label_eval_clustered_vs_shuffled(spark):
+    """A label-clustered embedding space scores 100%; the same points
+    with shuffled labels score at or near chance — the eval actually
+    measures label geometry, with deterministic majority tie-breaks."""
+    from gush_spark.operators.similarity import knn_label_eval
+
+    # two tight clusters far apart, 8 points each
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + 0.01 * i, 0.0, 1.0], 0))
+        rows.append((100 + i, [0.0, 10.0 + 0.01 * i, 1.0], 1))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: r for r in knn_label_eval(vecs, vecs, k=3).collect()
+    }
+    assert out[0]["n_probes"] == 8 and out[0]["acc_ppm"] == 1_000_000
+    assert out[1]["n_correct"] == 8
+    # same geometry, alternating labels -> neighbors always majority
+    # OTHER-ish: accuracy collapses below the clustered 100%
+    shuffled = vecs.withColumn(
+        "label", (F.col("vec_id") % 2).cast("int")
+    )
+    worst = {
+        r["label"]: r["acc_ppm"]
+        for r in knn_label_eval(shuffled, shuffled, k=3).collect()
+    }
+    assert all(v < 1_000_000 for v in worst.values())
