@@ -208,3 +208,48 @@ def funnel_conversion(
         "stage long, stage_name string, n_users long, "
         "conv_from_prev_ppm long, conv_from_first_ppm long",
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention matrix over the event stream: users grouped by
+    the time bucket of their FIRST activity (the cohort), counted in
+    every later bucket they return in — ``(cohort_bucket, age, n_users)``
+    with ``age`` in buckets since the cohort's start. The classic
+    did-the-crawl-keep-them / recurring-visitor curve; on a crawl event
+    log the "users" are whatever identity the stream carries and the
+    falling diagonal is churn.
+
+    Exactness: buckets are pure BIGINT —
+    ``unix_micros(ts) div bucket_us`` (µs precision, the paths.py
+    lesson: never truncate to seconds first) — and every count is a
+    BIGINT, so the matrix is engine/order-exact.
+
+    Scale shape: ONE (user, bucket) distinct reduces the stream to
+    user-activity rows; the cohort (min bucket per user) is a
+    map-side-combinable agg over that reduced frame; the join back is
+    user-keyed — the distinct, the agg and the join all share the one
+    user partitioning (a cluster co-partitions once); the final
+    (cohort, age) agg is matrix-sized. Raw events cross exactly one
+    exchange.
+    """
+    d = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {int(bucket_us)}"
+    )
+    act = events.select(
+        F.col(user_col).alias("_u"), d.alias("_d")
+    ).distinct()
+    coh = act.groupBy("_u").agg(F.min("_d").alias("_c"))
+    return (
+        act.join(coh, "_u")
+        .groupBy(
+            F.col("_c").alias("cohort_bucket"),
+            (F.col("_d") - F.col("_c")).alias("age"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -5157,6 +5157,31 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events),
+    coh AS (SELECT user_id, min(d) AS c FROM act GROUP BY user_id)
+    SELECT c.c AS cohort_bucket, CAST(a.d - c.c AS BIGINT) AS age,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act a JOIN coh c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (operators/events.py::
+    cohort_retention): users bucketed by first-activity day, counted in
+    each later active day — pure-BIGINT µs-precision day buckets, one
+    (user, day) distinct + a user-keyed min-agg + user-keyed join all
+    sharing one partitioning; raw events cross exactly one exchange."""
+    from gush_spark.operators.events import cohort_retention
+
+    return cohort_retention(load(spark, sf_dir, "events"))
+
+
 _TRIGRAM_LIST = (
     "CASE WHEN length(norm) >= 3 THEN "
     "list_transform(generate_series(1, length(norm) - 2), "

@@ -633,3 +633,32 @@ def test_label_propagation_tie_breaks_and_invariance(spark):
             for r in label_propagation(und.repartition(parts), iters=4).collect()
         }
         assert got == ref
+
+
+def test_cohort_retention_hand_matrix(spark):
+    """Hand-checked cohort matrix, µs-precision day buckets (an event
+    at 23:59:59.999999 stays in its day; midnight starts the next)."""
+    import datetime as _dt
+
+    from gush_spark.operators.events import cohort_retention
+
+    d0 = _dt.datetime(2024, 3, 1)
+
+    def at(day, us=0):
+        return d0 + _dt.timedelta(days=day, microseconds=us)
+
+    rows = [
+        (1, at(0)), (1, at(0, 5)), (1, at(1)), (1, at(3)),   # u1: days 0,1,3
+        (2, at(0, 86_399_999_999)),                          # u2: day 0 edge
+        (3, at(1)), (3, at(2)),                              # u3: days 1,2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_bucket"] - 19783, r["age"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    # 2024-03-01 is epoch day 19783
+    assert got == {
+        (0, 0): 2, (0, 1): 1, (0, 3): 1,
+        (1, 0): 1, (1, 1): 1,
+    }
