@@ -5363,3 +5363,168 @@ def q_heavy_hitter_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return heavy_hitter_ngrams(docs, "doc_id", "text", n=3, inv_share=4000)
+
+
+# ---------------------------------------------------------------------------
+# hyperlink extraction → host link graph (operators/links.py)
+# ---------------------------------------------------------------------------
+# Driver-checkable harness for the link family: pages are synthesized
+# DETERMINISTICALLY from the documents table (same convention as
+# multimodal_blob_features' blobs) — each doc becomes one page whose
+# html carries (a) one absolute link per of its first 3 clean words to
+# http://{word}.example, (b) one protocol-relative link to
+# //cdn.example, (c) one root-relative /about link, and (d) three
+# non-fetchable junk links that must be dropped. The Spark side renders
+# real html and runs the real regexp extraction; the oracle derives the
+# expected edges INDEPENDENTLY from the word lists, never touching
+# html — a mismatch catches extraction bugs, not shared synthesis bugs.
+_LINK_WW = (
+    "list_slice(list_filter(string_split(norm, ' '), "
+    "x -> regexp_matches(x, '^[a-z0-9]+$')), 1, 3)"
+)
+_LINK_BASE = f"lbase AS (SELECT doc_id, source, {NORM} AS norm FROM documents)"
+_LINK_W = (
+    f"w AS (SELECT doc_id, source || '.example' AS src_host, {_LINK_WW} AS ww "
+    f"FROM lbase)"
+)
+_LINK_EDGES = (
+    "le AS ("
+    "SELECT doc_id, src_host, unnest(list_transform(ww, x -> x || '.example')) "
+    "AS dst_host FROM w "
+    "UNION ALL SELECT doc_id, src_host, 'cdn.example' FROM w "
+    "UNION ALL SELECT doc_id, src_host, src_host FROM w)"
+)
+
+
+def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = ta.norm_text(F.col("text"))
+    ww = F.slice(
+        F.filter(ta.words_of(F.col("text")), lambda w: w.rlike("^[a-z0-9]+$")),
+        1,
+        3,
+    )
+    word_tags = F.array_join(
+        F.transform(
+            ww,
+            lambda w: F.concat(
+                F.lit('<A HREF="http://'),
+                w,
+                F.lit('.example/x">'),
+                w,
+                F.lit(" </A>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        word_tags,
+        F.lit(
+            '<a href="//cdn.example/lib.js">cdn</a>'
+            '<a href="/about">about</a>'
+            '<a href="#top">top</a>'
+            '<a href="mailto:x@y.example">mail</a>'
+            '<a href="javascript:void(0)">js</a><p>'
+        ),
+        norm,
+        F.lit("</p></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".example:443/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), html.alias("html")
+    )
+
+
+@query(
+    "link_host_graph",
+    oracle=f"""
+    WITH {_LINK_BASE}, {_LINK_W}, {_LINK_EDGES}
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+    FROM le GROUP BY src_host, dst_host
+    """,
+)
+def q_link_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host→host edge frame from REAL href extraction over rendered
+    html (operators/links.py::host_link_graph): regexp tag scan →
+    explode → URL resolution (absolute / protocol-relative / relative /
+    junk-dropped, with www./port folding on both the page url and the
+    href) → one (src,dst)-keyed count. The html column dies at the
+    explode's child projection; only hosts cross the single exchange.
+    The oracle reconstructs the expected edges from the word lists
+    without ever rendering html — independent-derivation check."""
+    from gush_spark.operators import links as L
+
+    return L.host_link_graph(
+        _synth_pages(spark, sf_dir), "url", "html", page_id_col="doc_id"
+    )
+
+
+@query(
+    "link_degree_report",
+    oracle=f"""
+    WITH {_LINK_BASE}, {_LINK_W}, {_LINK_EDGES},
+    e AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+          FROM le GROUP BY 1, 2)
+    SELECT host, CAST(sum(out_links) AS BIGINT) AS out_links,
+           CAST(sum(in_links) AS BIGINT) AS in_links,
+           CAST(count(DISTINCT out_nbr) AS BIGINT) AS out_hosts,
+           CAST(count(DISTINCT in_nbr) AS BIGINT) AS in_hosts
+    FROM (
+      SELECT src_host AS host, n_links AS out_links, 0 AS in_links,
+             dst_host AS out_nbr, NULL AS in_nbr FROM e
+      UNION ALL
+      SELECT dst_host, 0, n_links, NULL, src_host FROM e)
+    GROUP BY host
+    """,
+)
+def q_link_degree_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host in/out degree over the extracted edge frame
+    (operators/links.py::link_degree_report): the edge frame is unioned
+    into (host, role) records and aggregated ONCE — a single host-keyed
+    shuffle, no self-join of two grouped frames. Hub detection, link-
+    spam ratios (out≫in) and frontier sizing all read from this one
+    pass."""
+    from gush_spark.operators import links as L
+
+    edges = L.host_link_graph(_synth_pages(spark, sf_dir), "url", "html")
+    return L.link_degree_report(edges)
+
+
+@query(
+    "anchor_text_topk",
+    oracle=f"""
+    WITH {_LINK_BASE}, {_LINK_W},
+    acand AS (
+      SELECT x || '.example' AS dst_host, x AS anchor
+      FROM (SELECT unnest(ww) AS x FROM w)
+      UNION ALL SELECT 'cdn.example', 'cdn' FROM w
+      UNION ALL SELECT src_host, 'about' FROM w),
+    ac AS (SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
+           FROM acand GROUP BY 1, 2)
+    SELECT dst_host, anchor, n, rnk FROM (
+      SELECT dst_host, anchor, n,
+             CAST(row_number() OVER (
+               PARTITION BY dst_host ORDER BY n DESC, anchor) AS BIGINT) AS rnk
+      FROM ac)
+    WHERE rnk <= 3
+    """,
+)
+def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor texts per destination host
+    (operators/links.py::anchor_text_topk) — the anchor signal: how the
+    web describes a page, independent of the page's own words. Anchor
+    whitespace is collapsed at extraction; tie-break (n desc, anchor
+    asc) is engine-stable; the rank<=k filter compiles to
+    WindowGroupLimit so only k rows per host per partition reach the
+    window exchange."""
+    from gush_spark.operators import links as L
+
+    lnk = L.extract_links(_synth_pages(spark, sf_dir), "url", "html")
+    return L.anchor_text_topk(lnk, k=3)

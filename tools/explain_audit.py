@@ -636,6 +636,26 @@ def main() -> int:
           "walks grew a nested-loop join, a row_number sort, or Python "
           "eval, or lost the map-side-combinable argmin")
 
+    # round-5 session 6: hyperlink extraction — pure JVM (regexps +
+    # one Generate), the wide html column must never cross an
+    # Exchange (it dies at the explode's child projection), and the
+    # anchor top-k is WindowGroupLimit
+    p = plan_of(qp.q_link_host_graph(spark, sf_dir))
+    bad = None
+    for mm in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p
+    ):
+        if "html" in mm.group(1):
+            bad = f"html crosses an Exchange: {mm.group(1)[:120]}"
+    check("links.jvm_only_html_never_shuffles",
+          "EvalPython" not in p and bad is None
+          and len(re.findall(r"\(\d+\) Generate", p)) == 1,
+          bad or "link extraction grew Python eval or a second Generate")
+    p = plan_of(qp.q_anchor_text_topk(spark, sf_dir))
+    check("links.anchor_topk_window_group_limit",
+          "WindowGroupLimit" in p and "EvalPython" not in p,
+          "anchor top-k lost WindowGroupLimit or grew Python eval")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
