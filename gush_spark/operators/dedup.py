@@ -838,3 +838,53 @@ def edit_distance_pairs(
         )
         .withColumn("is_dup", F.col("sim_ppm") >= F.lit(int(keep_ppm)))
     )
+
+
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10,
+    spread: int | None = None,
+) -> DataFrame:
+    """Decile histogram of exact Jaccard over the LSH candidate pairs —
+    the threshold-tuning report: how many near-dup pairs survive at
+    each verify bar (``pairs_at_or_above`` is the cumulative count from
+    the top bucket down), so the 0.8-vs-0.6 decision is made from one
+    pass instead of re-running the verify per threshold.
+
+    The bucket is integer-exact on both engines:
+    ``least(|∩|·n_buckets div |∪|, n_buckets-1)`` — no floating decile
+    boundaries. The cumulative window runs over the REDUCED histogram
+    (≤ n_buckets rows), so the single-partition window is trivially
+    safe at any corpus size.
+    """
+    bands, rows = _resolve_banding(None, None, 0.0)
+    cands = lsh_candidate_pairs(df, id_col, text_col, bands, rows, spread=spread)
+    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    p = (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("u"),
+        )
+    )
+    b = p.select(
+        F.least(
+            F.expr(f"i * {n_buckets} div u"), F.lit(n_buckets - 1).cast("long")
+        ).alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_pairs"))
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("bucket").desc()).rowsBetween(_W.unboundedPreceding, 0)
+    return h.withColumn(
+        "pairs_at_or_above", F.sum("n_pairs").over(w).cast("long")
+    )

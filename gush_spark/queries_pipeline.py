@@ -5528,3 +5528,189 @@ def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lnk = L.extract_links(_synth_pages(spark, sf_dir), "url", "html")
     return L.anchor_text_topk(lnk, k=3)
+
+
+@query(
+    "link_pagerank",
+    oracle=(
+        "WITH "
+        + _LINK_BASE
+        + ", "
+        + _LINK_W
+        + ", "
+        + _LINK_EDGES
+        + ",\n    e AS (SELECT src_host AS src, dst_host AS dst, "
+        "CAST(count(*) AS BIGINT) AS weight FROM le GROUP BY 1, 2),\n"
+        + _pr_sql("e", iters=3)
+        + "\nSELECT node, rank FROM _pr_r3"
+    ),
+)
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the REAL hyperlink graph — host_link_graph's
+    extracted edges feed the same fixed-point integer recurrence as
+    covisit_pagerank (operators/graph.py::pagerank: scaled BIGINT,
+    damping 0.85, dangling mass redistributed; bit-reproducible across
+    partitionings). This is the classic crawl-ranking composition:
+    html → links → host graph → rank, all JVM, the raw html never
+    crossing an exchange and each iteration one src-keyed equi-join +
+    one dst-keyed agg on the reduced host×host frame."""
+    from gush_spark.operators import links as L
+    from gush_spark.operators.graph import pagerank
+
+    edges = (
+        L.host_link_graph(_synth_pages(spark, sf_dir), "url", "html")
+        .select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").alias("weight"),
+        )
+    )
+    return pagerank(edges, iters=3).select("node", "rank")
+
+
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           ('0x' || substring(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             // greatest(n_chars, 1) AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling (priority sampling /
+    the integer form of Efraimidis-Spirakis exponential keys): each doc
+    draws a 60-bit uniform from md5(salt|id) and gets priority
+    u div max(weight,1); the k SMALLEST priorities are the sample. For
+    k << n the min-tail of u/w is the exponential-clock regime, so
+    inclusion probability is ∝ weight (here n_chars — length-biased
+    selection for packing-efficient training mixes), while staying
+    integer-exact, partition-invariant and reproducible across engines
+    and retries — no rand(), no seed drift. Plan shape: map-only
+    priority + TakeOrderedAndProject(k) — no global sort, no shuffle of
+    the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            u.alias("_u"),
+            F.greatest(F.col("n_chars").cast("long"), F.lit(1).cast("long")).alias(
+                "_w"
+            ),
+        )
+        .selectExpr("doc_id", "weight", "_u div _w AS priority")
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH {BASEL},
+    tg AS (SELECT lang, unnest({_TRIGRAM_LIST}) AS tg FROM basel),
+    cnt AS (SELECT lang, tg, count(*) AS c FROM tg GROUP BY 1, 2),
+    prof AS (
+      SELECT lang, tg FROM cnt
+      QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) <= 64
+    ),
+    dtg AS (SELECT doc_id, unnest(list_distinct({_TRIGRAM_LIST})) AS tg
+            FROM basel),
+    hits AS (SELECT d.doc_id, p.lang FROM dtg d JOIN prof p USING (tg)),
+    sc AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN lang = '{L}' THEN 1 ELSE 0 END) AS s_{L}"
+                 for L in _LANGID_LANGS)}
+      FROM hits GROUP BY doc_id
+    ), pred AS (
+      SELECT d.doc_id, d.lang,
+             CASE WHEN greatest({", ".join(
+                 f"coalesce(s_{L}, 0)" for L in _LANGID_LANGS)}) <= 0
+                  THEN NULL
+                  {" ".join(
+                      f"WHEN coalesce(s_{L}, 0) = greatest("
+                      + ", ".join(f"coalesce(s_{M}, 0)" for M in _LANGID_LANGS)
+                      + f") THEN '{L}'" for L in _LANGID_LANGS)}
+             END AS pred_lang
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ), conf AS (
+      SELECT lang AS true_lang, coalesce(pred_lang, 'und') AS pred_lang,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n,
+           CAST(n * 1000000 // sum(n) OVER (PARTITION BY true_lang)
+                AS BIGINT) AS share_ppm
+    FROM conf
+    """,
+)
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trigram language-ID against the labeled
+    lang column — the eval twin of trigram_lang_id (same profiles, same
+    scorer; knn_label_agreement's role for the text classifier).
+    share_ppm is the per-true-language row distribution in truncating
+    BIGINT ppm. Scale shape: the prediction frame is id-keyed-joined to
+    the labels once, then everything is a rollup over a
+    languages×languages frame; the ppm window runs on that reduced
+    frame only."""
+    from gush_spark.operators import langid
+
+    docs = langid.with_norm(load(spark, sf_dir, "documents"))
+    profiles = langid.trigram_profiles(docs)
+    scored = langid.trigram_lang_scores(docs, profiles, _LANGID_LANGS)
+    conf = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("true_lang")
+    return conf.withColumn("_tot", F.sum("n").over(w)).selectExpr(
+        "true_lang",
+        "pred_lang",
+        "n",
+        "CAST(n * 1000000 div _tot AS LONG) AS share_ppm",
+    )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {BASE}, {WORDS}, {SHINGLES}, {HASHED}, {SIGS}, {BANDS}, {CAND},
+    shl AS (SELECT doc_id, {SHINGLE_LIST} AS shs FROM w WHERE len(ws) >= 3),
+    p AS (
+      SELECT CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT) AS i,
+             CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS BIGINT) AS u
+      FROM cand JOIN shl x ON x.doc_id = id_a JOIN shl y ON y.doc_id = id_b),
+    b AS (SELECT least(i * 10 // u, 9) AS bucket FROM p),
+    h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM b GROUP BY bucket)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+             AS pairs_at_or_above
+    FROM h
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning report
+    (operators/dedup.py::jaccard_threshold_sweep): decile histogram of
+    exact Jaccard over the LSH candidates with a cumulative
+    pairs-at-or-above column — one candidate-verify pass answers every
+    'what survives at 0.X?' question. Buckets are integer-exact
+    (|∩|·10 div |∪|), the cumulative window runs over ≤10 histogram
+    rows."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.jaccard_threshold_sweep(docs, "doc_id", "text", spread=None)
