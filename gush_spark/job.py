@@ -36,6 +36,7 @@ from gush_spark.streaming.pipeline import (
     cep_pipeline,
     curation_stream_pipeline,
     featurize_pipeline,
+    link_graph_pipeline,
     pages_pipeline,
     salted_rollup_pipeline,
 )
@@ -47,6 +48,7 @@ PIPELINES = {
     "cep": cep_pipeline,            # events → stateful CEP → sink
     "salted": salted_rollup_pipeline,  # skew-salted rollup (hot hosts)
     "curation": curation_stream_pipeline,  # extract → dedup → quality/lang gates
+    "linkgraph": link_graph_pipeline,  # html → link edges → windowed counts
 }
 
 

@@ -566,3 +566,82 @@ def cep_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sink
+
+
+# ---------------------------------------------------------------------------
+# streaming link graph — html → extracted hyperlink edges → per-window
+# host→host counts → exactly-once keyed sink (job.py --pipeline linkgraph)
+# ---------------------------------------------------------------------------
+def windowed_link_edges(
+    pages: DataFrame,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-window host→host link edge counts straight off the raw html
+    (operators/links.extract_links: JVM regexp tag scan + one explode,
+    absolute/relative/junk resolution). Shared by the streaming
+    pipeline and its batch twin so stream == batch is testable
+    row-for-row.
+
+    Scale shape: extraction is map-only inside the microbatch scan
+    stage; only (warc_ts, src_host, dst_host) survive to the windowed
+    state, so the stateful agg keys are hosts×hosts×windows — bounded
+    behind the watermark like windowed_host_counts, never page- or
+    byte-proportional.
+    """
+    from gush_spark.operators.links import extract_links
+
+    links = extract_links(
+        pages.withColumn("_html_s", F.col("html").cast("string")),
+        url_col="url",
+        html_col="_html_s",
+        keep=("warc_ts",),
+    )
+    if streaming:
+        links = links.withWatermark("warc_ts", config.watermark_delay)
+    agg = links.groupBy(
+        F.window("warc_ts", config.window_duration), "src_host", "dst_host"
+    ).agg(F.count(F.lit(1)).alias("n_links"))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "src_host",
+        "dst_host",
+        "n_links",
+    )
+
+
+def link_graph_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    lineage_path: str | None = None,
+):
+    """Rate-controlled pages stream → hyperlink extraction → windowed
+    host→host edge counts → exactly-once keyed sink keyed
+    (src_host, dst_host, window_start). The streaming producer of the
+    edge frame the batch graph family (pagerank / degrees / k-core)
+    consumes — the crawl's link structure maintained incrementally
+    instead of recomputed per snapshot."""
+    stream = read_pages_stream(spark, pages_path, config.max_files_per_trigger)
+    agg = windowed_link_edges(stream, config, streaming=True)
+    sink = IdempotentKeyedSink(
+        sink_path, keys=["src_host", "dst_host", "window_start"]
+    )
+
+    def write(batch_df, batch_id):
+        sink.write_batch(batch_df, batch_id)
+        if lineage_path:
+            partition_lineage(batch_df, batch_id, lineage_path)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
