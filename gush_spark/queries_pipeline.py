@@ -5714,3 +5714,46 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     docs = load(spark, sf_dir, "documents")
     return dedup.jaccard_threshold_sweep(docs, "doc_id", "text", spread=None)
+
+
+@query(
+    "redirect_chain_resolution",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+             'u' || CAST(greatest(doc_id - 1 - (doc_id % 7), 0) AS VARCHAR)
+               AS dst
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id > 0
+    ), r AS (
+      SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM e
+      UNION ALL
+      SELECT r.src, e.dst, r.hops + 1 FROM r JOIN e ON r.dst = e.src
+    )
+    SELECT src, dst AS final, hops AS n_hops, TRUE AS resolved
+    FROM r
+    QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1
+    """,
+)
+def q_redirect_chain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect/alias chains collapsed to their final target by pointer
+    doubling (operators/redirects.py::resolve_chains): each round is
+    ONE target-keyed self-equi-join that doubles the resolved path
+    length, so million-hop chains need 20 rounds — the distributed
+    answer where the oracle's recursive CTE walks one hop per
+    iteration. Redirect edges are synthesized deterministically from
+    doc_id (every 3rd doc redirects strictly downward — acyclic by
+    construction); at crawl scale the input is the 301/canonical edge
+    list and unresolvable cycles surface as resolved=false rows
+    (errors are data)."""
+    from gush_spark.operators.redirects import resolve_chains
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    e = docs.filter((d % 3 == 0) & (d > 0)).select(
+        F.concat(F.lit("u"), d.cast("string")).alias("src"),
+        F.concat(
+            F.lit("u"),
+            F.greatest(d - 1 - (d % 7), F.lit(0).cast("long")).cast("string"),
+        ).alias("dst"),
+    )
+    return resolve_chains(e)
