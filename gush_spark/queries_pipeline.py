@@ -5757,3 +5757,91 @@ def q_redirect_chain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst"),
     )
     return resolve_chains(e)
+
+
+def _warc_fixture_dir(sf_dir: str) -> str:
+    """Render the documents table as spec-correct WARC shards ONCE per
+    sf (cached under the system temp dir, keyed by the sf path) so the
+    catalog query exercises the real distributed WARC read. Rendering
+    uses pyarrow directly — no Spark action, no driver collect of a
+    Spark job; 4 shards so the scan parallelizes."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from gush_spark.sources.fixtures import EPOCH0
+    from gush_spark.sources.warc import render_warc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"gush_warc_{tag}")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        tbl = pq_mod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        import datetime as dt
+
+        ids = tbl.column("doc_id").to_pylist()
+        txts = tbl.column("text").to_pylist()
+        shards: list[list[dict]] = [[], [], [], []]
+        for i, t in zip(ids, txts):
+            shards[i % 4].append(
+                {
+                    "url": f"http://w{i}.example/p",
+                    "date": EPOCH0 + dt.timedelta(seconds=i),
+                    "status": [200, 301, 404][i % 3],
+                    "payload": f"<html><body><p>{t}</p></body></html>",
+                }
+            )
+        for s, recs in enumerate(shards):
+            with open(os.path.join(d, f"part-{s}.warc"), "wb") as f:
+                f.write(render_warc(recs))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@query(
+    "warc_parse_report",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'http://w' || CAST(doc_id AS VARCHAR) || '.example/p' AS url,
+             epoch_us(TIMESTAMP '2024-03-01 00:00:00'
+                      + doc_id * INTERVAL 1 SECOND) AS warc_us,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+                  ELSE 404 END AS BIGINT) AS http_status,
+             '<html><body><p>' || text || '</p></body></html>' AS payload
+      FROM documents)
+    SELECT url, warc_us, http_status, md5(payload) AS payload_md5,
+           CAST(octet_length(encode(payload)) AS BIGINT) AS n_payload_bytes
+    FROM p
+    """,
+)
+def q_warc_parse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC ingestion (sources/warc.py): the documents
+    table is rendered once into spec-correct multi-shard WARC (CRLF
+    headers, byte-exact Content-Length, mixed 200/301/404 statuses),
+    then read back through the custom-record-delimiter text scan +
+    JVM regexp header/payload parse. The oracle reconstructs every
+    field straight from the table — url, epoch-µs WARC-Date, HTTP
+    status, payload md5 and byte length must all round-trip exactly,
+    proving the parser inverts the renderer record-for-record. Scan is
+    splittable (Hadoop delimiter reader), parse is whole-stage codegen
+    with zero Python nodes."""
+    from gush_spark.sources.warc import read_warc_responses
+
+    d = _warc_fixture_dir(sf_dir)
+    recs = read_warc_responses(spark, d).where(
+        F.col("warc_type") == "response"
+    )
+    return recs.select(
+        "url",
+        F.unix_micros(F.col("warc_ts")).alias("warc_us"),
+        "http_status",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.octet_length(F.col("payload")).cast("long").alias("n_payload_bytes"),
+    )

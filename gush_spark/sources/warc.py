@@ -1,0 +1,143 @@
+"""WARC ingestion — the Common-Crawl container format, read
+DISTRIBUTED: Spark's text source with a custom record delimiter
+(``lineSep = "WARC/1.0\\r\\n"``) hands the Hadoop line reader one row
+per WARC record, and Hadoop's split-spanning delimiter handling makes
+the read splittable across file blocks — a 1 GB .warc file fans out
+over executors with no driver-side scanning. Header and payload
+parsing is then a per-row chain of regexps in whole-stage codegen (no
+Python, same discipline as operators/links).
+
+Parsed per record (response records are the content carriers):
+- ``warc_type`` / ``url`` / ``warc_ts`` / declared ``content_length``
+  from the WARC header block;
+- ``http_status`` from the HTTP response line;
+- ``payload`` — everything after the HTTP header block, record
+  terminator stripped.
+
+Malformed records (missing mandatory headers, no HTTP block) come out
+with NULL fields and ``parse_error`` set — errors are data (P10), the
+crawl accountant counts them per microbatch like extraction errors.
+
+Caveats, honestly: delimiter-based splitting mis-splits a record whose
+CONTENT contains the literal bytes ``WARC/1.0\\r\\n`` (e.g. a crawl of
+WARC files themselves) — byte-exact framing needs Content-Length-driven
+binary parsing; the trailing record-terminator strip also eats a
+payload's own trailing CRLF run. Uncompressed WARC only — ``.warc.gz`` members are
+per-record gzip streams that need a codec-aware reader (same
+environment limit as the compressed media codecs,
+functions/multimodal.py); and payloads are decoded as UTF-8 text by
+the text source (lossy for non-UTF-8 bytes — binary-exact ingestion
+would read ``binaryFiles`` + a byte parser, which is not splittable).
+The fixture renderer below writes spec-correct records (CRLF headers,
+byte-accurate Content-Length) so tests pin the parse against ground
+truth.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_DELIM = "WARC/1.0\r\n"
+
+
+def _hdr(headers: Column, name: str) -> Column:
+    v = F.regexp_extract(headers, rf"(?im)^{name}:[ \t]*([^\r\n]+)", 1)
+    return F.when(v != "", F.trim(v))
+
+
+def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record at ``path`` (a file, directory or glob).
+
+    Columns: warc_type, url, warc_ts (timestamp), content_length
+    (declared, long), http_status (long), payload (string),
+    parse_error (string, NULL when clean). Non-response records
+    (request / metadata / warcinfo) keep their headers but NULL
+    http_status/payload — filter ``warc_type = 'response'`` for
+    content.
+    """
+    raw = (
+        spark.read.format("text")
+        .option("lineSep", RECORD_DELIM)
+        .load(path)
+        .where(F.col("value") != "")
+    )
+    headers = F.substring_index(F.col("value"), "\r\n\r\n", 1)
+    # body = record content after the WARC header block, trailing
+    # record terminator stripped (spec: content is followed by \r\n\r\n)
+    body = F.regexp_replace(
+        F.expr("substring(value, length(substring_index(value, '\r\n\r\n', 1)) + 5)"),
+        r"(\r\n)+$",
+        "",
+    )
+    warc_type = _hdr(headers, "WARC-Type")
+    url = _hdr(headers, "WARC-Target-URI")
+    warc_ts = F.to_timestamp(
+        _hdr(headers, "WARC-Date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+    content_length = _hdr(headers, "Content-Length").cast("long")
+    is_response = warc_type == "response"
+    status_s = F.regexp_extract(body, r"^HTTP/1\.[01][ \t]+(\d{3})", 1)
+    http_status = F.when(is_response & (status_s != ""), status_s).cast("long")
+    payload = F.when(
+        is_response & (status_s != ""),
+        F.expr(
+            "substring(_body, length(substring_index(_body, '\r\n\r\n', 1)) + 5)"
+        ),
+    )
+    parse_error = (
+        F.when(warc_type.isNull(), "missing_warc_type")
+        .when(url.isNull() & is_response, "missing_target_uri")
+        .when(is_response & (status_s == ""), "missing_http_status_line")
+    )
+    return (
+        raw.withColumn("_headers", headers)
+        .withColumn("_body", body)
+        .select(
+            warc_type.alias("warc_type"),
+            url.alias("url"),
+            warc_ts.alias("warc_ts"),
+            content_length.alias("content_length"),
+            http_status.alias("http_status"),
+            payload.alias("payload"),
+            parse_error.alias("parse_error"),
+        )
+    )
+
+
+def render_warc(records: list[dict]) -> bytes:
+    """Spec-correct uncompressed WARC bytes for fixtures/tests.
+
+    Each record dict: ``url``, ``date`` (datetime), ``payload`` (str),
+    optional ``status`` (int, default 200), ``warc_type`` (default
+    'response'), ``reason`` (default by status). Content-Length is the
+    exact byte length of the record content block (HTTP headers +
+    payload for responses), per ISO 28500.
+    """
+    reasons = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}
+    out = bytearray()
+    for r in records:
+        wtype = r.get("warc_type", "response")
+        date: dt.datetime = r["date"]
+        payload: str = r.get("payload", "")
+        if wtype == "response":
+            status = int(r.get("status", 200))
+            reason = r.get("reason", reasons.get(status, "OK"))
+            http = (
+                f"HTTP/1.1 {status} {reason}\r\n"
+                "Content-Type: text/html\r\n\r\n" + payload
+            ).encode()
+        else:
+            http = payload.encode()
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            f"WARC-Date: {date.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "\r\n"
+        ).encode()
+        out += head + http + b"\r\n\r\n"
+    return bytes(out)
