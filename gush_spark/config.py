@@ -29,6 +29,9 @@ class GushSparkConfig:
     watermark_delay: str = "10 minutes"
     # rate control (S4 analog — actor demand → microbatch rate limits)
     max_files_per_trigger: int = 4
+    # page-stream container: "parquet" (lakehouse tables) or "warc"
+    # (raw Common-Crawl archives via sources/warc.py)
+    input_format: str = "parquet"
     # skew handling
     skew_salt_buckets: int = 8
     hot_host_threshold: int = 100_000

@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="gushspark streaming job")
     ap.add_argument("--pipeline", choices=sorted(PIPELINES), default="pages")
     ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--input-format",
+        choices=("parquet", "warc"),
+        default="parquet",
+        help="pages container: parquet shards or raw WARC archives",
+    )
     ap.add_argument("--sink", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--config", help="YAML job config (GushConfig analog)")
@@ -168,6 +174,9 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--lm-min-logp requires --lm-ref (the model to score under)")
     if args.politeness_quota is not None and args.pipeline != "cep":
         ap.error("--politeness-quota only applies to --pipeline cep")
+    if args.input_format == "warc" and args.pipeline == "cep":
+        ap.error("--input-format warc applies to page pipelines, not cep "
+                 "(cep consumes the page_events change stream)")
     if args.anomaly_k is not None:
         if args.pipeline not in ("pages", "featurize"):
             ap.error("--anomaly-k only applies to --pipeline pages/featurize")
@@ -197,6 +206,10 @@ def main(argv: list[str] | None = None) -> int:
     config = (
         GushSparkConfig.from_yaml(args.config) if args.config else DEFAULT_CONFIG
     )
+    if args.input_format != "parquet":
+        import dataclasses
+
+        config = dataclasses.replace(config, input_format=args.input_format)
     spark = build_cluster_session(f"gushspark_{args.pipeline}")
     listener = LineageListener(args.lineage) if args.lineage else None
     if listener:

@@ -48,8 +48,11 @@ def _hdr(headers: Column, name: str) -> Column:
     return F.when(v != "", F.trim(v))
 
 
-def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
-    """One row per WARC record at ``path`` (a file, directory or glob).
+def parse_warc_records(raw: DataFrame) -> DataFrame:
+    """Parse a ``value``-column frame of raw WARC record text (one row
+    per record, as produced by the custom-delimiter text read) into
+    typed columns. Shared by the batch and streaming readers so
+    stream == batch is testable on identical inputs.
 
     Columns: warc_type, url, warc_ts (timestamp), content_length
     (declared, long), http_status (long), payload (string),
@@ -58,12 +61,7 @@ def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
     http_status/payload — filter ``warc_type = 'response'`` for
     content.
     """
-    raw = (
-        spark.read.format("text")
-        .option("lineSep", RECORD_DELIM)
-        .load(path)
-        .where(F.col("value") != "")
-    )
+    raw = raw.where(F.col("value") != "")
     headers = F.substring_index(F.col("value"), "\r\n\r\n", 1)
     # body = record content after the WARC header block, trailing
     # record terminator stripped (spec: content is followed by \r\n\r\n)
@@ -104,6 +102,47 @@ def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
             payload.alias("payload"),
             parse_error.alias("parse_error"),
         )
+    )
+
+
+def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
+    """Batch WARC read: splittable custom-delimiter text scan + parse."""
+    return parse_warc_records(
+        spark.read.format("text").option("lineSep", RECORD_DELIM).load(path)
+    )
+
+
+def read_warc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Rate-controlled streaming WARC read — the same file-source
+    offset/backpressure model as read_pages_stream (maxFilesPerTrigger
+    bounds each microbatch; checkpoint offsets make it replayable), so
+    the 'tail the crawl' path ingests the archive format directly."""
+    return parse_warc_records(
+        spark.readStream.format("text")
+        .option("lineSep", RECORD_DELIM)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def warc_pages(records: DataFrame) -> DataFrame:
+    """Adapt parsed response records to the pages contract
+    (url, warc_ts, html binary, text, lang, case) so EVERY existing
+    pipeline — extraction, curation, link graph, featurize — consumes
+    WARC by swapping the source and nothing else (job.py
+    --input-format warc). text/lang are NULL: they are downstream
+    products, not archive fields."""
+    return records.where(
+        (F.col("warc_type") == "response") & F.col("parse_error").isNull()
+    ).select(
+        "url",
+        "warc_ts",
+        F.encode(F.col("payload"), "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit("warc").alias("case"),
     )
 
 

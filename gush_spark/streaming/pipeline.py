@@ -30,7 +30,11 @@ from gush_spark.operators.events import blacklist_filter, host_of, supported_kin
 from gush_spark.streaming.cep import cep_enrich
 from gush_spark.streaming.metrics import partition_lineage, with_observed_metrics
 from gush_spark.streaming.sink import IdempotentKeyedSink
-from gush_spark.streaming.source import read_page_events_stream, read_pages_stream
+from gush_spark.streaming.source import (
+    read_input_stream,
+    read_page_events_stream,
+    read_pages_stream,
+)
 
 
 _DURATION_UNIT_S = {
@@ -88,7 +92,7 @@ def pages_pipeline(
     """Flagship: rate-controlled pages stream → extraction → windowed
     counts → exactly-once keyed sink ((host, window) ≙ (url, window) at
     page granularity)."""
-    stream = read_pages_stream(spark, pages_path, config.max_files_per_trigger)
+    stream = read_input_stream(spark, pages_path, config)
     extracted = with_observed_metrics(extracted_pages(stream, config))
     agg = windowed_host_counts(extracted, config, streaming=True)
     sink = IdempotentKeyedSink(sink_path, keys=["host", "window_start"])
@@ -128,8 +132,12 @@ def featurize_pipeline(
     (tools/bench_scaling.py)."""
     from gush_spark.functions.page_features import with_page_features
 
+    import dataclasses
+
     mft = max_files_per_trigger or config.max_files_per_trigger
-    stream = read_pages_stream(spark, pages_path, mft)
+    stream = read_input_stream(
+        spark, pages_path, dataclasses.replace(config, max_files_per_trigger=mft)
+    )
     stream = stream.withColumn("host", host_of(F.col("url")))
     stream = blacklist_filter(stream, config)  # pushable, below the UDF
     enriched = with_page_features(stream)
@@ -190,7 +198,7 @@ def salted_rollup_pipeline(
     semantics are preserved because each partial is itself a complete
     running aggregate for its sub-key)."""
     buckets = salt_buckets or config.skew_salt_buckets
-    stream = read_pages_stream(spark, pages_path, config.max_files_per_trigger)
+    stream = read_input_stream(spark, pages_path, config)
     extracted = extracted_pages(stream, config)
     salted = extracted.withColumn(
         "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(buckets))
@@ -363,7 +371,7 @@ def curation_stream_pipeline(
     from gush_spark.functions import text_analysis as ta
     from gush_spark.streaming.dedup import dedup_pages_stream
 
-    stream = read_pages_stream(spark, pages_path, config.max_files_per_trigger)
+    stream = read_input_stream(spark, pages_path, config)
     extracted = extracted_pages(stream, config, fix_encoding=fix_encoding)
     deduped = dedup_pages_stream(
         extracted.filter(F.col("extract_error").isNull()),
@@ -626,7 +634,7 @@ def link_graph_pipeline(
     edge frame the batch graph family (pagerank / degrees / k-core)
     consumes — the crawl's link structure maintained incrementally
     instead of recomputed per snapshot."""
-    stream = read_pages_stream(spark, pages_path, config.max_files_per_trigger)
+    stream = read_input_stream(spark, pages_path, config)
     agg = windowed_link_edges(stream, config, streaming=True)
     sink = IdempotentKeyedSink(
         sink_path, keys=["src_host", "dst_host", "window_start"]

@@ -71,3 +71,27 @@ def read_pages_batch(spark: SparkSession, path: str) -> DataFrame:
 
 def read_page_events_batch(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(PAGE_EVENTS_SCHEMA).parquet(path)
+
+
+def read_input_stream(spark: SparkSession, path: str, config) -> DataFrame:
+    """Pages stream in the container named by ``config.input_format``:
+    parquet table shards (default) or raw WARC archives
+    (sources/warc.py — parsed + adapted to the same pages contract).
+    Every pipeline reads through this one dispatcher, so swapping the
+    crawl's physical format is a config flag, not a code change."""
+    if config.input_format == "warc":
+        from gush_spark.sources.warc import read_warc_stream, warc_pages
+
+        return warc_pages(
+            read_warc_stream(spark, path, config.max_files_per_trigger)
+        )
+    return read_pages_stream(spark, path, config.max_files_per_trigger)
+
+
+def read_input_batch(spark: SparkSession, path: str, config) -> DataFrame:
+    """Batch twin of read_input_stream (stream == batch tests)."""
+    if config.input_format == "warc":
+        from gush_spark.sources.warc import read_warc_responses, warc_pages
+
+        return warc_pages(read_warc_responses(spark, path))
+    return read_pages_batch(spark, path)

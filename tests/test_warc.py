@@ -77,3 +77,78 @@ def test_multi_file_distributed_read(spark, tmp_path):
     # plan is JVM-only: text scan + regexps, no Python nodes
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_pages_pipeline_over_warc_equals_parquet(spark, tmp_path):
+    """The SAME pages, shipped once as parquet and once as WARC, must
+    produce identical windowed host counts through the full streaming
+    pipeline — the format is a config flag, not a semantics change."""
+    import dataclasses
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from gush_spark.config import GushSparkConfig
+    from gush_spark.sources.fixtures import PAGES_ARROW_SCHEMA
+    from gush_spark.streaming.pipeline import (
+        extracted_pages,
+        pages_pipeline,
+        windowed_host_counts,
+    )
+    from gush_spark.streaming.source import read_input_batch
+
+    rows = [
+        {
+            "url": f"https://h{i % 4}.example/p/{i}",
+            "warc_ts": D0 + dt.timedelta(seconds=i * 90),
+            "html": f"<html><head></head><body><p>doc {i} words</p></body></html>".encode(),
+            "text": f"doc {i} words",
+            "lang": "en",
+            "case": "warc_eq",
+        }
+        for i in range(120)
+    ]
+    pq_dir = tmp_path / "pq"
+    pq_dir.mkdir()
+    pq_mod.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), schema=PAGES_ARROW_SCHEMA,
+                             preserve_index=False),
+        pq_dir / "part-0.parquet",
+    )
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    for f in range(3):
+        chunk = rows[f * 40 : (f + 1) * 40]
+        (warc_dir / f"part-{f}.warc").write_bytes(
+            render_warc(
+                [{"url": r["url"], "date": r["warc_ts"],
+                  "payload": r["html"].decode()} for r in chunk]
+            )
+        )
+
+    cfg = GushSparkConfig(watermark_delay="4 hours")
+    wcfg = dataclasses.replace(cfg, input_format="warc")
+
+    # streaming over WARC end-to-end
+    query, sink = pages_pipeline(
+        spark, str(warc_dir), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        config=wcfg, available_now=True,
+    )
+    query.awaitTermination(180)
+    got = sink.read(spark).toPandas()
+
+    # batch over parquet
+    exp = windowed_host_counts(
+        extracted_pages(read_input_batch(spark, str(pq_dir), cfg), cfg),
+        cfg, streaming=False,
+    ).toPandas()
+
+    key = ["window_start", "host"]
+    cols = key + ["n_pages", "n_errors"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[cols],
+        exp.sort_values(key).reset_index(drop=True)[cols],
+        check_dtype=False,
+    )
+    assert int(got.n_pages.sum()) == 120
