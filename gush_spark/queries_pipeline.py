@@ -5845,3 +5845,45 @@ def q_warc_parse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("payload")).alias("payload_md5"),
         F.octet_length(F.col("payload")).cast("long").alias("n_payload_bytes"),
     )
+
+
+@query(
+    "crawl_frontier_plan",
+    oracle=f"""
+    WITH {_LINK_BASE}, {_LINK_W}, {_LINK_EDGES},
+    e AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+          FROM le GROUP BY 1, 2),
+    known AS (SELECT DISTINCT src_host AS host FROM e),
+    cand AS (SELECT dst_host AS host, CAST(sum(n_links) AS BIGINT) AS in_links,
+                    CAST(count(DISTINCT src_host) AS BIGINT) AS n_referrers
+             FROM e GROUP BY 1),
+    newh AS (SELECT c.* FROM cand c ANTI JOIN known k ON c.host = k.host)
+    SELECT host, in_links, n_referrers FROM newh
+    ORDER BY n_referrers DESC, in_links DESC, host
+    LIMIT 50
+    """,
+)
+def q_crawl_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier discovery from the extracted link graph: hosts the
+    crawl LINKS TO but has never fetched (LeftAnti against the set of
+    crawled hosts), ranked by referrer breadth then link mass — the
+    'what to crawl next' plan, the batch complement of
+    recrawl_priorities' 'when to re-fetch'. Composition is all reduced
+    frames: the edge rollup is the only corpus-sized pass; the anti
+    join and scoring run on host×host aggregates and the top-k is
+    orderBy+limit (TakeOrderedAndProject, no global sort)."""
+    from gush_spark.operators import links as L
+
+    edges = L.host_link_graph(_synth_pages(spark, sf_dir), "url", "html")
+    known = edges.select(F.col("src_host").alias("host")).distinct()
+    cand = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.sum("n_links").alias("in_links"),
+        F.countDistinct("src_host").alias("n_referrers"),
+    )
+    return (
+        cand.join(known, "host", "left_anti")
+        .orderBy(
+            F.col("n_referrers").desc(), F.col("in_links").desc(), F.col("host")
+        )
+        .limit(50)
+    )

@@ -180,3 +180,50 @@ def render_warc(records: list[dict]) -> bytes:
         ).encode()
         out += head + http + b"\r\n\r\n"
     return bytes(out)
+
+
+def write_warc_shards(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "payload",
+    warc_type: str = "conversion",
+    n_shards: int | None = None,
+) -> None:
+    """Distributed WARC/WET export — publish a curated corpus back in
+    archive form (``conversion`` records are WET's extracted-text
+    type). Each row is formatted as one spec-correct record ENTIRELY in
+    JVM expressions (concat + date_format + octet_length gives the
+    byte-exact Content-Length) and written by the text sink with an
+    empty row separator — records already carry their own framing, so
+    the files re-parse with read_warc_responses (round-trip pinned by
+    test). One shuffle only when ``n_shards`` repartitions; otherwise
+    map-only, one file per input partition, same publishing discipline
+    as sources/export.write_jsonl_shards.
+
+    Payloads are text by contract (WET); response-type export of raw
+    bytes would need a binary sink — documented environment/format
+    limit, same family as the gzip note above.
+    """
+    body = F.col(payload_col)
+    date_s = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    record = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        F.lit(f"WARC-Type: {warc_type}\r\n"),
+        F.lit("WARC-Target-URI: "), F.col(url_col), F.lit("\r\n"),
+        F.lit("WARC-Date: "), date_s, F.lit("\r\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+        F.lit("\r\n"),  # + the sink's \r\n lineSep completes the \r\n\r\n
+    )
+    out = df.select(record.alias("value"))
+    if n_shards:
+        out = out.repartition(n_shards)
+    (
+        out.write.mode("overwrite")
+        .option("lineSep", "\r\n")
+        .text(path)
+    )

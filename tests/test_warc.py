@@ -152,3 +152,34 @@ def test_pages_pipeline_over_warc_equals_parquet(spark, tmp_path):
         check_dtype=False,
     )
     assert int(got.n_pages.sum()) == 120
+
+
+def test_wet_export_roundtrips(spark, tmp_path):
+    """write_warc_shards output re-parses record-for-record, including
+    payloads that themselves contain newlines (multi-paragraph text)."""
+    from pyspark.sql import functions as F
+
+    from gush_spark.sources.warc import warc_pages, write_warc_shards
+
+    rows = [
+        (f"http://h{i % 3}.example/{i}", D0 + dt.timedelta(seconds=i),
+         f"para one of {i}\n\npara two of {i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, payload string")
+    out = str(tmp_path / "wet")
+    write_warc_shards(df, out, n_shards=3)
+
+    back = read_warc_responses(spark, out)
+    got = {r.url: r for r in back.collect()}
+    assert len(got) == 60
+    assert {r.warc_type for r in got.values()} == {"conversion"}
+    assert all(r.parse_error is None for r in got.values())
+    for url, ts, payload in rows:
+        assert got[url].warc_ts == ts
+        # conversion records carry no HTTP block: payload is the body —
+        # warc_pages excludes them (responses only), the raw parse keeps
+        # headers; verify declared length is byte-exact
+        assert got[url].content_length == len(payload.encode())
+    # pages adapter excludes non-response records by contract
+    assert warc_pages(back).count() == 0

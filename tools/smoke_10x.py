@@ -78,6 +78,17 @@ HEAVY = [
     "edit_distance_verify",
     "curriculum_order",
     "robots_rules_gate",
+    # round-5 session 6 (documents-driven: synthesized pages / warc /
+    # redirect edges all derive from the documents table)
+    "link_host_graph",
+    "link_pagerank",
+    "anchor_text_topk",
+    "crawl_frontier_plan",
+    "dedup_threshold_sweep",
+    "lang_confusion_matrix",
+    "weighted_sample_topk",
+    "redirect_chain_resolution",
+    "warc_parse_report",
 ]
 
 # events-driven probes (sessions / graph / scheduling): run as an argv
