@@ -5887,3 +5887,53 @@ def q_crawl_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "co_citation_pairs",
+    oracle=f"""
+    WITH {_LINK_BASE}, {_LINK_W}, {_LINK_EDGES},
+    e AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+          FROM le GROUP BY 1, 2),
+    capped AS (
+      SELECT src_host, dst_host FROM e
+      QUALIFY row_number() OVER (PARTITION BY src_host
+                                 ORDER BY n_links DESC, dst_host) <= 64),
+    pairs AS (
+      SELECT a.dst_host AS host_a, b.dst_host AS host_b,
+             CAST(count(DISTINCT a.src_host) AS BIGINT) AS n_common_src
+      FROM capped a JOIN capped b
+        ON a.src_host = b.src_host AND a.dst_host < b.dst_host
+      GROUP BY 1, 2)
+    SELECT host_a, host_b, n_common_src FROM pairs WHERE n_common_src >= 2
+    """,
+)
+def q_co_citation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity (Small 1973, the IR classic): host pairs
+    endorsed by >= 2 common referrers — the 'related sites' signal that
+    needs no content, only link structure. The quadratic stage is
+    per-SOURCE and CAPPED: each source contributes pairs only from its
+    top-64 link targets (n_links-desc rank via WindowGroupLimit — the
+    same hot-bucket cap discipline as operators/skew), so pair count is
+    bounded by 64²·sources regardless of how promiscuous a hub is; the
+    self-join is a src-keyed equi-join, never a cartesian."""
+    from gush_spark.operators import links as L
+
+    edges = L.host_link_graph(_synth_pages(spark, sf_dir), "url", "html")
+    w = Window.partitionBy("src_host").orderBy(
+        F.col("n_links").desc(), F.col("dst_host")
+    )
+    capped = (
+        edges.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= 64)
+        .select("src_host", "dst_host")
+    )
+    a = capped.select(F.col("src_host"), F.col("dst_host").alias("host_a"))
+    b = capped.select(F.col("src_host"), F.col("dst_host").alias("host_b"))
+    return (
+        a.join(b, ["src_host"])
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.countDistinct("src_host").alias("n_common_src"))
+        .where(F.col("n_common_src") >= 2)
+    )
