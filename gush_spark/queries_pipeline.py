@@ -5420,6 +5420,12 @@ def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit("<html><body>"),
         word_tags,
+        # template variant: every 5th page carries a promo block (no
+        # href — invisible to the link oracles, visible to the
+        # structure fingerprint)
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit('<div class="promo">offer</div>')
+        ).otherwise(F.lit("")),
         F.lit(
             '<a href="//cdn.example/lib.js">cdn</a>'
             '<a href="/about">about</a>'
@@ -5936,4 +5942,49 @@ def q_co_citation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host_a", "host_b")
         .agg(F.countDistinct("src_host").alias("n_common_src"))
         .where(F.col("n_common_src") >= 2)
+    )
+
+
+@query(
+    "template_cluster_report",
+    oracle=f"""
+    WITH {_LINK_BASE}, {_LINK_W},
+    s AS (SELECT doc_id,
+                 md5('html>body>' || repeat('a>', len(ww))
+                     || CASE WHEN doc_id % 5 = 0 THEN 'div>' ELSE '' END
+                     || 'a>a>a>a>a>p>') AS structure_hash
+          FROM w)
+    SELECT structure_hash, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(min(doc_id) AS BIGINT) AS example_doc
+    FROM s GROUP BY structure_hash
+    """,
+)
+def q_template_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template detection by DOM-structure fingerprint: the html's tag
+    SEQUENCE (names only, text and attributes stripped via one
+    regexp_extract_all + array_join) hashes to a structure key; pages
+    sharing a key share a page template — the signal boilerplate
+    removal and scraper-trap triage both start from. Map-only tag
+    extraction (the html column dies in the scan stage, same pruning
+    as operators/links), one hash-keyed count. The oracle derives the
+    expected tag sequence independently from the word lists that
+    generated the synthesized pages — extraction bugs cannot cancel
+    out."""
+    pages = _synth_pages(spark, sf_dir)
+    tags = F.expr(r"regexp_extract_all(html, '<([a-zA-Z][a-zA-Z0-9]*)', 1)")
+    structure = F.md5(
+        F.concat(
+            F.array_join(F.transform(tags, lambda t: F.lower(t)), ">"),
+            F.lit(">"),
+        )
+    )
+    return (
+        pages.select(
+            F.col("doc_id"), structure.alias("structure_hash")
+        )
+        .groupBy("structure_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("doc_id").alias("example_doc"),
+        )
     )
