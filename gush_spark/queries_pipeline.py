@@ -5988,3 +5988,70 @@ def q_template_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("example_doc"),
         )
     )
+
+
+@query(
+    "url_pattern_report",
+    oracle=f"""
+    WITH {_LINK_BASE}, {_LINK_W},
+    u AS (
+      SELECT doc_id, src_host AS host,
+             CASE doc_id % 4
+               WHEN 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/cat/' || coalesce(ww[1], 'misc') || '/'
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/tag/' || coalesce(ww[1], 'misc')
+               ELSE '/' || CAST(doc_id AS VARCHAR) || '/view'
+             END AS path
+      FROM w)
+    SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS pattern,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT CASE WHEN doc_id % 4 IN (0, 1, 3)
+                     THEN doc_id END) AS BIGINT) AS n_distinct_ids
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q_url_pattern_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template rollup — collapse digit runs to ``N`` and count
+    URLs per (host, pattern): the crawler-trap / infinite-space triage
+    view (a pattern with a million distinct ids behind it is a
+    calendar or session-id trap, not content). Synthesized paths mix
+    id-bearing and taxonomy shapes; the pattern collapse is one
+    regexp_replace in codegen, the rollup one (host, pattern)-keyed
+    exchange of already-short strings."""
+    docs = load(spark, sf_dir, "documents")
+    ww = F.slice(
+        F.filter(ta.words_of(F.col("text")), lambda x: x.rlike("^[a-z0-9]+$")),
+        1,
+        3,
+    )
+    d = F.col("doc_id")
+    first = F.coalesce(F.element_at(ww, 1), F.lit("misc"))
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/p/"), d.cast("string")))
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("/cat/"), first, F.lit("/"), d.cast("string")),
+        )
+        .when(d % 4 == 2, F.concat(F.lit("/tag/"), first))
+        .otherwise(F.concat(F.lit("/"), d.cast("string"), F.lit("/view")))
+    )
+    u = docs.select(
+        d.alias("doc_id"),
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        path.alias("path"),
+    )
+    return (
+        u.select(
+            "doc_id",
+            "host",
+            F.regexp_replace(F.col("path"), "[0-9]+", "N").alias("pattern"),
+        )
+        .groupBy("host", "pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(
+                F.when((F.col("doc_id") % 4).isin(0, 1, 3), F.col("doc_id"))
+            ).alias("n_distinct_ids"),
+        )
+    )
