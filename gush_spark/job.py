@@ -36,6 +36,7 @@ from gush_spark.streaming.pipeline import (
     cep_pipeline,
     curation_stream_pipeline,
     featurize_pipeline,
+    latest_state_pipeline,
     link_graph_pipeline,
     pages_pipeline,
     salted_rollup_pipeline,
@@ -49,6 +50,7 @@ PIPELINES = {
     "salted": salted_rollup_pipeline,  # skew-salted rollup (hot hosts)
     "curation": curation_stream_pipeline,  # extract → dedup → quality/lang gates
     "linkgraph": link_graph_pipeline,  # html → link edges → windowed counts
+    "state": latest_state_pipeline,  # change events → latest row per url (CDC)
 }
 
 
@@ -174,9 +176,9 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--lm-min-logp requires --lm-ref (the model to score under)")
     if args.politeness_quota is not None and args.pipeline != "cep":
         ap.error("--politeness-quota only applies to --pipeline cep")
-    if args.input_format == "warc" and args.pipeline == "cep":
-        ap.error("--input-format warc applies to page pipelines, not cep "
-                 "(cep consumes the page_events change stream)")
+    if args.input_format == "warc" and args.pipeline in ("cep", "state"):
+        ap.error("--input-format warc applies to page pipelines, not "
+                 "cep/state (they consume the page_events change stream)")
     if args.anomaly_k is not None:
         if args.pipeline not in ("pages", "featurize"):
             ap.error("--anomaly-k only applies to --pipeline pages/featurize")

@@ -653,3 +653,106 @@ def link_graph_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sink
+
+
+# ---------------------------------------------------------------------------
+# CDC table materialization — the binlog→current-table view (the
+# reference's home domain: a change stream folded to latest row state;
+# job.py --pipeline state)
+# ---------------------------------------------------------------------------
+def latest_state_pipeline(
+    spark: SparkSession,
+    events_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    lineage_path: str | None = None,
+):
+    """Change stream → per-url CURRENT state, event-time exact.
+
+    Each microbatch folds to ONE row per touched url (a struct-max
+    argmax on (warc_ts, event_id) — map-side combinable, no window);
+    the sink resolves across batches by the SAME event-time order
+    (``resolve_order``), so a late batch carrying an older version
+    loses to the newer row already written — latest-state is exact
+    under ANY arrival order and needs no watermark: out-of-order data
+    is resolved, not dropped. State per key is one sink row; compaction
+    folds history with the same ordering. This is the gush
+    binlog-to-table semantics (BinlogEvent → latest row) built on
+    replayable offsets + idempotent MERGE instead of an actor chain."""
+    stream = read_page_events_stream(spark, events_path, max_files_per_trigger)
+    stream = supported_kinds_filter(stream)
+    stream = blacklist_filter(stream, config)
+    sink = IdempotentKeyedSink(
+        sink_path, keys=["url"], resolve_order=["warc_ts", "event_id"]
+    )
+
+    def write(batch_df, batch_id):
+        per_key = (
+            batch_df.groupBy("url")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("warc_ts"),
+                        F.col("event_id"),
+                        F.col("event_type"),
+                        F.col("host"),
+                    )
+                ).alias("s")
+            )
+            .select(
+                "url",
+                F.col("s.warc_ts").alias("warc_ts"),
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.event_type").alias("event_type"),
+                F.col("s.host").alias("host"),
+            )
+        )
+        sink.write_batch(per_key, batch_id)
+        if lineage_path:
+            partition_lineage(per_key, batch_id, lineage_path)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def read_page_state(spark: SparkSession, sink: IdempotentKeyedSink) -> DataFrame:
+    """Current-table view: latest event per url + liveness (a url whose
+    newest event is a drop is tombstoned, not deleted — deletions are
+    data)."""
+    latest = sink.read(spark)
+    return latest.withColumn("is_active", F.col("event_type") != "drop")
+
+
+def batch_latest_state(events: DataFrame) -> DataFrame:
+    """Batch twin of the streaming materializer (stream == batch
+    tests): the same struct-max argmax over the full event set."""
+    return (
+        events.groupBy("url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("warc_ts"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("host"),
+                )
+            ).alias("s")
+        )
+        .select(
+            "url",
+            F.col("s.warc_ts").alias("warc_ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.host").alias("host"),
+            (F.col("s.event_type") != "drop").alias("is_active"),
+        )
+    )

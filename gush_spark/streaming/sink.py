@@ -53,11 +53,31 @@ def _parquet_row_count(path: str) -> int | None:
 
 
 class IdempotentKeyedSink:
-    def __init__(self, path: str | Path, keys: list[str]):
+    def __init__(
+        self,
+        path: str | Path,
+        keys: list[str],
+        resolve_order: list[str] | None = None,
+    ):
+        """``resolve_order``: optional DATA columns (e.g.
+        ``["warc_ts", "event_id"]``) that decide last-writer-wins per
+        key instead of the batch id — EVENT-time resolution for CDC
+        materialization, where a late-arriving batch may carry an
+        OLDER version that must lose to the newer one already written
+        (the Iceberg MERGE-with-version-column analog). Batch id stays
+        the final tie-break so replays remain deterministic; default
+        None keeps the arrival-order semantics every windowed pipeline
+        wants (each batch's update row IS the newest aggregate)."""
         self.root = Path(path)
         self.keys = keys
+        self.resolve_order = resolve_order or []
         (self.root / "_commits").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(parents=True, exist_ok=True)
+
+    def _resolution(self) -> list:
+        return [F.col(c).desc() for c in self.resolve_order] + [
+            F.col("batch").desc()
+        ]
 
     def _marker(self, batch_id: int) -> Path:
         return self.root / "_commits" / str(batch_id)
@@ -168,7 +188,7 @@ class IdempotentKeyedSink:
         df = self._committed_with_batch(spark)
         if not self.keys:
             return df.drop("batch")
-        w = Window.partitionBy(*self.keys).orderBy(F.col("batch").desc())
+        w = Window.partitionBy(*self.keys).orderBy(*self._resolution())
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -216,7 +236,7 @@ class IdempotentKeyedSink:
         # resolve over the PINNED (prev, live) pair — never re-list
         df = self._assemble(spark, prev, live)
         if self.keys:
-            w = Window.partitionBy(*self.keys).orderBy(F.col("batch").desc())
+            w = Window.partitionBy(*self.keys).orderBy(*self._resolution())
             resolved = (
                 df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
