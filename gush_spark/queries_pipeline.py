@@ -6055,3 +6055,49 @@ def q_url_pattern_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_distinct_ids"),
         )
     )
+
+
+@query(
+    "latest_event_state",
+    oracle="""
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, ts, event_id, event_type,
+             count(*) OVER (PARTITION BY user_id) AS n_events,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_latest_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC materialization — current state per key from a change
+    stream (the gush binlog→table semantics; streaming twin:
+    streaming/pipeline.latest_state_pipeline + the sink's event-time
+    resolve_order). ONE struct-max agg (map-side combinable — partial
+    rows per partition, no row_number window over the corpus) carries
+    the latest (ts, event_id)-ordered row and the version count in the
+    same pass."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    us.alias("ts_us"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("s.ts_us").alias("ts_us"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            "n_events",
+        )
+    )
