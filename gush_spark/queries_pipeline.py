@@ -6101,3 +6101,63 @@ def q_latest_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_BRUTE_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_cos_sql("q.q_vec", "v.embedding")}, 6) AS score
+      FROM q JOIN embeddings v ON v.vec_id != q.query_id)
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+"""
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_SQL}),
+    ivf AS ({_kmeans_ivf_sql(10, 2, 2, 5)}),
+    hits AS (
+      SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM brute b JOIN ivf i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY 1),
+    qs AS (SELECT DISTINCT query_id FROM brute)
+    SELECT qs.query_id, coalesce(n_hit, 0) AS n_hit,
+           CAST(coalesce(n_hit, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+    FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id
+    """,
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the trained-kmeans IVF index against exact brute
+    force, per probe — the ANN quality gate AS A QUERY (the README's
+    0.875–0.925 recall claim, continuously measured instead of
+    asserted once in a test). Both sides reuse the exact catalog
+    pipelines; the comparison is an id-equi-join of two k×probes
+    frames — the expensive work is the searches themselves, the eval
+    adds one tiny join. recall_ppm is truncating BIGINT."""
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    brute = similarity.brute_force_topk(vecs, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.kmeans_ivf_topk(
+        vecs, queries_df, k=5, n_probe=2, n_cells=10, iters=2
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qs = brute.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+        F.expr("coalesce(n_hit, 0) * 1000000 div 5").alias("recall_ppm"),
+    )
