@@ -6161,3 +6161,110 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
         F.expr("coalesce(n_hit, 0) * 1000000 div 5").alias("recall_ppm"),
     )
+
+
+@query(
+    "skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_keys FROM k),
+    top AS (
+      SELECT key, n FROM k
+      QUALIFY row_number() OVER (ORDER BY n DESC, key) <= 10)
+    SELECT top.key, top.n, t.total,
+           CAST(top.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+           (top.n * t.n_keys + t.total - 1) // t.total AS suggested_salt
+    FROM top, t
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnosis for a shuffle key: the top-10 hottest
+    keys with corpus share (truncating ppm) and a suggested salt
+    factor (how many buckets flatten this key to the mean key load —
+    ceil(n·n_keys/total), the number operators/skew's salted two-stage
+    agg takes as its bucket count). ONE key-keyed count reduces the
+    corpus; totals ride a 1-row cross join; top-10 is
+    TakeOrderedAndProject. The run-before-you-shuffle planning view of
+    the north_rule's skew handling."""
+    ev = load(spark, sf_dir, "events")
+    k = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = k.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = k.orderBy(F.col("n").desc(), F.col("key")).limit(10)
+    return top.crossJoin(F.broadcast(t)).selectExpr(
+        "key",
+        "n",
+        "total",
+        "CAST(n * 1000000 div total AS LONG) AS share_ppm",
+        "(n * n_keys + total - 1) div total AS suggested_salt",
+    )
+
+
+@query(
+    "table_profile_events",
+    oracle="""
+    SELECT 'event_id' AS column_name,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_value,
+           CAST(max(event_id) AS VARCHAR) AS max_value
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+    FROM events
+    """,
+)
+def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (every engine's PROFILE/ANALYZE
+    surface): per-column null count, exact distinct cardinality and
+    min/max rendered as strings — the pre-ingest sanity card next to
+    data_expectations_report's rule gate. All four columns profile in
+    ONE aggregate (Catalyst expands multi-distinct into one Expand +
+    two exchanges — still a single scan of the table, not one scan per
+    column like the naive UNION the oracle runs); at 10^12 rows the
+    exact distincts swap for HLL sketches (operators/sketches.py), the
+    documented trade."""
+    ev = load(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}_nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}_distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}_min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}_max"),
+        ]
+    one = ev.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(
+            one.select(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}_nulls").alias("n_nulls"),
+                F.col(f"{c}_distinct").alias("n_distinct"),
+                F.col(f"{c}_min").alias("min_value"),
+                F.col(f"{c}_max").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
