@@ -111,6 +111,10 @@ EVENTS_PROBE = [
     "funnel_conversion",
     # round-5 session 5
     "covisit_communities",
+    # round-5 session 6
+    "latest_event_state",
+    "skew_report",
+    "table_profile_events",
 ]
 
 N_VARIANTS = 10
