@@ -222,7 +222,7 @@ def main(argv: list[str] | None = None) -> int:
         config=config,
         available_now=not args.continuous,
     )
-    if args.pipeline in ("pages", "cep") and args.lineage:
+    if args.pipeline in ("pages", "cep", "linkgraph", "state") and args.lineage:
         kwargs["lineage_path"] = args.lineage
     if args.politeness_quota is not None:
         kwargs["politeness_quota"] = args.politeness_quota

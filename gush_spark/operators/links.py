@@ -23,11 +23,14 @@ Extraction rules (common-denominator crawler subset):
 - protocol-relative ``//host/...`` hrefs resolve to their own host;
 - root-relative (``/path``) and bare-relative (``page.html``) hrefs
   resolve to the SOURCE page's host;
-- non-fetchable schemes (``mailto:``, ``javascript:``, ``tel:``,
-  ``data:``) and empty/fragment-only hrefs (``#top``) yield NULL
-  dst_host and are dropped from the edge frame — garbage hrefs are
-  data, not errors (P10 policy), they just never become edges;
-- anchor text is the tag's immediate inner text, whitespace-collapsed.
+- ANY other scheme-prefixed href (``mailto:``, ``javascript:``,
+  ``ftp:``, ``ws:``, app schemes, …) and empty/fragment-only hrefs
+  (``#top``) yield NULL dst_host and are dropped from the edge frame —
+  garbage hrefs are data, not errors (P10 policy), they just never
+  become edges;
+- anchor text is the tag's inner text with nested inline markup
+  stripped (``<a><b>bold</b> x</a>`` → ``bold x``; an <img>-only
+  anchor yields the empty string), whitespace-collapsed.
 
 Scale design: extraction is a per-row chain of regexps + one
 ``explode`` — whole-stage codegen end to end, no Python anywhere, no
@@ -44,15 +47,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# one <a> tag: attributes before/after href, simple (non-nested) inner
-# text; real nested markup loses only the inner tags' text.
-_TAG_RE = r'(?i)<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+# one <a> tag: attributes before/after href; lazy inner match up to the
+# closing tag, so nested inline markup (<a><img></a>, <a><b>x</b> y</a>)
+# still yields the link — <a> cannot nest per HTML, so first </a> is
+# THE close. Inner tags are stripped from the anchor text afterwards.
+_TAG_RE = r'(?is)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
 _HREF_RE = r'(?i)href="([^"]*)"'
-_ANCHOR_RE = r"(?i)>([^<]*)</a>"
+_ANCHOR_RE = r"(?is)>(.*?)</a>$"
 
 # absolute / protocol-relative authority
 _ABS_RE = r"(?i)^(?:https?:)?//([^/?#]+)"
-_NONFETCH_RE = r"(?i)^(mailto|javascript|tel|data):"
+# ANY scheme-prefixed href that is not http(s) is non-fetchable for a
+# web crawler (mailto:, javascript:, ftp:, ws:, about:, custom app
+# schemes, …) — an explicit allowlist would misresolve the long tail
+# of unknown schemes to the source host as if they were relative paths
+_NONFETCH_RE = r"(?i)^[a-z][a-z0-9+.-]*:"
 
 
 def _fold_host(host: Column) -> Column:
@@ -89,13 +98,20 @@ def extract_links(
         ).alias("tag"),
     )
     href = F.regexp_extract(F.col("tag"), _HREF_RE, 1)
+    # inner markup stripped (an <img>-only anchor yields ''), then
+    # whitespace collapsed
+    inner = F.regexp_extract(F.col("tag"), _ANCHOR_RE, 1)
     anchor = F.trim(
-        F.regexp_replace(F.regexp_extract(F.col("tag"), _ANCHOR_RE, 1), r"\s+", " ")
+        F.regexp_replace(
+            F.regexp_replace(inner, r"<[^>]*>", " "), r"\s+", " "
+        )
     )
     abs_host = _fold_host(F.regexp_extract(href, _ABS_RE, 1))
+    # order matters: the absolute http(s)/protocol-relative branch must
+    # win before the any-scheme non-fetchable drop
     dst = (
-        F.when(href.rlike(_NONFETCH_RE) | (href == "") | href.startswith("#"), None)
-        .when(abs_host != "", abs_host)
+        F.when(abs_host != "", abs_host)
+        .when(href.rlike(_NONFETCH_RE) | (href == "") | href.startswith("#"), None)
         # root-relative or bare-relative: stays on the source host
         .otherwise(F.col("src_host"))
     )

@@ -5767,27 +5767,30 @@ def q_redirect_chain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _warc_fixture_dir(sf_dir: str) -> str:
     """Render the documents table as spec-correct WARC shards ONCE per
-    sf (cached under the system temp dir, keyed by the sf path) so the
-    catalog query exercises the real distributed WARC read. Rendering
-    uses pyarrow directly — no Spark action, no driver collect of a
-    Spark job; 4 shards so the scan parallelizes."""
+    documents CONTENT (cached under the system temp dir, keyed by the
+    md5 of the parquet bytes — a regenerated fixture at the same path
+    gets a fresh render, never a stale cache) so the catalog query
+    exercises the real distributed WARC read. Rendering uses pyarrow
+    directly — no Spark action, no driver collect of a Spark job;
+    4 shards so the scan parallelizes; shards are written to a tmp dir
+    and renamed into place so a concurrent harness process never scans
+    half-written files."""
     import hashlib
     import os
     import tempfile
+    import uuid
 
     import pyarrow.parquet as pq_mod
 
     from gush_spark.sources.fixtures import EPOCH0
     from gush_spark.sources.warc import render_warc
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = os.path.join(sf_dir, "documents.parquet")
+    with open(src, "rb") as f:
+        tag = hashlib.md5(f.read()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"gush_warc_{tag}")
-    marker = os.path.join(d, "_done")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
-        tbl = pq_mod.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
+    if not os.path.isdir(d):
+        tbl = pq_mod.read_table(src, columns=["doc_id", "text"])
         import datetime as dt
 
         ids = tbl.column("doc_id").to_pylist()
@@ -5802,11 +5805,17 @@ def _warc_fixture_dir(sf_dir: str) -> str:
                     "payload": f"<html><body><p>{t}</p></body></html>",
                 }
             )
+        tmp = f"{d}.tmp-{uuid.uuid4().hex}"
+        os.makedirs(tmp)
         for s, recs in enumerate(shards):
-            with open(os.path.join(d, f"part-{s}.warc"), "wb") as f:
+            with open(os.path.join(tmp, f"part-{s}.warc"), "wb") as f:
                 f.write(render_warc(recs))
-        with open(marker, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(tmp, d)  # atomic publish; loser of a race cleans up
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 
@@ -6155,7 +6164,10 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    qs = brute.select("query_id").distinct()
+    # probe ids come straight from the source filter — NOT
+    # brute.select(query_id).distinct(), which would embed a second
+    # full brute-force scoring plan just to enumerate 8 ids
+    qs = queries_df.select(F.col("vec_id").alias("query_id"))
     return qs.join(hits, "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
@@ -6253,18 +6265,13 @@ def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col(c)).cast("string").alias(f"{c}_max"),
         ]
     one = ev.agg(*aggs)
-    parts = []
-    for c in cols:
-        parts.append(
-            one.select(
-                F.lit(c).alias("column_name"),
-                F.col(f"{c}_nulls").alias("n_nulls"),
-                F.col(f"{c}_distinct").alias("n_distinct"),
-                F.col(f"{c}_min").alias("min_value"),
-                F.col(f"{c}_max").alias("max_value"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # unpivot the ONE-row aggregate with stack() — a per-column union
+    # would embed the whole multi-distinct aggregate subtree once per
+    # column and scan the table N times unless ReusedExchange saves it
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -732,9 +732,15 @@ def read_page_state(spark: SparkSession, sink: IdempotentKeyedSink) -> DataFrame
     return latest.withColumn("is_active", F.col("event_type") != "drop")
 
 
-def batch_latest_state(events: DataFrame) -> DataFrame:
+def batch_latest_state(
+    events: DataFrame, config: GushSparkConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """Batch twin of the streaming materializer (stream == batch
-    tests): the same struct-max argmax over the full event set."""
+    tests): the SAME kind/blacklist filters, then the same struct-max
+    argmax over the full event set — without the filters an
+    unsupported-kind or ignored-host event could become a url's
+    'current' state here while the stream never saw it."""
+    events = blacklist_filter(supported_kinds_filter(events), config)
     return (
         events.groupBy("url")
         .agg(

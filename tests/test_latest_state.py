@@ -16,7 +16,7 @@ from gush_spark.streaming.pipeline import (
     read_page_state,
 )
 
-CFG = GushSparkConfig()
+CFG = GushSparkConfig(ignored_hosts=("ignored.example",))
 
 
 def _ev(eid, url, ts_s, etype):
@@ -36,6 +36,10 @@ def _ev(eid, url, ts_s, etype):
 # would call the stale row current, event-time must not.
 EVENTS = [
     _ev(1, "https://a.example/u1", 10, "crawl"),
+    # filter parity: an unsupported kind and an ignored host must not
+    # become anyone's current state on EITHER side
+    _ev(7, "https://a.example/u1", 999, "purge"),
+    _ev(8, "https://ignored.example/u9", 50, "crawl"),
     _ev(2, "https://b.example/u2", 20, "crawl"),
     _ev(3, "https://c.example/u3", 500, "recrawl"),
     _ev(4, "https://a.example/u1", 300, "recrawl"),
@@ -63,7 +67,7 @@ def _state_dict(df):
 
 def test_stream_equals_batch_with_out_of_order_batches(spark, tmp_path):
     events_dir = tmp_path / "events"
-    generate_page_events(events_dir, EVENTS, n_chunks=6)  # 1 event per batch
+    generate_page_events(events_dir, EVENTS, n_chunks=8)  # 1 event per batch
     query, sink = latest_state_pipeline(
         spark, str(events_dir), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
         config=CFG, available_now=True, max_files_per_trigger=1,
@@ -73,12 +77,12 @@ def test_stream_equals_batch_with_out_of_order_batches(spark, tmp_path):
     assert got == EXPECTED
 
     batch = spark.read.parquet(str(events_dir))
-    assert _state_dict(batch_latest_state(batch)) == EXPECTED
+    assert _state_dict(batch_latest_state(batch, CFG)) == EXPECTED
 
 
 def test_kill_resume_and_compaction_preserve_event_time(spark, tmp_path):
     events_dir = tmp_path / "events"
-    generate_page_events(events_dir, EVENTS, n_chunks=6)
+    generate_page_events(events_dir, EVENTS, n_chunks=8)
     sink_path, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
 
     # run 1: stop after first progress

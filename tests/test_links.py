@@ -33,7 +33,8 @@ PAGES = [
         '<a href="/about">about</a>'
         '<a href="next.html">next</a>',
     ),
-    # junk hrefs: dropped, never edges
+    # junk hrefs: dropped, never edges — including schemes outside any
+    # allowlist (ftp:, ws:) which must NOT fall through to relative
     (
         3,
         "http://beta.example/p",
@@ -41,12 +42,22 @@ PAGES = [
         '<a href="javascript:void(0)">js</a>'
         '<a href="#top">top</a>'
         '<a href="">empty</a>'
-        '<a href="tel:+1555">call</a>',
+        '<a href="tel:+1555">call</a>'
+        '<a href="ftp://mirror.example/f">ftp</a>'
+        '<a href="ws://live.example/s">ws</a>',
     ),
     # page with no authority in its url: no src_host, contributes nothing
     (4, "not a url", '<a href="http://beta.example/z">z</a>'),
     # no links at all
     (5, "http://quiet.example/", "<p>nothing here</p>"),
+    # nested inline markup inside anchors: the link must still count,
+    # anchor text keeps the visible words only
+    (
+        6,
+        "http://nest.example/",
+        '<a href="http://img.example/i"><img src="x.png"></a>'
+        '<a href="http://bold.example/b"><b>bold</b>\nlink</a>',
+    ),
 ]
 
 
@@ -67,6 +78,8 @@ def test_extract_links_resolution_rules(spark):
         (2, "alpha.example", "cdn.example", "cdn"),
         (2, "alpha.example", "alpha.example", "about"),
         (2, "alpha.example", "alpha.example", "next"),
+        (6, "nest.example", "bold.example", "bold link"),
+        (6, "nest.example", "img.example", ""),
     ]
 
 
@@ -80,6 +93,8 @@ def test_host_link_graph_counts(spark):
         ("alpha.example", "gamma.example"): (1, 1),
         ("alpha.example", "cdn.example"): (1, 1),
         ("alpha.example", "alpha.example"): (2, 1),
+        ("nest.example", "bold.example"): (1, 1),
+        ("nest.example", "img.example"): (1, 1),
     }
 
 
@@ -94,6 +109,9 @@ def test_link_degree_report(spark):
         "beta.example": (0, 2, 0, 1),
         "gamma.example": (0, 1, 0, 1),
         "cdn.example": (0, 1, 0, 1),
+        "nest.example": (2, 0, 2, 0),
+        "bold.example": (0, 1, 0, 1),
+        "img.example": (0, 1, 0, 1),
     }
 
 
@@ -112,6 +130,8 @@ def test_anchor_text_topk_ties_and_k(spark):
         ("alpha.example", "next", 1, 2),
         ("beta.example", "Beta one", 1, 1),
         ("beta.example", "beta two", 1, 2),
+        # img-only anchor is '' and excluded; nested-markup anchor kept
+        ("bold.example", "bold link", 1, 1),
         ("cdn.example", "cdn", 1, 1),
         ("gamma.example", "gamma", 1, 1),
     ]
