@@ -93,3 +93,73 @@ def linear_scores(
             ).alias("keep"),
         )
     )
+
+
+def calibration_bins(
+    scores: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Score-calibration audit for the classifier gate: join the
+    per-document scores from :func:`linear_scores` to a held-out
+    binary target, cut the corpus into ``n_bins`` equal-count score
+    bins (ntile over a TOTAL order — score desc, then id, so the
+    binning is deterministic and engine-exact), and report per bin
+
+        (bin, n_docs, n_pos, pos_rate_ppm, sum_score_scaled, sum_tokens)
+
+    ``pos_rate_ppm = n_pos·10^6 DIV n_docs`` (both non-negative, so
+    truncating DIV and floor ``//`` agree). A calibrated classifier
+    shows pos_rate monotone in bin; a flat profile — which the
+    default seeded-hash weights produce BY DESIGN, E[score] ≈ 0
+    independent of the label — means the scores carry no signal and
+    the threshold gate is arbitrary. This is the go/no-go audit
+    between training a filter model and trusting it to delete
+    petabytes.
+
+    The float score is used ONLY as a sort key (exactly one IEEE
+    division per row, identical in both engines); every OUTPUT column
+    is BIGINT, so the oracle is hash-exact.
+
+    Scale shape: one broadcast-able equi-join on the id (labels are
+    an eval sample, orders of magnitude smaller than the corpus), one
+    whole-relation ntile window — the sort frame is the LABELED
+    sample, not the corpus — and one ``bin``-keyed map-side-combinable
+    agg. Nothing corpus-sized crosses the wire."""
+    from pyspark.sql import Window
+
+    joined = scores.join(
+        labels.select(
+            F.col(id_col), F.col(label_col).cast("long").alias("_y")
+        ),
+        on=id_col,
+    )
+    w = Window.orderBy(
+        (
+            F.col("score_scaled").cast("double") / F.col("n_tokens")
+        ).desc(),
+        F.col(id_col),
+    )
+    binned = joined.withColumn(
+        "bin", F.ntile(int(n_bins)).over(w).cast("long")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.sum("score_scaled").cast("long").alias("sum_score_scaled"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("n_pos * 1000000L DIV n_docs").alias("pos_rate_ppm"),
+            "sum_score_scaled",
+            "sum_tokens",
+        )
+    )

@@ -888,3 +888,76 @@ def jaccard_threshold_sweep(
     return h.withColumn(
         "pairs_at_or_above", F.sum("n_pairs").over(w).cast("long")
     )
+
+
+def lsh_parameter_plan(
+    spark,
+    *,
+    k: int = MINHASH_K,
+    grid: int = 20,
+) -> DataFrame:
+    """The S-curve planner behind every (bands, rows) choice in this
+    module: for each factorization b·r == ``k`` of the signature
+    length, the probability that a pair with true Jaccard similarity
+    j collides in at least one band,
+
+        P(collide | j)  =  1 − (1 − j^r)^b
+
+    evaluated on the grid j = i/``grid``, i = 1..grid−1. Banding turns
+    MinHash into a high-pass filter on similarity; this table IS the
+    filter's transfer curve, and choosing (b, r) = reading off the
+    row where the curve crosses ~0.5 nearest the dedup threshold
+    (LSH_BANDS=4 × LSH_ROWS=4 crosses at j ≈ 0.63, the steep section
+    spanning the 0.6-0.8 near-dup regime the pipeline targets).
+
+    Float discipline: j^r and (1−j^r)^b are computed as explicit
+    sequential multiply FOLDS (``F.aggregate`` over a unit sequence ≡
+    DuckDB ``list_reduce``), never ``pow`` — both engines then execute
+    the identical chain of IEEE-754 double multiplies, so the rounded
+    output is hash-exact (the same bit-identical-fold trick as the
+    cosine oracles in queries_pipeline).
+
+    Scale shape: a parameter table — |divisors(k)|·(grid−1) rows
+    built from ``spark.range``, zero input data, zero shuffles beyond
+    one tiny explode. It runs ONCE per tuning decision; its value is
+    that the plan the 10^12-page dedup runs with is derived, not
+    guessed."""
+    factorizations = [
+        (b, k // b) for b in range(1, k + 1) if k % b == 0
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+            )
+            for b, r in factorizations
+        ]
+    )
+    base = (
+        spark.range(1, grid)
+        .select(
+            (F.col("id") * 100 / F.lit(grid)).cast("long").alias("jaccard_x100"),
+            (F.col("id") / F.lit(grid)).cast("double").alias("_j"),
+            F.explode(pairs).alias("_br"),
+        )
+        .select(
+            F.col("_br.bands").alias("bands"),
+            F.col("_br.rows_per_band").alias("rows_per_band"),
+            "jaccard_x100",
+            "_j",
+        )
+    )
+    jr = F.expr(
+        "aggregate(sequence(1, int(rows_per_band)), 1.0D, (acc, x) -> acc * _j)"
+    )
+    scored = base.withColumn("_jr", jr).withColumn(
+        "_miss",
+        F.expr("aggregate(sequence(1, int(bands)), 1.0D, (acc, x) -> acc * (1.0D - _jr))"),
+    )
+    return scored.select(
+        "bands",
+        "rows_per_band",
+        "jaccard_x100",
+        F.round(F.lit(1.0) - F.col("_miss"), 9).alias("collision_prob"),
+    )

@@ -1049,3 +1049,82 @@ def label_prop_oracle_sql(und_cte: str, *, iters: int = 4) -> str:
     )"""
         )
     return ",\n".join(parts)
+
+
+def resource_allocation(
+    edges: DataFrame,
+    *,
+    k: int = 5,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Link prediction over an UNDIRECTED simple graph given as
+    canonical edges ``(id_a, id_b)`` with ``id_a < id_b`` (the
+    triangle_counts convention): for every 2-hop pair that is NOT an
+    edge, the resource-allocation index (Zhou, Lü & Zhang 2009 — the
+    common-neighbor score that discounts promiscuous hubs hardest,
+    empirically the strongest of the classic local indices):
+
+        RA(a, c)  =  Σ_{b ∈ Γ(a) ∩ Γ(c)}  1 / deg(b)
+
+    kept in the repo's fixed-point BIGINT discipline as
+    ``Σ (scale DIV deg_b)`` — every operand non-negative, so Spark's
+    truncating DIV and DuckDB's ``//`` agree and the per-pair sum is
+    order-free, making the oracle hash-exact. Output: the top-``k``
+    predicted neighbors per source node,
+    ``(id_a, id_b, common_neighbors, ra_x1e9, rank)`` with a total
+    rank order (ra DESC, common_neighbors DESC, id_b ASC).
+
+    For a crawl pipeline this is frontier EXPANSION: pages two hops
+    apart that share many low-degree co-visit neighbors are likely
+    same-section siblings the crawler has not linked yet — the
+    discovery complement of recrawl (known pages) and bfs_hops
+    (reachable pages).
+
+    Scale shape: wedge enumeration is ONE self-equi-join of the
+    adjacency list on the shared middle vertex b — fan-out bounded by
+    deg(b)² like triangle_counts' wedge stage, with the same
+    production skew cut (cap or sample hub middles; a b with deg ≫
+    avg contributes ~0 to RA anyway, 1/deg → 0, so capping hubs is
+    both the skew fix and a no-op on the ranking). The existing-edge
+    filter is a broadcast-able anti-join on (a, c) pairs; the top-k is
+    a per-node WindowGroupLimit, never a global sort. Node ids and
+    three BIGINTs are the only wire payload."""
+    e = edges.select("id_a", "id_b").distinct()
+    adj = e.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        e.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    left = adj.select(F.col("node").alias("b"), F.col("nbr").alias("a"))
+    right = adj.select(F.col("node").alias("b"), F.col("nbr").alias("c"))
+    wedges = (
+        left.join(right, on="b")
+        .filter(F.col("a") < F.col("c"))
+        .join(deg.select(F.col("node").alias("b"), "deg"), on="b")
+    )
+    pair_scores = wedges.groupBy("a", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum(F.expr(f"{int(scale)}L DIV deg")).cast("long").alias("ra_x1e9"),
+    )
+    cand = pair_scores.join(
+        e,
+        (F.col("a") == F.col("id_a")) & (F.col("c") == F.col("id_b")),
+        "left_anti",
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("ra_x1e9").desc(), F.col("common_neighbors").desc(), F.col("c")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("c").alias("id_b"),
+            "common_neighbors",
+            "ra_x1e9",
+            "rank",
+        )
+    )

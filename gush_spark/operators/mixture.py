@@ -174,3 +174,49 @@ def token_budget_plan(
         ).alias("epochs"),
         (F.col("plan_toks") > F.col("_cap_toks")).alias("over_cap"),
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    stratum_col: str,
+    *,
+    temperature: float = 2.0,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum — the
+    multilingual rebalancing rule (mT5 / XLM-R style): sample stratum
+    s with probability ∝ n_s^(1/T), which upweights low-resource
+    strata relative to raw proportions as T grows (T=1 is natural
+    frequency, T→∞ is uniform).
+
+    This module's :func:`mixture_resample` takes target weights as a
+    GIVEN; this derives them from corpus counts. Only T=2 is exposed:
+    n^(1/2) is ``sqrt``, the one power IEEE-754 requires to be
+    correctly rounded, so Spark and DuckDB produce the identical
+    double and ``floor(sqrt(n)·scale)`` is engine-exact BIGINT —
+    general T would ride on ``pow``, whose cross-engine last-ulp
+    behavior this repo refuses to depend on (same reasoning as the
+    fold-based cosine oracles).
+
+    Returns ``(stratum, n_docs, weight)`` with
+    ``weight = floor(sqrt(n_docs) · weight_scale)`` — integer
+    "populations" ready for budget.apportion_budget, which converts
+    them into an exact integer allocation (Σ alloc == budget, zero
+    float drift). The composition — count, sqrt-scale, apportion — is
+    the whole operator; each stage is one map-side-combinable agg or
+    one stratum-frame window, nothing corpus-sized on the wire."""
+    if temperature != 2.0:
+        raise NotImplementedError(
+            "only T=2 (exponent 1/2 == sqrt) is engine-exact; see docstring"
+        )
+    return df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(
+        "stratum",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double")) * F.lit(int(weight_scale))
+        )
+        .cast("long")
+        .alias("weight"),
+    )

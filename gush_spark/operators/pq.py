@@ -403,3 +403,78 @@ def ivfpq_topk(
         assignments, centroids, cb, codes, queries, id_col, vec_col,
         m=m, n_probe=n_probe, k=k, dim=dim,
     )
+
+
+def sq8_report(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (int8) quantization audit — the 4× compression tier
+    BELOW product quantization: each dimension d gets a linear
+    [min_d, max_d] → {0..255} code, and the report quantifies what
+    that costs per vector:
+
+        (id, n_dims, sse, max_abs_err)
+
+    SSE = Σ_d (v_d − dequant(quant(v_d)))², both error columns
+    rounded to 9 places. Faiss's ``SQ8`` / Lucene's scalar-quantized HNSW use
+    exactly this codec; a corpus whose sse is tiny relative to vector
+    norms can run ANN on 1/4 the memory BEFORE reaching for pq.py's
+    machinery — this report is the decision input.
+
+    Float discipline (why this is hash-exact): per-dim min/max of
+    doubles are EXACT selections; the quantize → dequantize → error
+    chain is a fixed expression tree of IEEE ops evaluated per
+    element; and the per-vector sum runs as an in-order FOLD over the
+    dimension arrays (``F.aggregate`` ≡ DuckDB ``list_reduce``),
+    never a row-order-dependent aggregate. Same discipline as the
+    fold-based cosine oracles in queries_pipeline.
+
+    Scale shape: the per-dim min/max table is dim-sized (KBs) —
+    computed in one posexplode+agg pass, assembled into two arrays
+    via sort_array(collect_list) on the DIM frame (bounded, never the
+    corpus), and broadcast back; the report itself is then a map-only
+    pass over the vectors. The corpus crosses zero exchanges."""
+    dims = embeddings.select(
+        id_col, F.posexplode(vec_col).alias("_d", "_v")
+    )
+    stats = dims.groupBy("_d").agg(
+        F.min("_v").cast("double").alias("_mn"),
+        F.max("_v").cast("double").alias("_mx"),
+    )
+    pinned = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_d", "_mn", "_mx"))
+        ).alias("_s")
+    ).select(
+        F.expr("transform(_s, x -> x._mn)").alias("_mins"),
+        F.expr("transform(_s, x -> x._mx)").alias("_maxs"),
+    )
+    joined = embeddings.crossJoin(F.broadcast(pinned))
+    # quant(i) = clamp(floor((v-mn)*255/(mx-mn))); degenerate dims
+    # (mx == mn) code to 0 and dequantize back to mn exactly.
+    err = (
+        "transform(sequence(0, size({v}) - 1), i -> "
+        "  CAST({v}[i] AS DOUBLE) - ("
+        "    _mins[i] + (CASE WHEN _maxs[i] = _mins[i] THEN 0.0D ELSE "
+        "      least(255.0D, greatest(0.0D, floor(((CAST({v}[i] AS DOUBLE) - _mins[i]) * 255.0D) / (_maxs[i] - _mins[i])))) "
+        "    END) * (_maxs[i] - _mins[i]) / 255.0D"
+        "  ))"
+    ).format(v=vec_col)
+    return joined.select(
+        id_col,
+        F.size(vec_col).cast("long").alias("n_dims"),
+        F.round(
+            F.expr(
+                f"aggregate({err}, 0.0D, (acc, e) -> acc + e * e)"
+            ),
+            9,
+        ).alias("sse"),
+        F.round(
+            F.expr(
+                f"aggregate({err}, 0.0D, (acc, e) -> greatest(acc, abs(e)))"
+            ),
+            9,
+        ).alias("max_abs_err"),
+    )

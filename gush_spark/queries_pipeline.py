@@ -6275,3 +6275,311 @@ def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 session-7 additions: link prediction, LSH planning, calibration,
+# temperature mixture, vocabulary divergence, scalar quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "covisit_link_prediction",
+    oracle=(
+        "WITH "
+        + _COVISIT_EDGES_CTE
+        + """, und AS (
+      SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+      FROM edges WHERE src <> dst
+    ), adj AS (
+      SELECT id_a AS node, id_b AS nbr FROM und
+      UNION ALL SELECT id_b, id_a FROM und
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node
+    ), wedge AS (
+      SELECT l.nbr AS a, l.node AS b, r.nbr AS c
+      FROM adj l JOIN adj r ON l.node = r.node
+      WHERE l.nbr < r.nbr
+    ), ps AS (
+      SELECT a, c,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(1000000000 // d.deg) AS BIGINT) AS ra_x1e9
+      FROM wedge JOIN deg d ON d.node = wedge.b
+      GROUP BY a, c
+    ), cand AS (
+      SELECT ps.a, ps.c, ps.common_neighbors, ps.ra_x1e9
+      FROM ps LEFT JOIN und e ON e.id_a = ps.a AND e.id_b = ps.c
+      WHERE e.id_a IS NULL
+    )
+    SELECT a AS id_a, c AS id_b, common_neighbors, ra_x1e9,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY a
+            ORDER BY ra_x1e9 DESC, common_neighbors DESC, c) AS rnk
+          FROM cand)
+    WHERE rnk <= 5"""
+    ),
+)
+def q_covisit_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (graph.resource_allocation,
+    Zhou/Lü/Zhang 2009) over the undirected co-visit graph: for every
+    2-hop non-edge pair, Σ 1/deg over common neighbors in fixed-point
+    BIGINT, top-5 predicted neighbors per node — crawl-frontier
+    EXPANSION next to bfs_hops' reachability and recrawl's refresh
+    ranking. Wedge self-join on the middle vertex + one anti-join +
+    WindowGroupLimit; node ids and BIGINTs only on the wire."""
+    from gush_spark.operators.graph import resource_allocation, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_node", F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    )
+    edges = transition_edges(ev, node_col="_node", gap_s=3600)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .distinct()
+    )
+    return resource_allocation(und, k=5)
+
+
+@query(
+    "lsh_parameter_plan",
+    oracle=f"""
+    WITH f AS (SELECT unnest([1, 2, 4, 8, 16]) AS bands),
+    g AS (SELECT unnest(generate_series(1, 19)) AS i),
+    base AS (
+      SELECT CAST(bands AS BIGINT) AS bands,
+             CAST({dedup.MINHASH_K} // bands AS BIGINT) AS rows_per_band,
+             CAST(i * 100 // 20 AS BIGINT) AS jaccard_x100,
+             i / 20.0 AS _j
+      FROM f CROSS JOIN g
+    ), s1 AS (
+      SELECT *, list_reduce(
+        list_prepend(1.0::DOUBLE,
+          list_transform(generate_series(1, rows_per_band::INT), x -> _j)),
+        (a, b) -> a * b) AS _jr
+      FROM base
+    ), s2 AS (
+      SELECT *, list_reduce(
+        list_prepend(1.0::DOUBLE,
+          list_transform(generate_series(1, bands::INT), x -> 1.0 - _jr)),
+        (a, b) -> a * b) AS _miss
+      FROM s1
+    )
+    SELECT bands, rows_per_band, jaccard_x100,
+           round(1.0 - _miss, 9) AS collision_prob
+    FROM s2
+    """,
+)
+def q_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bands × rows) S-curve table behind the repo's LSH settings
+    (dedup.lsh_parameter_plan): P(collide | jaccard) for every
+    factorization of the 16-hash signature on a j = 0.05..0.95 grid,
+    computed as sequential multiply FOLDS (never pow) so both engines
+    run the identical IEEE chain. A parameter table — zero input data;
+    the 10^12-page dedup's (b, r) choice is read off this curve, not
+    guessed."""
+    from gush_spark.operators.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(spark)
+
+
+@query(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH {BASE}, {WORDS},
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tw AS (SELECT doc_id,
+                  ('0x' || substring(md5('q0' || term), 1, 8))::BIGINT
+                    % 2001 - 1000 AS wt
+           FROM tok WHERE term != ''),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(wt) AS BIGINT) AS score_scaled
+            FROM tw GROUP BY doc_id),
+    lab AS (SELECT vec_id AS doc_id,
+                   CAST(CASE WHEN label >= 5 THEN 1 ELSE 0 END AS BIGINT)
+                     AS _y
+            FROM embeddings),
+    j AS (SELECT agg.doc_id, n_tokens, score_scaled, _y
+          FROM agg JOIN lab ON agg.doc_id = lab.doc_id),
+    binned AS (
+      SELECT *, CAST(ntile(10) OVER (
+               ORDER BY CAST(score_scaled AS DOUBLE) / n_tokens DESC,
+                        doc_id) AS BIGINT) AS bin
+      FROM j)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(_y) AS BIGINT) AS n_pos,
+           CAST(sum(_y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(sum(score_scaled) AS BIGINT) AS sum_score_scaled,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM binned GROUP BY bin
+    """,
+)
+def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for the linear classifier gate
+    (classifier.calibration_bins): scores decile-binned over a total
+    order, per-bin positive rate against the eval labels (embeddings
+    label ≥ 5 as the binary target, joined doc_id = vec_id). The
+    go/no-go check between training a filter model and letting it
+    delete petabytes — the seeded-hash default weights show the flat
+    profile they should (no label signal in a random projection)."""
+    from gush_spark.operators.classifier import calibration_bins, linear_scores
+
+    docs = load(spark, sf_dir, "documents")
+    labels = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") >= 5).cast("long").alias("label"),
+    )
+    return calibration_bins(
+        linear_scores(docs), labels, id_col="doc_id", label_col="label"
+    )
+
+
+@query(
+    "lang_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ), wts AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS weight
+      FROM c
+    ), t AS (SELECT sum(weight) AS tw FROM wts
+    ), j AS (
+      SELECT lang, n_docs, weight,
+             CAST(100000 * weight // tw AS BIGINT) AS base_alloc,
+             CAST(100000 * weight % tw AS BIGINT) AS rem
+      FROM wts, t
+    ), s AS (
+      SELECT *,
+             100000 - sum(base_alloc) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rnk
+      FROM j
+    )
+    SELECT lang, n_docs, weight,
+           CAST(base_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+           CAST((base_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+                * 1000000 // n_docs AS BIGINT) AS ratio_ppm
+    FROM s
+    """,
+)
+def q_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (mixture.temperature_weights
+    + budget.apportion_budget): per-language sampling targets for a
+    100k-document budget with T=2 upweighting of low-resource
+    languages — weights are floor(sqrt(n)·10^6) (sqrt is the one
+    correctly-rounded power, so the weights are engine-exact BIGINTs)
+    apportioned by Hamilton largest remainder (Σ alloc == budget
+    exactly). ratio_ppm > 10^6 means the language is UPSAMPLED —
+    mixture_resample materializes exactly that plan."""
+    from gush_spark.operators.budget import apportion_budget
+    from gush_spark.operators.mixture import temperature_weights
+
+    docs = load(spark, sf_dir, "documents")
+    tw = temperature_weights(docs, "lang")
+    alloc = apportion_budget(
+        tw.select("stratum", "weight"), 100_000,
+        key_col="stratum", weight_col="weight",
+    ).select("stratum", F.col("alloc"))
+    return (
+        tw.join(alloc, on="stratum")
+        .select(
+            F.col("stratum").alias("lang"),
+            "n_docs",
+            "weight",
+            "alloc",
+            F.expr("alloc * 1000000L DIV n_docs").alias("ratio_ppm"),
+        )
+    )
+
+
+@query(
+    "source_vocab_divergence",
+    oracle=f"""
+    WITH b AS (SELECT source, {NORM} AS norm FROM documents),
+    tok AS (SELECT source, unnest(string_split(norm, ' ')) AS wd FROM b),
+    bk AS (SELECT source,
+                  ('0x' || substring(md5(wd), 1, 8))::BIGINT % 64 AS bucket
+           FROM tok WHERE wd != ''),
+    ps AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c_sb
+           FROM bk GROUP BY 1, 2),
+    st AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s
+           FROM ps GROUP BY 1),
+    cb AS (SELECT bucket, CAST(sum(c_sb) AS BIGINT) AS c_b
+           FROM ps GROUP BY 1),
+    ct AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_tot FROM cb),
+    cv AS (SELECT bucket, c_b * 1000000000 // n_tot AS q_ppb
+           FROM cb, ct),
+    grid AS (SELECT st.source, st.n_s, cv.bucket, cv.q_ppb
+             FROM st CROSS JOIN cv),
+    cells AS (SELECT g.source, g.n_s, g.q_ppb,
+                     COALESCE(ps.c_sb, 0) AS c_sb
+              FROM grid g LEFT JOIN ps
+                ON ps.source = g.source AND ps.bucket = g.bucket)
+    SELECT source,
+           CAST(max(n_s) AS BIGINT) AS n_tokens,
+           CAST(sum(abs(c_sb * 1000000000 // n_s - q_ppb)) AS BIGINT)
+             AS l1_x1e9
+    FROM cells GROUP BY source
+    """,
+)
+def q_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary L1 divergence from the corpus mix over 64
+    hashed vocabulary buckets (operators/divergence.py) — the
+    source-level register/spam screen next to DSIR's per-document
+    importance scores; all counts and distributions integer ppb, raw
+    text never on the wire."""
+    from gush_spark.operators.divergence import source_vocab_divergence
+
+    return source_vocab_divergence(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "sq8_quantization_report",
+    oracle="""
+    WITH d AS (
+      SELECT unnest(embedding) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ), st AS (
+      SELECT i, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+      FROM d GROUP BY i
+    ), arr AS (
+      SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+      FROM st
+    ), e AS (
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS n_dims,
+             list_transform(generate_series(1, len(embedding)), i ->
+               CAST(embedding[i] AS DOUBLE) - (
+                 mins[i] + (CASE WHEN maxs[i] = mins[i] THEN 0.0::DOUBLE
+                   ELSE least(255.0::DOUBLE, greatest(0.0::DOUBLE,
+                     floor(((CAST(embedding[i] AS DOUBLE) - mins[i])
+                            * 255.0) / (maxs[i] - mins[i]))))
+                   END) * (maxs[i] - mins[i]) / 255.0)) AS err
+      FROM embeddings CROSS JOIN arr
+    )
+    SELECT vec_id, n_dims,
+           round(list_reduce(list_prepend(0.0::DOUBLE, err),
+                 (acc, x) -> acc + x * x), 9) AS sse,
+           round(list_reduce(list_prepend(0.0::DOUBLE, err),
+                 (acc, x) -> greatest(acc, abs(x))), 9) AS max_abs_err
+    FROM e
+    """,
+)
+def q_sq8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-int8 quantization audit (pq.sq8_report): per-vector SSE
+    and max per-dim error of the per-dimension [min,max] → {0..255}
+    codec — the 4× memory tier below PQ; error folds run in dimension
+    order in both engines so the report is hash-exact. Dim-stat table
+    is KBs, broadcast back; the corpus crosses zero exchanges."""
+    from gush_spark.operators.pq import sq8_report
+
+    return sq8_report(load(spark, sf_dir, "embeddings"))

@@ -1,0 +1,243 @@
+"""Round-5 session-7 operators: resource-allocation link prediction,
+LSH parameter planning, classifier calibration, temperature mixture,
+vocabulary divergence, scalar quantization. Semantic pins beside the
+DuckDB oracle gate (tools/verify_oracle.py checks engine-exactness;
+these check the MATH is the intended math on known inputs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "id_a string, id_b string"
+    )
+
+
+class TestResourceAllocation:
+    def test_path_graph(self, spark):
+        from gush_spark.operators.graph import resource_allocation
+
+        # 1-2-3-4 path: the only 2-hop non-edges are (1,3) via 2 and
+        # (2,4) via 3, each through one middle of degree 2.
+        out = resource_allocation(
+            _edges(spark, [("1", "2"), ("2", "3"), ("3", "4")])
+        ).collect()
+        got = {(r.id_a, r.id_b): (r.common_neighbors, r.ra_x1e9) for r in out}
+        assert got == {("1", "3"): (1, 500_000_000), ("2", "4"): (1, 500_000_000)}
+
+    def test_square_sums_common_neighbors(self, spark):
+        from gush_spark.operators.graph import resource_allocation
+
+        # square 1-2-3-4-1: (1,3) and (2,4) each have TWO degree-2
+        # common neighbors -> RA = 2 * (1e9 // 2).
+        out = resource_allocation(
+            _edges(spark, [("1", "2"), ("2", "3"), ("3", "4"), ("1", "4")])
+        ).collect()
+        got = {(r.id_a, r.id_b): (r.common_neighbors, r.ra_x1e9) for r in out}
+        assert got == {("1", "3"): (2, 1_000_000_000), ("2", "4"): (2, 1_000_000_000)}
+
+    def test_existing_edges_excluded(self, spark):
+        from gush_spark.operators.graph import resource_allocation
+
+        # close (1,3): it is now an edge, so the only prediction left
+        # is (2,4) (and new wedges through the 1-3 edge).
+        out = resource_allocation(
+            _edges(
+                spark, [("1", "2"), ("2", "3"), ("3", "4"), ("1", "3")]
+            )
+        ).collect()
+        assert ("1", "3") not in {(r.id_a, r.id_b) for r in out}
+
+
+class TestLshParameterPlan:
+    def test_matches_fold_reference_exactly(self, spark):
+        from gush_spark.operators.dedup import MINHASH_K, lsh_parameter_plan
+
+        rows = lsh_parameter_plan(spark).collect()
+        assert len(rows) == 5 * 19  # divisors(16) x j-grid
+        for r in rows:
+            j = (r.jaccard_x100 / 5) / 20.0  # reconstruct i/20.0
+            jr = 1.0
+            for _ in range(r.rows_per_band):
+                jr *= j
+            miss = 1.0
+            for _ in range(r.bands):
+                miss *= 1.0 - jr
+            assert r.collision_prob == round(1.0 - miss, 9)
+            assert r.bands * r.rows_per_band == MINHASH_K
+
+    def test_monotone_in_jaccard(self, spark):
+        from gush_spark.operators.dedup import lsh_parameter_plan
+
+        rows = lsh_parameter_plan(spark).collect()
+        by_br: dict = {}
+        for r in rows:
+            by_br.setdefault((r.bands, r.rows_per_band), []).append(
+                (r.jaccard_x100, r.collision_prob)
+            )
+        for curve in by_br.values():
+            curve.sort()
+            probs = [p for _, p in curve]
+            assert all(a <= b for a, b in zip(probs, probs[1:]))
+            assert 0.0 <= probs[0] and probs[-1] <= 1.0
+
+    def test_repo_setting_threshold(self, spark):
+        from gush_spark.operators.dedup import lsh_parameter_plan
+
+        # the shipped (4 bands x 4 rows) curve crosses 0.5 between
+        # j=0.60 and j=0.65 (solve (1-j^4)^4 = 0.5 -> j ~ 0.632), its
+        # steep section spanning the 0.6-0.8 near-dup regime
+        rows = {
+            r.jaccard_x100: r.collision_prob
+            for r in lsh_parameter_plan(spark).collect()
+            if r.bands == 4
+        }
+        assert rows[60] < 0.5 < rows[65]
+
+
+class TestCalibrationBins:
+    def test_separable_scores(self, spark):
+        from gush_spark.operators.classifier import calibration_bins
+
+        scores = spark.createDataFrame(
+            [(i, 1, i) for i in range(20)],
+            "doc_id long, n_tokens long, score_scaled long",
+        )
+        labels = spark.createDataFrame(
+            [(i, 1 if i >= 10 else 0) for i in range(20)],
+            "doc_id long, label long",
+        )
+        out = {r.bin: r for r in calibration_bins(scores, labels).collect()}
+        assert len(out) == 10
+        # ntile over score DESC: bins 1-5 hold scores 19..10 (all
+        # positive), bins 6-10 hold 9..0 (all negative)
+        for b in range(1, 6):
+            assert (out[b].n_docs, out[b].n_pos, out[b].pos_rate_ppm) == (2, 2, 1_000_000)
+        for b in range(6, 11):
+            assert (out[b].n_docs, out[b].n_pos, out[b].pos_rate_ppm) == (2, 0, 0)
+
+    def test_sum_columns_exact(self, spark):
+        from gush_spark.operators.classifier import calibration_bins
+
+        scores = spark.createDataFrame(
+            [(i, 2 + i, i * 10) for i in range(10)],
+            "doc_id long, n_tokens long, score_scaled long",
+        )
+        labels = spark.createDataFrame(
+            [(i, i % 2) for i in range(10)], "doc_id long, label long"
+        )
+        out = calibration_bins(scores, labels, n_bins=2).collect()
+        assert sum(r.n_docs for r in out) == 10
+        assert sum(r.sum_score_scaled for r in out) == sum(i * 10 for i in range(10))
+        assert sum(r.sum_tokens for r in out) == sum(2 + i for i in range(10))
+
+
+class TestTemperatureMixture:
+    def test_sqrt_weights_and_apportion(self, spark):
+        from gush_spark.operators.budget import apportion_budget
+        from gush_spark.operators.mixture import temperature_weights
+
+        docs = spark.createDataFrame(
+            [(i, "a" if i < 100 else "b") for i in range(125)],
+            "doc_id long, lang string",
+        )
+        tw = {r.stratum: r for r in temperature_weights(docs, "lang").collect()}
+        assert tw["a"].weight == math.floor(math.sqrt(100) * 1_000_000)
+        assert tw["b"].weight == math.floor(math.sqrt(25) * 1_000_000)
+        alloc = {
+            r.stratum: r.alloc
+            for r in apportion_budget(
+                temperature_weights(docs, "lang"),
+                300,
+                key_col="stratum",
+                weight_col="weight",
+            ).collect()
+        }
+        # natural shares would be 240/60; T=2 moves them to 200/100 —
+        # the low-resource stratum is upsampled, and the total is exact
+        assert alloc == {"a": 200, "b": 100}
+
+    def test_general_temperature_refused(self, spark):
+        from gush_spark.operators.mixture import temperature_weights
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+        with pytest.raises(NotImplementedError):
+            temperature_weights(docs, "lang", temperature=3.0)
+
+
+class TestSourceVocabDivergence:
+    def test_identical_sources_diverge_zero(self, spark):
+        from gush_spark.operators.divergence import source_vocab_divergence
+
+        rows = [
+            (i, "the quick brown fox jumps", "A" if i % 2 == 0 else "B")
+            for i in range(10)
+        ]
+        out = source_vocab_divergence(
+            spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ).collect()
+        # each source's distribution IS the corpus distribution, and
+        # the ppb floors cancel exactly (c*1e9//n == 2c*1e9//2n)
+        assert {r.source: r.l1_x1e9 for r in out} == {"A": 0, "B": 0}
+        assert all(r.n_tokens == 25 for r in out)
+
+    def test_outlier_source_diverges(self, spark):
+        from gush_spark.operators.divergence import source_vocab_divergence
+
+        rows = [(i, "common words shared here", "A") for i in range(9)]
+        rows.append((99, "zzz qqq xxx vvv", "B"))
+        out = {
+            r.source: r.l1_x1e9
+            for r in source_vocab_divergence(
+                spark.createDataFrame(
+                    rows, "doc_id long, text string, source string"
+                )
+            ).collect()
+        }
+        assert out["B"] > out["A"] > 0
+
+
+class TestSq8Report:
+    def test_constant_dims_zero_error(self, spark):
+        from gush_spark.operators.pq import sq8_report
+
+        emb = spark.createDataFrame(
+            [(0, [3.0, -1.0]), (1, [3.0, -1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        for r in sq8_report(emb).collect():
+            assert (r.sse, r.max_abs_err, r.n_dims) == (0.0, 0.0, 2)
+
+    def test_error_bounded_by_step(self, spark):
+        from gush_spark.operators.pq import sq8_report
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), float(2 * i), 7.5]) for i in range(16)],
+            "vec_id long, embedding array<float>",
+        )
+        out = sq8_report(emb).collect()
+        # per-dim quantization step = range/255; floor-codes err in
+        # [0, step); dim 3 is constant -> contributes nothing
+        step = max(15.0 / 255, 30.0 / 255)
+        for r in out:
+            assert 0.0 <= r.max_abs_err < step + 1e-12
+            assert r.sse <= 3 * step * step
+
+    def test_known_values(self, spark):
+        from gush_spark.operators.pq import sq8_report
+
+        emb = spark.createDataFrame(
+            [(0, [0.0]), (1, [1.0]), (2, [2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r.vec_id: r for r in sq8_report(emb).collect()}
+        # v=1: code floor(1*255/2)=127, dequant 127*2/255 = 254/255
+        err = 1.0 - 127 * 2.0 / 255
+        assert out[0].sse == 0.0 and out[2].sse == 0.0
+        assert out[1].sse == round(err * err, 9)
+        assert out[1].max_abs_err == round(err, 9)

@@ -656,6 +656,65 @@ def main() -> int:
           "WindowGroupLimit" in p and "EvalPython" not in p,
           "anchor top-k lost WindowGroupLimit or grew Python eval")
 
+    # round-5 session 7: resource-allocation link prediction — wedge
+    # enumeration must stay equi-join (hash on the middle vertex /
+    # (a,c) pair keys, never nested-loop) and the per-node top-k must
+    # be WindowGroupLimit, not a global sort
+    p = plan_of(qp.q_covisit_link_prediction(spark, sf_dir))
+    check("linkpred.equi_joins_and_window_group_limit",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "EvalPython" not in p and "WindowGroupLimit" in p,
+          "link prediction grew a nested-loop join or lost the "
+          "WindowGroupLimit top-k")
+
+    # session 7: SQ8 audit — the embedding ARRAY must never cross an
+    # Exchange (only (dim, element) pairs shuffle for the stats table;
+    # the pinned min/max arrays come back as a 1-row broadcast)
+    p = plan_of(qp.q_sq8_quantization_report(spark, sf_dir))
+    bad = None
+    for mm in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p
+    ):
+        if "embedding" in mm.group(1):
+            bad = f"embedding crosses an Exchange: {mm.group(1)[:120]}"
+    check("sq8.vectors_never_shuffle",
+          bad is None and "EvalPython" not in p and "SortMergeJoin" not in p,
+          bad or "SQ8 grew Python eval or a shuffle join")
+
+    # session 7: vocabulary divergence — raw text dies at the explode
+    # (only (source, bucket) counts shuffle) and the corpus vector
+    # joins back broadcast
+    p = plan_of(qp.q_source_vocab_divergence(spark, sf_dir))
+    bad = None
+    for mm in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p
+    ):
+        if re.search(r"\b(text|norm)", mm.group(1)):
+            bad = f"raw text crosses an Exchange: {mm.group(1)[:120]}"
+    # (the plan's BroadcastNestedLoopJoins are the bounded parameter
+    # cross-joins — the 1-row corpus total and the n_buckets-row
+    # corpus vector — never a data-sized side)
+    check("divergence.no_rawtext_exchange_broadcast_vector",
+          bad is None and "CartesianProduct" not in p
+          and "EvalPython" not in p,
+          bad or "divergence grew an unbroadcast cartesian or Python eval")
+
+    # session 7: calibration — the eval-label join must broadcast (the
+    # labeled sample is orders of magnitude smaller than the corpus)
+    p = plan_of(qp.q_classifier_calibration_bins(spark, sf_dir))
+    check("calibration.label_join_broadcast",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+          and "EvalPython" not in p,
+          "label join stopped broadcasting")
+
+    # session 7: LSH planner — a parameter table: no table scan, no
+    # exchange, nothing but codegen over a range
+    p = plan_of(qp.q_lsh_parameter_plan(spark, sf_dir))
+    check("lshplan.pure_codegen_no_scan_no_exchange",
+          "Scan parquet" not in p and "Exchange" not in p
+          and "EvalPython" not in p,
+          "the parameter table grew a scan or a shuffle")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
