@@ -961,3 +961,51 @@ def lsh_parameter_plan(
         "jaccard_x100",
         F.round(F.lit(1.0) - F.col("_miss"), 9).alias("collision_prob"),
     )
+
+
+def dedup_savings_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """What exact dedup would buy, as a cluster-size histogram:
+
+        (cluster_size, n_clusters, n_docs, n_dropped, chars_dropped)
+
+    one row per duplicate-cluster SIZE — the capacity-planning view of
+    exact_dedup (which emits per-document keep flags; this emits the
+    storage/compute case for running it). ``n_dropped`` counts the
+    non-keeper documents and ``chars_dropped`` their characters (the
+    keeper is the min-id document, the exact_dedup convention, taken
+    as a struct-min so the aggregation stays one map-side-combinable
+    pass — the CDC argmax trick from operators/snapshot).
+
+    All-BIGINT; hash-exact.
+
+    Scale shape: one shuffle keyed by the 128-bit content fingerprint
+    (16 bytes/row — raw text never moves), then a histogram over the
+    cluster frame whose key cardinality is bounded by the largest
+    cluster. At 10^12 pages this is exactly the exact-dedup shuffle
+    the pipeline already pays; the report is a rollup riding on it."""
+    fp = md5_fingerprint(F.col(text_col)).alias("fingerprint")
+    clusters = (
+        df.select(F.col(id_col).alias("_id"), F.col(chars_col).alias("_ch"), fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.sum("_ch").cast("long").alias("_chars_total"),
+            F.min(F.struct("_id", "_ch")).alias("_keeper"),
+        )
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+            F.sum(F.col("_chars_total") - F.col("_keeper._ch"))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+    )

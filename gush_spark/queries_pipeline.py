@@ -6583,3 +6583,71 @@ def q_sq8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.pq import sq8_report
 
     return sq8_report(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "quality_length_correlation",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, n_chars, {NORM} AS norm FROM documents),
+    w2 AS (SELECT doc_id, n_chars, norm, string_split(norm, ' ') AS ws
+           FROM b),
+    feat AS (SELECT doc_id, n_chars, {QUALITY_RATIOS} FROM w2),
+    q AS (SELECT doc_id, n_chars, {QUALITY_SCORE} AS qs FROM feat),
+    r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY qs, doc_id) AS ra,
+            row_number() OVER (ORDER BY n_chars, doc_id) AS rb
+          FROM q)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+           round(1.0 - (6.0 * sum((ra - rb) * (ra - rb)))
+                 / (count(*) * (count(*) * count(*) - 1)), 9) AS rho
+    FROM r
+    """,
+)
+def q_quality_length_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the heuristic quality score
+    and raw document length (operators/correlation.py) — the
+    redundancy audit for the gate stack: ρ near 1 would mean the
+    quality gate is a length gate in disguise and one of the two can
+    be dropped from the 10^12-page pass. Ranks are deterministic
+    row_number totals (score, then id); Σd² and n(n²−1) exact BIGINT;
+    ρ is one double multiply + divide, hash-exact."""
+    from gush_spark.operators.correlation import spearman_rho
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        ta.quality_features(F.col("text"))["quality_score"].alias("_qs"),
+    )
+    return spearman_rho(scored, "_qs", "n_chars")
+
+
+@query(
+    "dedup_savings_report",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, n_chars, {NORM} AS norm FROM documents),
+    cl AS (SELECT md5(norm) AS fp,
+                  CAST(count(*) AS BIGINT) AS cs,
+                  CAST(sum(n_chars) AS BIGINT) AS ct,
+                  CAST(arg_min(n_chars, doc_id) AS BIGINT) AS kc
+           FROM b GROUP BY 1)
+    SELECT cs AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cs) AS BIGINT) AS n_docs,
+           CAST(sum(cs - 1) AS BIGINT) AS n_dropped,
+           CAST(sum(ct - kc) AS BIGINT) AS chars_dropped
+    FROM cl GROUP BY cs
+    """,
+)
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup capacity planning (dedup.dedup_savings_report):
+    duplicate-cluster size histogram with dropped-document and
+    dropped-character totals — the storage/compute case for the dedup
+    pass, riding the same 16-byte fingerprint shuffle exact_dedup
+    already pays (keeper = min-id via struct-min, one combinable
+    agg)."""
+    from gush_spark.operators.dedup import dedup_savings_report
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_savings_report(docs, "doc_id", "text")

@@ -241,3 +241,56 @@ class TestSq8Report:
         assert out[0].sse == 0.0 and out[2].sse == 0.0
         assert out[1].sse == round(err * err, 9)
         assert out[1].max_abs_err == round(err, 9)
+
+
+class TestSpearmanRho:
+    def test_perfect_and_inverse(self, spark):
+        from gush_spark.operators.correlation import spearman_rho
+
+        df = spark.createDataFrame(
+            [(i, float(i), float(10 - i)) for i in range(10)],
+            "doc_id long, a double, b double",
+        )
+        same = spearman_rho(df, "a", "a").collect()[0]
+        assert (same.rho, same.sum_d2) == (1.0, 0)
+        inv = spearman_rho(df, "a", "b").collect()[0]
+        assert inv.rho == -1.0
+
+    def test_known_value(self, spark):
+        from gush_spark.operators.correlation import spearman_rho
+
+        # ranks a: 1..5 ; ranks b for values [1,3,2,5,4]: d = 0,1,1,1,1
+        df = spark.createDataFrame(
+            [(1, 1.0, 1.0), (2, 2.0, 3.0), (3, 3.0, 2.0),
+             (4, 4.0, 5.0), (5, 5.0, 4.0)],
+            "doc_id long, a double, b double",
+        )
+        r = spearman_rho(df, "a", "b").collect()[0]
+        assert r.sum_d2 == 4
+        assert r.rho == round(1.0 - 6.0 * 4 / (5 * 24), 9)
+
+
+class TestDedupSavingsReport:
+    def test_histogram_and_chars(self, spark):
+        from gush_spark.operators.dedup import dedup_savings_report
+
+        rows = [
+            (1, "aa bb", 5), (2, "aa bb", 5), (3, "aa  bb", 6),  # 3-cluster
+            (4, "cc", 2), (5, "cc", 2),                           # 2-cluster
+            (6, "dd", 2),                                         # singleton
+        ]
+        out = {
+            r.cluster_size: r
+            for r in dedup_savings_report(
+                spark.createDataFrame(
+                    rows, "doc_id long, text string, n_chars long"
+                ),
+                "doc_id",
+                "text",
+            ).collect()
+        }
+        # normalization folds the double space, so docs 1-3 cluster
+        assert (out[3].n_clusters, out[3].n_docs, out[3].n_dropped) == (1, 3, 2)
+        assert out[3].chars_dropped == (5 + 5 + 6) - 5  # keeper = doc 1
+        assert (out[2].n_clusters, out[2].n_dropped, out[2].chars_dropped) == (1, 1, 2)
+        assert (out[1].n_clusters, out[1].n_dropped, out[1].chars_dropped) == (1, 0, 0)
