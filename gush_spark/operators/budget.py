@@ -91,3 +91,61 @@ def apportion_budget(
         "extra",
         (F.col("base_alloc") + F.col("extra")).alias("alloc"),
     )
+
+
+def drain_schedule(
+    demand: DataFrame,
+    budget: int,
+    quota_per_cycle: int,
+    key_col: str = "host",
+    demand_col: str = "n_pages",
+) -> DataFrame:
+    """The scheduling triad composed into a drain plan: apportion the
+    global per-cycle fetch ``budget`` across hosts by demand
+    (:func:`apportion_budget`), cap each host's per-cycle rate at the
+    politeness ``quota_per_cycle`` (the budget may hand a mega-host
+    more slots than politeness lets it spend), and report how many
+    cycles each host needs to drain its backlog:
+
+        (key, n_pages, alloc, effective_rate, cycles_to_drain)
+
+        effective_rate  = least(alloc, quota)
+        cycles_to_drain = ceil(n_pages / effective_rate)
+                        = (n_pages + rate − 1) DIV rate   (BIGINT)
+
+    ``max(cycles_to_drain)`` over the output is the crawl's makespan;
+    hosts NEAR it are the critical path, and slots reclaimed from
+    politeness-capped hosts (alloc > quota — allocated slots they can
+    never spend) are the reallocation opportunity the next budget
+    cycle should take. Hosts with effective_rate 0 (zero alloc under
+    an over-subscribed budget) report NULL cycles — unscheduled, not
+    infinitely scheduled.
+
+    All-BIGINT (every operand non-negative), hash-exact. Scale shape:
+    exactly apportion_budget's — one demand agg, one host-frame
+    window; the report adds pure projection."""
+    alloc = apportion_budget(
+        demand.select(
+            F.col(key_col).alias("key"), F.col(demand_col).alias("weight")
+        ),
+        budget,
+        key_col="key",
+        weight_col="weight",
+    )
+    rated = alloc.select(
+        F.col("key").alias(key_col),
+        F.col("weight").alias(demand_col),
+        F.col("alloc").cast("long").alias("alloc"),
+        F.least(F.col("alloc"), F.lit(int(quota_per_cycle)).cast("long"))
+        .cast("long")
+        .alias("effective_rate"),
+    )
+    return rated.withColumn(
+        "cycles_to_drain",
+        F.when(
+            F.col("effective_rate") > 0,
+            F.expr(
+                f"({demand_col} + effective_rate - 1) DIV effective_rate"
+            ),
+        ).cast("long"),
+    )

@@ -6651,3 +6651,61 @@ def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return dedup_savings_report(docs, "doc_id", "text")
+
+
+@query(
+    "crawl_drain_schedule",
+    oracle="""
+    WITH wts AS (
+      SELECT source AS key, CAST(count(*) AS BIGINT) AS wt
+      FROM documents GROUP BY source
+    ), t AS (SELECT sum(wt) AS tw FROM wts
+    ), j AS (
+      SELECT key, wt,
+             CAST(997 * wt // tw AS BIGINT) AS base_alloc,
+             CAST(997 * wt % tw AS BIGINT) AS rem
+      FROM wts, t
+    ), s AS (
+      SELECT *,
+             997 - sum(base_alloc) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, key) AS rnk
+      FROM j
+    ), a AS (
+      SELECT key AS source, wt AS n_pages,
+             CAST(base_alloc
+                  + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+      FROM s
+    ), r AS (
+      SELECT source, n_pages, alloc,
+             CAST(least(alloc, 40) AS BIGINT) AS effective_rate
+      FROM a
+    )
+    SELECT source, n_pages, alloc, effective_rate,
+           CAST(CASE WHEN effective_rate > 0
+                     THEN (n_pages + effective_rate - 1) // effective_rate
+                END AS BIGINT) AS cycles_to_drain
+    FROM r
+    """,
+)
+def q_crawl_drain_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduling triad composed into a drain plan
+    (budget.drain_schedule): Hamilton-apportion a 997-slot per-cycle
+    budget across sources by backlog, cap each source's usable rate at
+    a politeness quota of 40/cycle, and report cycles-to-drain — the
+    makespan view a crawl planner reads before reallocating slots that
+    politeness-capped hosts can never spend. All-BIGINT ceil via
+    (n + r − 1) DIV r."""
+    from gush_spark.operators.budget import drain_schedule
+
+    docs = load(spark, sf_dir, "documents")
+    demand = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    return drain_schedule(demand, 997, 40, key_col="host").select(
+        F.col("host").alias("source"),
+        "n_pages",
+        "alloc",
+        "effective_rate",
+        "cycles_to_drain",
+    )

@@ -294,3 +294,35 @@ class TestDedupSavingsReport:
         assert out[3].chars_dropped == (5 + 5 + 6) - 5  # keeper = doc 1
         assert (out[2].n_clusters, out[2].n_dropped, out[2].chars_dropped) == (1, 1, 2)
         assert (out[1].n_clusters, out[1].n_dropped, out[1].chars_dropped) == (1, 0, 0)
+
+
+class TestDrainSchedule:
+    def test_quota_caps_and_ceil(self, spark):
+        from gush_spark.operators.budget import drain_schedule
+
+        demand = spark.createDataFrame(
+            [("big", 90), ("small", 10)], "host string, n_pages long"
+        )
+        out = {
+            r.host: r
+            for r in drain_schedule(demand, 100, 40, key_col="host").collect()
+        }
+        # apportionment: big 90, small 10; politeness caps big at 40
+        assert (out["big"].alloc, out["big"].effective_rate) == (90, 40)
+        assert out["big"].cycles_to_drain == 3  # ceil(90/40)
+        assert (out["small"].effective_rate, out["small"].cycles_to_drain) == (10, 1)
+
+    def test_zero_rate_is_null_not_infinite(self, spark):
+        from gush_spark.operators.budget import drain_schedule
+
+        demand = spark.createDataFrame(
+            [("a", 1_000_000), ("b", 1)], "host string, n_pages long"
+        )
+        out = {
+            r.host: r for r in drain_schedule(demand, 1, 5, key_col="host").collect()
+        }
+        # the single slot goes to the largest remainder; the other host
+        # is unscheduled this cycle -> NULL, never a divide-by-zero
+        assert sum(r.alloc for r in out.values()) == 1
+        starved = [r for r in out.values() if r.alloc == 0][0]
+        assert starved.cycles_to_drain is None

@@ -89,6 +89,13 @@ HEAVY = [
     "weighted_sample_topk",
     "redirect_chain_resolution",
     "warc_parse_report",
+    # round-5 session 7 (documents-driven; sq8/calibration are
+    # embeddings-joined and lsh_parameter_plan is data-free — probing
+    # them against a documents-only 10x fixture would be meaningless)
+    "source_vocab_divergence",
+    "quality_length_correlation",
+    "dedup_savings_report",
+    "lang_temperature_mixture",
 ]
 
 # events-driven probes (sessions / graph / scheduling): run as an argv
@@ -115,6 +122,8 @@ EVENTS_PROBE = [
     "latest_event_state",
     "skew_report",
     "table_profile_events",
+    # round-5 session 7
+    "covisit_link_prediction",
 ]
 
 N_VARIANTS = 10
