@@ -91,3 +91,60 @@ def curriculum_order(
             ),
         )
     )
+
+
+def interleave_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    *,
+    bucket_width: int = 8,
+    n_buckets: int = 64,
+    n_phases: int = 3,
+) -> DataFrame:
+    """Balanced round-robin training order — the ANTI-curriculum: where
+    :func:`curriculum_order` sorts the corpus by a difficulty key,
+    this interleaves strata so every stretch of the training stream
+    carries every source/language (the shard-interleave every
+    multi-source pretraining run performs so the optimizer never sees
+    a million consecutive pages from one crawl).
+
+    Definition: ``depth`` = the document's 1-based rank WITHIN its
+    stratum (md5-of-id order — content-independent and stable under
+    adding/removing other strata, the stratified-sampling rule);
+    global order = (depth ASC, id ASC). All depth-1 docs (one per
+    stratum) come first, then every depth-2 doc, ... — exact
+    round-robin, degrading gracefully when strata have unequal sizes
+    (exhausted strata simply drop out at their depth).
+
+    Returns ``(id, stratum, depth, rank, phase)`` where ``rank`` is
+    the exact 1-based global position and ``phase`` the equal BIGINT
+    band — both computed by :func:`curriculum_order` over the integer
+    ``depth`` key, so the global ordinal costs one stratum-keyed
+    window plus the bucketed two-phase ordinal, never a global sort.
+
+    Scale shape: one exchange keyed by stratum (the depth window),
+    then curriculum_order's map-only bucket + per-bucket rank + KB
+    offset join. ``bucket_width`` buckets the DEPTH key: width 8 and
+    64 buckets cover depth ≤ 512 exactly and clamp deeper docs into
+    the last bucket (still exact — ties stay in-bucket); size them to
+    max-stratum-depth / n_buckets for mega-corpora."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.row_number().over(w).cast("long").alias("depth"),
+    )
+    ordered = curriculum_order(
+        ranked,
+        id_col=id_col,
+        key_col="depth",
+        bucket_width=bucket_width,
+        n_buckets=n_buckets,
+        n_phases=n_phases,
+    )
+    return ordered.join(
+        ranked.select(id_col, stratum_col), on=id_col
+    ).select(id_col, stratum_col, "depth", "rank", "phase")

@@ -478,3 +478,84 @@ def sq8_report(
             9,
         ).alias("max_abs_err"),
     )
+
+
+def sq8_dim_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension health card over the SQ8 code space — the
+    dimension-collapse detector run before trusting an embedding
+    column to ANN/SemDeDup:
+
+        (dim, n_vecs, mn, mx, n_distinct_codes, sum_code,
+         sum_code_sq, code_var)
+
+    A healthy embedding spreads each dimension across many codes; a
+    collapsed dimension (every vector ~identical there) shows
+    n_distinct_codes ≈ 1 and code_var ≈ 0 — and contributes nothing
+    to any distance, so it can be dropped from the codec. Working on
+    the int8 CODES instead of raw floats is what makes the statistics
+    engine-exact AND order-free: sum and sum-of-squares of codes are
+    BIGINT aggs (no float summation order to disagree on), and the
+    variance is derived from those two exact integers in one fixed
+    double expression. (Code variance ≈ value variance scaled by
+    (range/255)² — the audit signal is identical.) Overflow honesty:
+    sum_code_sq exceeds 2^53 around 1.4·10^12 rows; shard the audit
+    or widen to DECIMAL there.
+
+    Scale shape: one posexplode pass for the dim-stat table (KBs,
+    broadcast back), one more for the code agg — both map-side
+    combinable, keyed by the 64-ish dim frame; the corpus never
+    shuffles."""
+    d = embeddings.select(
+        id_col, F.posexplode(vec_col).alias("_d", "_v")
+    )
+    st = d.groupBy("_d").agg(
+        F.min("_v").cast("double").alias("_mn"),
+        F.max("_v").cast("double").alias("_mx"),
+    )
+    j = d.join(F.broadcast(st), on="_d")
+    code = (
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor(
+                        (
+                            (F.col("_v").cast("double") - F.col("_mn"))
+                            * F.lit(255.0)
+                        )
+                        / (F.col("_mx") - F.col("_mn"))
+                    ),
+                ),
+            )
+        )
+        .cast("long")
+    )
+    coded = j.select(
+        F.col("_d").cast("long").alias("dim"), "_mn", "_mx", code.alias("_c")
+    )
+    return (
+        coded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("_mn").alias("mn"),
+            F.max("_mx").alias("mx"),
+            F.countDistinct("_c").cast("long").alias("n_distinct_codes"),
+            F.sum("_c").cast("long").alias("sum_code"),
+            F.sum(F.col("_c") * F.col("_c")).cast("long").alias("sum_code_sq"),
+        )
+        .withColumn(
+            "code_var",
+            F.round(
+                F.col("sum_code_sq").cast("double") / F.col("n_vecs")
+                - (F.col("sum_code").cast("double") / F.col("n_vecs"))
+                * (F.col("sum_code").cast("double") / F.col("n_vecs")),
+                9,
+            ),
+        )
+    )

@@ -6709,3 +6709,79 @@ def q_crawl_drain_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effective_rate",
         "cycles_to_drain",
     )
+
+
+@query(
+    "interleave_training_order",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS depth
+      FROM documents
+    )
+    SELECT doc_id, source, depth,
+           CAST(row_number() OVER (ORDER BY depth, doc_id) AS BIGINT)
+             AS rank,
+           CAST((row_number() OVER (ORDER BY depth, doc_id) - 1) * 3
+                // count(*) OVER () AS BIGINT) AS phase
+    FROM r
+    """,
+)
+def q_interleave_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced round-robin training order
+    (curriculum.interleave_order): every stretch of the stream carries
+    every source — depth = md5-rank within source, global order
+    (depth, id) materialized by the bucketed two-phase ordinal (no
+    global sort); the shard-interleave complement of curriculum_order's
+    difficulty sort."""
+    from gush_spark.operators.curriculum import interleave_order
+
+    return interleave_order(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "sq8_dim_stats",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ), st AS (
+      SELECT i, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+      FROM d GROUP BY i
+    ), coded AS (
+      SELECT d.i - 1 AS dim, st.mn, st.mx,
+             CAST(CASE WHEN st.mx = st.mn THEN 0 ELSE
+               least(255.0, greatest(0.0,
+                 floor(((CAST(d.v AS DOUBLE) - st.mn) * 255.0)
+                       / (st.mx - st.mn))))
+             END AS BIGINT) AS c
+      FROM d JOIN st ON d.i = st.i
+    ), agg AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             min(mn) AS mn, max(mx) AS mx,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_codes,
+             CAST(sum(c) AS BIGINT) AS sum_code,
+             CAST(sum(c * c) AS BIGINT) AS sum_code_sq
+      FROM coded GROUP BY dim
+    )
+    SELECT dim, n_vecs, mn, mx, n_distinct_codes, sum_code, sum_code_sq,
+           round(CAST(sum_code_sq AS DOUBLE) / n_vecs
+                 - (CAST(sum_code AS DOUBLE) / n_vecs)
+                 * (CAST(sum_code AS DOUBLE) / n_vecs), 9) AS code_var
+    FROM agg
+    """,
+)
+def q_sq8_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health card over SQ8 codes
+    (pq.sq8_dim_stats): distinct-code count and integer-exact code
+    variance per dimension — the dimension-collapse detector run
+    before ANN/SemDeDup trusts the column; BIGINT sums make the
+    statistics order-free and hash-exact, the corpus never shuffles."""
+    from gush_spark.operators.pq import sq8_dim_stats
+
+    return sq8_dim_stats(load(spark, sf_dir, "embeddings"))

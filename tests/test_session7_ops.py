@@ -326,3 +326,74 @@ class TestDrainSchedule:
         assert sum(r.alloc for r in out.values()) == 1
         starved = [r for r in out.values() if r.alloc == 0][0]
         assert starved.cycles_to_drain is None
+
+
+class TestInterleaveOrder:
+    def test_round_robin_depths(self, spark):
+        from gush_spark.operators.curriculum import interleave_order
+
+        docs = spark.createDataFrame(
+            [(i, "s%d" % (i % 3)) for i in range(12)],
+            "doc_id long, source string",
+        )
+        out = sorted(
+            interleave_order(docs, stratum_col="source").collect(),
+            key=lambda r: r.rank,
+        )
+        # rank is a gapless 1..N permutation and depth never decreases
+        assert [r.rank for r in out] == list(range(1, 13))
+        depths = [r.depth for r in out]
+        assert depths == sorted(depths)
+        # every depth-1 block holds each source exactly once
+        first_block = [r.source for r in out if r.depth == 1]
+        assert sorted(first_block) == ["s0", "s1", "s2"]
+
+    def test_unequal_strata_drop_out(self, spark):
+        from gush_spark.operators.curriculum import interleave_order
+
+        docs = spark.createDataFrame(
+            [(0, "big"), (1, "big"), (2, "big"), (3, "small")],
+            "doc_id long, source string",
+        )
+        out = sorted(
+            interleave_order(docs, stratum_col="source").collect(),
+            key=lambda r: r.rank,
+        )
+        # depth 1: both strata; depths 2-3: only the big one remains
+        assert [r.depth for r in out] == [1, 1, 2, 3]
+        assert sorted(r.source for r in out[:2]) == ["big", "small"]
+        assert [r.source for r in out[2:]] == ["big", "big"]
+
+
+class TestSq8DimStats:
+    def test_collapsed_vs_spread_dim(self, spark):
+        from gush_spark.operators.pq import sq8_dim_stats
+
+        emb = spark.createDataFrame(
+            [(i, [7.0, float(i)]) for i in range(16)],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r.dim: r for r in sq8_dim_stats(emb).collect()}
+        # dim 0 is constant: code 0 everywhere, zero variance
+        assert (out[0].n_distinct_codes, out[0].sum_code, out[0].code_var) == (1, 0, 0.0)
+        # dim 1 spreads 0..15 over the full code range: 16 distinct codes
+        assert out[1].n_distinct_codes == 16
+        assert out[1].code_var > 0
+        assert (out[1].mn, out[1].mx) == (0.0, 15.0)
+
+    def test_integer_sums_match_python(self, spark):
+        from gush_spark.operators.pq import sq8_dim_stats
+
+        vals = [0.0, 1.0, 3.0, 4.0]
+        emb = spark.createDataFrame(
+            [(i, [v]) for i, v in enumerate(vals)],
+            "vec_id long, embedding array<float>",
+        )
+        r = sq8_dim_stats(emb).collect()[0]
+        codes = [int(min(255, max(0, (v - 0.0) * 255 // 4))) for v in vals]
+        assert r.sum_code == sum(codes)
+        assert r.sum_code_sq == sum(c * c for c in codes)
+        n = len(codes)
+        assert r.code_var == round(
+            sum(c * c for c in codes) / n - (sum(codes) / n) ** 2, 9
+        )
