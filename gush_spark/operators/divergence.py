@@ -114,3 +114,68 @@ def source_vocab_divergence(
             F.sum("_d").cast("long").alias("l1_x1e9"),
         )
     )
+
+
+def hapax_report(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source hapax-legomenon profile — the OCR-noise / gibberish
+    screen classical corpus linguistics runs first: tokens whose
+    CORPUS-WIDE count is exactly 1 ("hapax legomena"). A healthy text
+    source shows a stable hapax share (Zipf's tail); a source full of
+    broken encodings, random ids, or OCR shrapnel spikes it, and a
+    boilerplate mill collapses it.
+
+        (source, n_tokens, n_types, n_hapax,
+         hapax_token_ppm, hapax_type_ppm)
+
+    ``n_types`` counts distinct words in the source; a corpus-hapax
+    word necessarily belongs to exactly one source (count 1), so the
+    per-source hapax counts partition the global hapax set. Both
+    shares are truncating BIGINT ppm — hash-exact.
+
+    Scale shape: one (source, word-hash) count (md5 keys on the wire,
+    never raw words beyond the agg buffer), a word-level corpus rollup
+    of the SAME counts (no second scan), and the hapax flag rides a
+    join keyed by the word hash. The divergence-report discipline with
+    the full vocabulary instead of 64 buckets — this one needs exact
+    count-1 identification, so it pays the vocabulary-sized (but
+    heavily combinable) shuffle that source_vocab_divergence's sketch
+    avoids."""
+    from gush_spark.functions.text_analysis import words_of
+
+    words = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(words_of(F.col(text_col))).alias("_w"),
+    ).filter(F.col("_w") != "")
+    keyed = words.select("source", F.md5(F.col("_w")).alias("wk"))
+    per_src = keyed.groupBy("source", "wk").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sw")
+    )
+    corpus = per_src.groupBy("wk").agg(
+        F.sum("c_sw").cast("long").alias("c_w")
+    )
+    flagged = per_src.join(corpus, on="wk").select(
+        "source",
+        "c_sw",
+        (F.col("c_w") == 1).cast("long").alias("_hx"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("c_sw").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("_hx").cast("long").alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("n_hapax * 1000000L DIV n_tokens").alias("hapax_token_ppm"),
+            F.expr("n_hapax * 1000000L DIV n_types").alias("hapax_type_ppm"),
+        )
+    )

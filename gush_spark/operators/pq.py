@@ -559,3 +559,67 @@ def sq8_dim_stats(
             ),
         )
     )
+
+
+def pq_adc_rerank_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    r: int = 20,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-stage retrieval — the production PQ pattern (Jégou et al.
+    §V): ADC over the compressed codes produces a cheap top-``r``
+    shortlist, then the EXACT (quantized-integer) distance re-ranks
+    only those ``r`` candidates into the final top-``k``:
+
+        (query_id, neighbor_id, adc_dist, exact_dist, rank)
+
+    ADC error is bounded by quantization distortion, so with r a few ×
+    k the rerank recovers the exact ranking at a fraction of the cost:
+    the corpus-sized scan touches CODES only (M lookups/candidate);
+    full-dimension arithmetic happens on Q·r vectors.
+
+    Scale shape: the shortlist ids (Q·r rows, KBs) broadcast into a
+    semi-join that prunes the float corpus BEFORE any explode — the
+    rerank never materializes corpus-wide coordinates, and the final
+    window is over Q·r rows. Exactness: both distances are the repo's
+    quantized-long squared L2 (order-free integer sums), so the oracle
+    reproduces them bit-for-bit."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    n_m = codebook.select(F.max("m")).first()[0] + 1
+    subdim = dim // n_m
+    coarse = pq_adc_topk(
+        codes, codebook, queries, id_col=id_col, vec_col=vec_col,
+        k=r, dim=dim,
+    ).select("query_id", "neighbor_id", "adc_dist")
+    short_ids = coarse.select(
+        F.col("neighbor_id").alias(id_col)
+    ).distinct()
+    cand = vectors.join(F.broadcast(short_ids), on=id_col, how="leftsemi")
+    vsub = _subcoords(cand, id_col, vec_col, subdim).select(
+        F.col(id_col).alias("neighbor_id"), "m", "pos", "xq"
+    )
+    qsub = _subcoords(queries, id_col, vec_col, subdim).select(
+        F.col(id_col).alias("query_id"), "m", "pos", F.col("xq").alias("qq")
+    )
+    d = F.col("qq") - F.col("xq")
+    exact = (
+        coarse.join(vsub, on="neighbor_id")
+        .join(qsub, on=["query_id", "m", "pos"])
+        .groupBy("query_id", "neighbor_id", "adc_dist")
+        .agg(F.sum(d * d).cast("long").alias("exact_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist"), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+    )

@@ -6785,3 +6785,132 @@ def q_sq8_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.pq import sq8_dim_stats
 
     return sq8_dim_stats(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "blockmax_postings",
+    oracle=f"""
+    WITH {{_TF_CTES}},
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+           GROUP BY doc_id),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS _n,
+                   (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS _toks),
+    post AS (
+      SELECT tf.term, tf.doc_id,
+             CAST(round(round(ln(1.0 + (_n - df + 0.5) / (df + 0.5)), 6)
+                   * ((tf * {{k1p1!r}}) /
+                      (tf + {{k1!r}} * ({{omb!r}}
+                       + {{b!r}} * (dl / (_toks / _n)))))
+                   * 1000000.0) AS BIGINT) AS micro
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+      WHERE df >= 2
+    ), blk AS (
+      SELECT term, doc_id, micro,
+             CAST((row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                   - 1) // 128 AS BIGINT) AS block
+      FROM post
+    )
+    SELECT term, block,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS doc_lo,
+           CAST(max(doc_id) AS BIGINT) AS doc_hi,
+           CAST(max(micro) AS BIGINT) AS block_max_micro
+    FROM blk GROUP BY term, block
+    """.format(_TF_CTES=_TF_CTES, k1p1=kw.BM25_K1 + 1.0, k1=kw.BM25_K1,
+               omb=1.0 - kw.BM25_B, b=kw.BM25_B),
+)
+def q_blockmax_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max postings index (keywords.blockmax_postings, Ding &
+    Suel 2011): per (term, 128-doc block) doc-id range + max BM25
+    micro-score — the WAND/MaxScore skipping structure a 10^12-page
+    keyword tier materializes so top-k queries skip blocks that cannot
+    reach the k-th score. Integer micro-scores shared with
+    bm25_search; per-term windows, order-free rollup."""
+    from gush_spark.operators.keywords import blockmax_postings
+
+    return blockmax_postings(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "pq_adc_rerank_topk",
+    oracle="WITH "
+    + ",\n".join(_pq_parts(1))
+    + """,
+    qsub AS (SELECT vec_id AS query_id, m, pos, xq AS qq FROM sub
+             WHERE vec_id < 8),
+    lut AS (SELECT query_id, c.m, c.code,
+                   sum((qq - cq) * (qq - cq)) AS d
+            FROM qsub q JOIN cb1 c ON q.m = c.m AND q.pos = c.pos
+            GROUP BY query_id, c.m, c.code),
+    sc AS (SELECT query_id, codes.vec_id AS neighbor_id,
+                  CAST(sum(d) AS BIGINT) AS adc_dist
+           FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+           GROUP BY query_id, codes.vec_id),
+    topr AS (SELECT query_id, neighbor_id, adc_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM sc) WHERE rnk <= 20),
+    ed AS (SELECT t.query_id, t.neighbor_id, t.adc_dist,
+                  CAST(sum((q.qq - s.xq) * (q.qq - s.xq)) AS BIGINT)
+                    AS exact_dist
+           FROM topr t
+           JOIN sub s ON s.vec_id = t.neighbor_id
+           JOIN qsub q ON q.query_id = t.query_id
+                      AND q.m = s.m AND q.pos = s.pos
+           GROUP BY 1, 2, 3)
+    SELECT query_id, neighbor_id, adc_dist, exact_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY exact_dist, neighbor_id)
+                    AS rank
+          FROM ed)
+    WHERE rank <= 5
+    """,
+)
+def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval (pq.pq_adc_rerank_topk): ADC top-20
+    shortlist over the compressed codes, exact quantized-integer
+    re-rank to top-5 — the production coarse-then-exact pattern; the
+    float corpus is touched only for the broadcast-semi-join-pruned
+    shortlist."""
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    cb = pq_ops.pq_train(vecs, iters=1, dim=_PQ_DIM)
+    codes = pq_ops.pq_encode(vecs, cb, dim=_PQ_DIM)
+    return pq_ops.pq_adc_rerank_topk(
+        codes, cb, queries_df, vecs, r=20, k=5, dim=_PQ_DIM
+    )
+
+
+@query(
+    "hapax_rate_report",
+    oracle=f"""
+    WITH b AS (SELECT source, {NORM} AS norm FROM documents),
+    tok AS (SELECT source, unnest(string_split(norm, ' ')) AS wd FROM b),
+    k2 AS (SELECT source, md5(wd) AS wk FROM tok WHERE wd != ''),
+    ps AS (SELECT source, wk, CAST(count(*) AS BIGINT) AS c_sw
+           FROM k2 GROUP BY 1, 2),
+    cw AS (SELECT wk, CAST(sum(c_sw) AS BIGINT) AS c_w FROM ps GROUP BY 1),
+    fl AS (SELECT source, c_sw,
+                  CASE WHEN c_w = 1 THEN 1 ELSE 0 END AS hx
+           FROM ps JOIN cw USING (wk))
+    SELECT source,
+           CAST(sum(c_sw) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(hx) AS BIGINT) AS n_hapax,
+           CAST(sum(hx) * 1000000 // sum(c_sw) AS BIGINT)
+             AS hapax_token_ppm,
+           CAST(sum(hx) * 1000000 // count(*) AS BIGINT)
+             AS hapax_type_ppm
+    FROM fl GROUP BY source
+    """,
+)
+def q_hapax_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomenon profile (divergence.hapax_report):
+    share of corpus-count-1 tokens per source in BIGINT ppm — the
+    OCR-noise/gibberish spike detector and boilerplate-mill collapse
+    detector; md5 word keys on the wire, one vocabulary-keyed
+    combinable shuffle."""
+    from gush_spark.operators.divergence import hapax_report
+
+    return hapax_report(load(spark, sf_dir, "documents"))

@@ -397,3 +397,125 @@ class TestSq8DimStats:
         assert r.code_var == round(
             sum(c * c for c in codes) / n - (sum(codes) / n) ** 2, 9
         )
+
+
+class TestBlockmaxPostings:
+    def test_blocks_partition_posting_list(self, spark):
+        from gush_spark.operators.keywords import blockmax_postings
+
+        docs = spark.createDataFrame(
+            [(i, "common unique%d" % i) for i in range(300)],
+            "doc_id long, text string",
+        )
+        out = blockmax_postings(docs, block_size=128).collect()
+        # unique terms are df=1 -> pruned by min_df; only "common" stays
+        assert {r.term for r in out} == {"common"}
+        blocks = sorted(out, key=lambda r: r.block)
+        assert [r.n_docs for r in blocks] == [128, 128, 44]
+        # doc-id ranges tile the posting list without overlap
+        for a, b in zip(blocks, blocks[1:]):
+            assert a.doc_hi < b.doc_lo
+        assert blocks[0].doc_lo == 0 and blocks[-1].doc_hi == 299
+        # identical docs -> identical scores -> block max equal across blocks
+        assert len({r.block_max_micro for r in blocks}) == 1
+        assert blocks[0].block_max_micro > 0
+
+    def test_block_max_bounds_members(self, spark):
+        from gush_spark.operators.keywords import blockmax_postings, bm25_search
+
+        texts = [(i, ("hot " * (1 + i % 4)) + "pad%d" % i) for i in range(40)]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        idx = {r.block: r for r in blockmax_postings(
+            docs, block_size=16).collect() if r.term == "hot"}
+        # per-doc micro-scores from the exhaustive scorer must respect
+        # each block's recorded maximum
+        scored = bm25_search(docs, ["hot"], k=40).collect()
+        per_doc = {r.doc_id: r.score_micro for r in scored}
+        for r in idx.values():
+            members = [per_doc[d] for d in per_doc
+                       if r.doc_lo <= d <= r.doc_hi]
+            assert r.block_max_micro == max(members)
+
+
+class TestAdcRerank:
+    def test_full_shortlist_equals_exact_topk(self, spark):
+        from gush_spark.operators.pq import (
+            pq_adc_rerank_topk, pq_encode, pq_train,
+        )
+        from gush_spark.operators.similarity import KMEANS_QUANT
+        import math
+
+        vecs = [(i, [math.sin(i * 1.7 + j) for j in range(8)])
+                for i in range(20)]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        queries = emb.filter(F.col("vec_id") < 2)
+        cb = pq_train(emb, iters=1, dim=8)
+        codes = pq_encode(emb, cb, dim=8)
+        out = pq_adc_rerank_topk(
+            codes, cb, queries, emb, r=20, k=5, dim=8
+        ).collect()
+        # with r = |corpus| the rerank IS the exact quantized top-k
+        import numpy as np
+        fl = {i: [float(np.float32(x)) for x in v] for i, v in vecs}
+        q = {i: [math.floor(x * KMEANS_QUANT) for x in fl[i]] for i in fl}
+        for qid in (0, 1):
+            dists = sorted(
+                (sum((a - b) ** 2 for a, b in zip(q[qid], q[n])), n)
+                for n in q
+            )[:5]
+            got = sorted(
+                [(r.exact_dist, r.neighbor_id) for r in out
+                 if r.query_id == qid]
+            )
+            assert got == dists
+
+    def test_rank_ordered_by_exact(self, spark):
+        from gush_spark.operators.pq import (
+            pq_adc_rerank_topk, pq_encode, pq_train,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 5), float(i % 3), float(i)])
+             for i in range(30)],
+            "vec_id long, embedding array<float>",
+        )
+        queries = emb.filter(F.col("vec_id") == 0)
+        cb = pq_train(emb, iters=1, dim=4)
+        codes = pq_encode(emb, cb, dim=4)
+        out = sorted(
+            pq_adc_rerank_topk(codes, cb, queries, emb, r=8, k=4,
+                               dim=4).collect(),
+            key=lambda r: r.rank,
+        )
+        assert len(out) == 4
+        ds = [r.exact_dist for r in out]
+        assert ds == sorted(ds)
+        assert out[0].neighbor_id == 0 and out[0].exact_dist == 0
+
+
+class TestHapaxReport:
+    def test_hand_counts(self, spark):
+        from gush_spark.operators.divergence import hapax_report
+
+        docs = spark.createDataFrame(
+            [(0, "a a b", "A"), (1, "c", "B")],
+            "doc_id long, text string, source string",
+        )
+        out = {r.source: r for r in hapax_report(docs).collect()}
+        a = out["A"]
+        assert (a.n_tokens, a.n_types, a.n_hapax) == (3, 2, 1)
+        assert (a.hapax_token_ppm, a.hapax_type_ppm) == (333333, 500000)
+        b = out["B"]
+        assert (b.n_tokens, b.n_types, b.n_hapax) == (1, 1, 1)
+        assert (b.hapax_token_ppm, b.hapax_type_ppm) == (1000000, 1000000)
+
+    def test_cross_source_word_not_hapax(self, spark):
+        from gush_spark.operators.divergence import hapax_report
+
+        docs = spark.createDataFrame(
+            [(0, "shared", "A"), (1, "shared", "B")],
+            "doc_id long, text string, source string",
+        )
+        out = {r.source: r for r in hapax_report(docs).collect()}
+        # the word is corpus-count 2: no hapax anywhere
+        assert out["A"].n_hapax == 0 and out["B"].n_hapax == 0
