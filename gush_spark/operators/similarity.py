@@ -1013,3 +1013,50 @@ def knn_label_eval(
             F.expr("n_correct * 1000000 div n_probes").alias("acc_ppm"),
         )
     )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    *,
+    c: int = 60,
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) — the standard ensemble combiner for hybrid retrieval
+    (BM25 ∪ dense, or several ANN tiers): each run contributes
+    ``1/(c + rank)`` per (query, neighbor), summed across runs:
+
+        (query_id, neighbor_id, n_systems, rrf_x1e6, rank)
+
+    RRF needs only RANKS, so wildly different score scales (cosine
+    vs BM25 vs ADC distance) fuse without calibration — which is why
+    it wins at web scale where score distributions drift per shard.
+    Kept engine-exact as ``Σ scale DIV (c + rank)`` (non-negative
+    BIGINTs — order-free, truncating DIV ≡ floor). Final order:
+    rrf DESC, n_systems DESC, neighbor ASC (a total order).
+
+    Scale shape: each run is already a top-k' frame (Q·k' rows); the
+    fusion is one union + one (query, neighbor)-keyed combinable agg
+    + a per-query WindowGroupLimit. Nothing corpus-sized appears."""
+    from pyspark.sql import Window
+
+    tagged = None
+    for r in runs:
+        slim = r.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"{int(scale)}L DIV ({int(c)} + rank)").alias("_pt"),
+        )
+        tagged = slim if tagged is None else tagged.unionByName(slim)
+    fused = tagged.groupBy("query_id", "neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+        F.sum("_pt").cast("long").alias("rrf_x1e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_x1e6").desc(), F.col("n_systems").desc(),
+        F.col("neighbor_id"),
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= int(k))

@@ -1264,3 +1264,60 @@ def q_customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> Data
     return cust.join(
         orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
     ).select("c_custkey", "c_name")
+
+
+@query(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS order_date_us,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the classic selective multiway join: segment
+    filter on the customer dim, date filters on BOTH fact sides, 3-way
+    equi-join, decimal-exact revenue rollup, top-10 by revenue
+    (TakeOrderedAndProject with an orderkey tiebreak so the result SET
+    is deterministic under revenue ties). Catalyst pushes all three
+    filters into the scans and broadcasts the filtered customer side;
+    revenue follows the pricing_summary DECIMAL discipline (exact sum,
+    ONE double cast)."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            .alias("order_date_us"),
+            "o_orderpriority",
+        )
+    )

@@ -6914,3 +6914,56 @@ def q_hapax_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gush_spark.operators.divergence import hapax_report
 
     return hapax_report(load(spark, sf_dir, "documents"))
+
+
+def _rrf_oracle() -> str:
+    bf = _ORACLE_REGISTRY["ann_topk_bruteforce"]
+    ls = _ORACLE_REGISTRY["ann_topk_lsh"]
+    return f"""
+    WITH bf AS ({bf}),
+    ls AS ({ls}),
+    u AS (
+      SELECT query_id, neighbor_id,
+             CAST(1000000 // (60 + rank) AS BIGINT) AS pt FROM bf
+      UNION ALL
+      SELECT query_id, neighbor_id,
+             CAST(1000000 // (60 + rank) AS BIGINT) FROM ls
+    ), f AS (
+      SELECT query_id, neighbor_id,
+             CAST(count(*) AS BIGINT) AS n_systems,
+             CAST(sum(pt) AS BIGINT) AS rrf_x1e6
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, n_systems, rrf_x1e6,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY rrf_x1e6 DESC, n_systems DESC, neighbor_id) AS rnk
+          FROM f)
+    WHERE rnk <= 10
+    """
+
+
+@query("ann_rrf_fused_topk", oracle=None)  # oracle composed below
+def q_ann_rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two ANN tiers
+    (similarity.rrf_fuse, Cormack et al. 2009): the exact brute-force
+    ranking and the sign-bucket LSH ranking fused by Σ 10^6 DIV
+    (60 + rank) — rank-only fusion needs no score calibration, which
+    is why hybrid retrieval at web scale fuses BM25 ∪ dense exactly
+    this way. Each input is an existing catalog query's frame; fusion
+    adds one combinable agg + a WindowGroupLimit."""
+    from gush_spark.operators.similarity import rrf_fuse
+
+    vecs = load(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8)
+    bf = similarity.brute_force_topk(vecs, queries_df, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+    ls = similarity.lsh_topk(vecs, queries_df, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+    return rrf_fuse([bf, ls], c=60, k=10)
+
+
+_ORACLE_REGISTRY["ann_rrf_fused_topk"] = _rrf_oracle()

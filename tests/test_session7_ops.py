@@ -519,3 +519,53 @@ class TestHapaxReport:
         out = {r.source: r for r in hapax_report(docs).collect()}
         # the word is corpus-count 2: no hapax anywhere
         assert out["A"].n_hapax == 0 and out["B"].n_hapax == 0
+
+
+class TestRrfFuse:
+    def test_hand_fusion(self, spark):
+        from gush_spark.operators.similarity import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(0, "A", 1), (0, "B", 2), (0, "C", 3)],
+            "query_id long, neighbor_id string, rank long",
+        )
+        r2 = spark.createDataFrame(
+            [(0, "B", 1), (0, "A", 2)],
+            "query_id long, neighbor_id string, rank long",
+        )
+        out = sorted(rrf_fuse([r1, r2]).collect(), key=lambda r: r.rank)
+        pts = lambda rk: 1_000_000 // (60 + rk)
+        # A and B tie exactly (1+2 vs 2+1); neighbor asc breaks the tie
+        assert [(r.neighbor_id, r.rrf_x1e6, r.n_systems) for r in out] == [
+            ("A", pts(1) + pts(2), 2),
+            ("B", pts(2) + pts(1), 2),
+            ("C", pts(3), 1),
+        ]
+
+    def test_consensus_beats_single_high_rank(self, spark):
+        from gush_spark.operators.similarity import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(0, "solo", 1), (0, "both", 2)],
+            "query_id long, neighbor_id string, rank long",
+        )
+        r2 = spark.createDataFrame(
+            [(0, "both", 2)], "query_id long, neighbor_id string, rank long"
+        )
+        out = {r.neighbor_id: r for r in rrf_fuse([r1, r2]).collect()}
+        # two rank-2 votes (2x 16129) beat one rank-1 vote (16393)
+        assert out["both"].rank == 1 and out["solo"].rank == 2
+
+
+class TestShippingPriority:
+    def test_catalog_query_shape(self, spark):
+        from gush_spark.queries_pipeline import load  # noqa: F401
+        import gush_spark.queries as q
+
+        out = q.q_shipping_priority_topk(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert 0 < len(out) <= 10
+        revs = [r.revenue for r in out]
+        assert revs == sorted(revs, reverse=True)
+        assert all(r.o_orderpriority for r in out)

@@ -715,6 +715,53 @@ def main() -> int:
           and "EvalPython" not in p,
           "the parameter table grew a scan or a shuffle")
 
+    # session 7 wave 2: block-max index build — per-TERM windows only
+    # (posting lists sort in parallel; a SinglePartition window would
+    # be the corpus-sort trap)
+    # (the plan's SinglePartition exchanges are the two 1-row scalar
+    # totals (N, Σtf) — same as bm25_search; the WINDOW must hash by
+    # term so posting lists sort in parallel)
+    p = plan_of(qp.q_blockmax_postings(spark, sf_dir))
+    check("blockmax.per_term_windows_no_global_sort",
+          "hashpartitioning(term" in p and "EvalPython" not in p,
+          "index build lost the term-keyed window partitioning")
+
+    # PQ rerank — the float corpus must be pruned by a (broadcast)
+    # LeftSemi on the shortlist BEFORE any explode
+    p = plan_of(qp.q_pq_adc_rerank_topk(spark, sf_dir))
+    check("pqrerank.semi_join_prunes_corpus",
+          "LeftSemi" in p and "CartesianProduct" not in p
+          and "EvalPython" not in p,
+          "rerank lost the shortlist semi-join prune")
+
+    # hapax — raw words die at the md5; exchanges carry hashed keys
+    p = plan_of(qp.q_hapax_rate_report(spark, sf_dir))
+    bad = None
+    for mm in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p
+    ):
+        if re.search(r"\b(_w|text|norm)", mm.group(1)):
+            bad = f"raw words cross an Exchange: {mm.group(1)[:120]}"
+    check("hapax.hashed_keys_on_the_wire",
+          bad is None and "EvalPython" not in p,
+          bad or "hapax grew Python eval")
+
+    # TPC-H Q3 shape — filters pushed into all three scans, the
+    # filtered dim broadcast, top-10 as TakeOrdered (never global sort)
+    import gush_spark.queries as coreq
+    p = plan_of(coreq.q_shipping_priority_topk(spark, sf_dir))
+    check("q3.pushed_filters_broadcast_dim_takeordered",
+          "PushedFilters: [" in p and "BroadcastHashJoin" in p
+          and "TakeOrderedAndProject" in p,
+          "Q3 lost filter pushdown, the broadcast dim join, or "
+          "TakeOrderedAndProject")
+
+    # RRF fusion — bounded frames end-to-end, WindowGroupLimit top-k
+    p = plan_of(qp.q_ann_rrf_fused_topk(spark, sf_dir))
+    check("rrf.window_group_limit_no_python",
+          "WindowGroupLimit" in p and "EvalPython" not in p,
+          "fusion lost WindowGroupLimit or grew Python eval")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
