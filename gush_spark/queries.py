@@ -1321,3 +1321,114 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
     )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE r_name = 'ASIA'
+      AND s_nationkey = c_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the six-table snowflake join: region filter
+    walks down the dimension chain (region → nation → customer), facts
+    join on their keys, and the LOCAL-supplier condition
+    (s_nationkey = c_nationkey) rides the supplier join as a residual.
+    All four dimension sides are broadcast (region/nation are rows,
+    customer/supplier are KBs next to lineitem); the only shuffle is
+    the final nation rollup. Revenue follows the pricing_summary
+    DECIMAL discipline."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    joined = (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    WITH j AS (
+      SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))) AS dp
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1998-07-01'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN dp ELSE 0 END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(sum(dp) AS DOUBLE) AS total_revenue,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN dp ELSE 0 END)
+                AS DOUBLE)
+           / CAST(sum(dp) AS DOUBLE) AS promo_share
+    FROM j
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share for one ship-date
+    window: lineitem ⋈ broadcast part, conditional DECIMAL-exact sums,
+    ONE double division at the end (the repo's float-aggregate rule:
+    both engines divide the same two exact decimals once, so the ratio
+    is bit-identical). The what-fraction-of-revenue-is-X template every
+    category rollup reuses."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    dp = price * (F.lit(1) - disc)
+    promo_dp = F.when(F.col("p_type") == "PROMO", dp).otherwise(
+        F.lit(0).cast("decimal(20,4)")
+    )
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum(promo_dp).cast("double").alias("promo_revenue"),
+        F.sum(dp).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "n_lineitems",
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )

@@ -569,3 +569,22 @@ class TestShippingPriority:
         revs = [r.revenue for r in out]
         assert revs == sorted(revs, reverse=True)
         assert all(r.o_orderpriority for r in out)
+
+
+class TestSnowflakeJoins:
+    def test_local_supplier_volume_nations(self, spark):
+        import gush_spark.queries as q
+
+        out = q.q_local_supplier_volume(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        # one row per ASIA nation present in the join; revenue positive
+        assert 0 < len(out) <= 5
+        assert all(r.revenue > 0 and r.n_lineitems > 0 for r in out)
+
+    def test_promo_share_bounded(self, spark):
+        import gush_spark.queries as q
+
+        r = q.q_promo_revenue_share(spark, "/root/testdata/sf0.001").collect()[0]
+        assert 0.0 <= r.promo_share <= 1.0
+        assert abs(r.promo_share - r.promo_revenue / r.total_revenue) < 1e-12

@@ -762,6 +762,20 @@ def main() -> int:
           "WindowGroupLimit" in p and "EvalPython" not in p,
           "fusion lost WindowGroupLimit or grew Python eval")
 
+    # Q5 snowflake — the dimension chain broadcasts; never a cartesian
+    p = plan_of(coreq.q_local_supplier_volume(spark, sf_dir))
+    check("q5.snowflake_broadcast_chain",
+          p.count("BroadcastHashJoin") >= 3
+          and "CartesianProduct" not in p and "EvalPython" not in p,
+          "Q5 lost the broadcast dimension chain")
+
+    # Q14 — part broadcast against the filtered fact, one agg
+    p = plan_of(coreq.q_promo_revenue_share(spark, sf_dir))
+    check("q14.broadcast_part_pushed_dates",
+          "BroadcastHashJoin" in p and "PushedFilters: [" in p
+          and "SortMergeJoin" not in p,
+          "Q14 lost the broadcast part join or the date pushdown")
+
     spark.stop()
     print(f"{'ALL PASS' if not FAILURES else f'{len(FAILURES)} FAILURES'}")
     return 1 if FAILURES else 0
