@@ -183,6 +183,16 @@ def bench_ann_index(spark) -> dict:
     ))
     out["pq_adc"] = {"build_sec": round(build, 3), "query_sec": min(runs),
                      "query_runs": runs}
+
+    # --- PQ ADC + exact rerank (catalog: pq_adc_rerank_topk) — same
+    # index as pq_adc; only the probe differs (ADC top-20 shortlist +
+    # exact integer rerank), so build cost is shared and the marginal
+    # rerank cost is the delta vs pq_adc's query_sec
+    runs = _timed_query(lambda: pq_ops.pq_adc_rerank_topk(
+        cdl, cbl, queries_df, vecs, r=20, k=5, dim=dim,
+    ))
+    out["pq_adc_rerank"] = {"build_sec": out["pq_adc"]["build_sec"],
+                            "query_sec": min(runs), "query_runs": runs}
     spark.catalog.clearCache()
     shutil.rmtree(work, ignore_errors=True)
     return out

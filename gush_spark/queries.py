@@ -1432,3 +1432,46 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_revenue",
         (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
     )
+
+
+@query(
+    "cube_event_stats",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(CAST(epoch_us(ts) AS BIGINT)
+                         // 86400000000 AS VARCHAR), 'ALL') AS day_bucket,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type,
+                   CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+    """,
+)
+def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, event day) — the full 2^2 grouping-set
+    lattice completing ROLLUP (hierarchical) and pivot (reshape): one
+    Expand pass emits all four grouping combinations, the aggregation
+    stays one partial+final pair, and at any scale the output is
+    bounded by |types|·|days| + margins — the pre-materialized
+    OLAP cube every dashboard slice reads. Day buckets are the repo's
+    µs-exact integer form (epoch_us DIV 86.4e9 — the paths.py
+    precision rule); value sums DECIMAL-exact with one double cast."""
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+    ).alias("_day")
+    base = ev.select("event_type", day, "value")
+    out = base.cube("event_type", "_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("_day").cast("string"), F.lit("ALL")).alias(
+            "day_bucket"
+        ),
+        "n_events",
+        "total_value",
+    )

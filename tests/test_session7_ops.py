@@ -588,3 +588,23 @@ class TestSnowflakeJoins:
         r = q.q_promo_revenue_share(spark, "/root/testdata/sf0.001").collect()[0]
         assert 0.0 <= r.promo_share <= 1.0
         assert abs(r.promo_share - r.promo_revenue / r.total_revenue) < 1e-12
+
+
+class TestCubeEventStats:
+    def test_margins_consistent(self, spark):
+        import gush_spark.queries as q
+
+        rows = q.q_cube_event_stats(spark, "/root/testdata/sf0.001").collect()
+        total = [r for r in rows
+                 if r.event_type == "ALL" and r.day_bucket == "ALL"]
+        assert len(total) == 1
+        cells = [r for r in rows
+                 if r.event_type != "ALL" and r.day_bucket != "ALL"]
+        assert sum(r.n_events for r in cells) == total[0].n_events
+        # per-type margin equals the sum of its cells
+        by_type = {}
+        for r in cells:
+            by_type[r.event_type] = by_type.get(r.event_type, 0) + r.n_events
+        for r in rows:
+            if r.event_type != "ALL" and r.day_bucket == "ALL":
+                assert r.n_events == by_type[r.event_type]

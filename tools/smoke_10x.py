@@ -96,6 +96,10 @@ HEAVY = [
     "quality_length_correlation",
     "dedup_savings_report",
     "lang_temperature_mixture",
+    # session 7 later waves (documents-driven)
+    "blockmax_postings",
+    "hapax_rate_report",
+    "interleave_training_order",
 ]
 
 # events-driven probes (sessions / graph / scheduling): run as an argv
