@@ -6967,3 +6967,43 @@ def q_ann_rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_REGISTRY["ann_rrf_fused_topk"] = _rrf_oracle()
+
+
+@query(
+    "rendezvous_rebalance",
+    oracle="""
+    WITH k AS (SELECT CAST(doc_id AS VARCHAR) AS rk FROM documents),
+    wts AS (
+      SELECT rk, s,
+             ('0x' || substring(md5(rk || '|' || CAST(s AS VARCHAR)),
+                                1, 15))::BIGINT AS w
+      FROM k, (SELECT unnest(generate_series(0, 16)) AS s)
+    ), pick AS (
+      SELECT rk,
+             CAST(arg_max(s, CASE WHEN s <= 15 THEN w END) AS BIGINT)
+               AS shard,
+             CAST(arg_max(s, w) AS BIGINT) AS after_shard
+      FROM wts GROUP BY rk
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard <> after_shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(sum(CASE WHEN shard <> after_shard THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS moved_ppm
+    FROM pick GROUP BY shard
+    """,
+)
+def q_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hashing rebalance report
+    (sources/layout.rendezvous_rebalance_report, Thaler & Ravishankar
+    1998): per-shard document counts at 16 shards and the fraction
+    that MOVES when the ring grows to 17 — HRW's only-the-winners-move
+    property measured (expected ~1/17 ≈ 58.8k ppm vs ~all under
+    mod-N), the proof the shard map grows without a corpus rewrite.
+    Map-only 60-bit md5 argmax folds; one shard-keyed agg."""
+    from gush_spark.sources.layout import rendezvous_rebalance_report
+
+    return rendezvous_rebalance_report(
+        load(spark, sf_dir, "documents"), "doc_id"
+    )

@@ -176,3 +176,72 @@ def minmax_scaled(col, lo, hi, bits: int = 8):
     return F.floor(
         (clamped - F.lit(int(lo))) * F.lit(top) / F.lit(span)
     ).cast("long")
+
+
+def rendezvous_shard(key_col: str, n_shards: int) -> Column:
+    """Rendezvous (highest-random-weight) shard for the string column
+    named ``key_col``: the shard s in 0..n_shards−1 maximizing the
+    60-bit integer ``md5(key ‖ '|' ‖ s)`` (Thaler & Ravishankar
+    1998 — the consistent-placement rule behind cache rings and shard
+    maps). Evaluated as a sequential FOLD over the shard range (one
+    struct accumulator, strictly-greater replacement ⇒ smallest shard
+    wins the astronomically-unlikely tie) — pure JVM codegen,
+    n_shards md5s per row, no explode, no shuffle."""
+    w = (
+        f"CAST(conv(substring(md5(concat({key_col}, '|',"
+        " CAST(x AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {int(n_shards) - 1}), "
+        "named_struct('w', -1L, 's', -1L), "
+        f"(acc, x) -> CASE WHEN {w} > acc.w "
+        f"THEN named_struct('w', {w}, 's', CAST(x AS BIGINT)) "
+        "ELSE acc END).s"
+    )
+
+
+def rendezvous_rebalance_report(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int = 16,
+    n_shards_after: int = 17,
+) -> DataFrame:
+    """What adding a shard costs under rendezvous hashing:
+
+        (shard, n_docs, n_moved, moved_ppm)
+
+    per CURRENT shard — ``n_moved`` counts keys whose HRW winner
+    changes when the ring grows to ``n_shards_after``. HRW's defining
+    property (vs mod-N hashing, where ~all keys move): ONLY keys whose
+    new-shard weight beats their current winner move, expected
+    fraction 1/n_shards_after — this report is the measured proof the
+    shard map can grow without a corpus-wide reshuffle, which at
+    10^12 documents is the difference between adding capacity and
+    rewriting the lake.
+
+    Exactness: weights are the repo's 60-bit md5 integers; the argmax
+    fold is deterministic; all outputs BIGINT (moved_ppm truncating).
+    Scale shape: map-only per-row folds (n_shards_after md5s/row) +
+    one shard-keyed combinable agg — no shuffle beyond the ≤n_shards
+    output frame."""
+    keyed = df.select(F.col(id_col).cast("string").alias("_rk"))
+    out = keyed.select(
+        rendezvous_shard("_rk", n_shards).alias("shard"),
+        rendezvous_shard("_rk", n_shards_after).alias("_after"),
+    )
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("shard") != F.col("_after")).cast("long")
+            ).cast("long").alias("n_moved"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_moved",
+            F.expr("n_moved * 1000000L DIV n_docs").alias("moved_ppm"),
+        )
+    )

@@ -608,3 +608,47 @@ class TestCubeEventStats:
         for r in rows:
             if r.event_type != "ALL" and r.day_bucket == "ALL":
                 assert r.n_events == by_type[r.event_type]
+
+
+class TestRendezvous:
+    def test_matches_python_reference(self, spark):
+        from gush_spark.sources.layout import rendezvous_shard
+        import hashlib
+
+        df = spark.createDataFrame(
+            [(str(i),) for i in range(50)], "_rk string"
+        )
+        out = {
+            r._rk: r.s
+            for r in df.select(
+                "_rk", rendezvous_shard("_rk", 16).alias("s")
+            ).collect()
+        }
+
+        def hrw(key, n):
+            return max(
+                range(n),
+                key=lambda s: int(
+                    hashlib.md5(f"{key}|{s}".encode()).hexdigest()[:15], 16
+                ),
+            )
+
+        for k, s in out.items():
+            assert s == hrw(k, 16)
+
+    def test_minimal_movement_on_growth(self, spark):
+        from gush_spark.sources.layout import rendezvous_rebalance_report
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long"
+        )
+        rows = rendezvous_rebalance_report(
+            df, "doc_id", n_shards=16, n_shards_after=17
+        ).collect()
+        n = sum(r.n_docs for r in rows)
+        moved = sum(r.n_moved for r in rows)
+        assert n == 2000
+        # HRW: expected moved fraction = 1/17 ~ 5.9%; allow wide noise
+        # bounds (binomial sd ~0.5%) — mod-N hashing would move ~94%
+        assert 0.02 < moved / n < 0.12
+        assert all(0 <= r.shard < 16 for r in rows)
