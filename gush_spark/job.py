@@ -40,6 +40,7 @@ from gush_spark.streaming.pipeline import (
     link_graph_pipeline,
     pages_pipeline,
     salted_rollup_pipeline,
+    sample_pipeline,
 )
 from gush_spark.streaming.supervisor import run_supervised
 
@@ -51,6 +52,7 @@ PIPELINES = {
     "curation": curation_stream_pipeline,  # extract → dedup → quality/lang gates
     "linkgraph": link_graph_pipeline,  # html → link edges → windowed counts
     "state": latest_state_pipeline,  # change events → latest row per url (CDC)
+    "sample": sample_pipeline,      # windowed priority sample (min-k state)
 }
 
 
@@ -161,6 +163,13 @@ def main(argv: list[str] | None = None) -> int:
              "mode only",
     )
     ap.add_argument(
+        "--sample-k", type=int, default=None,
+        help="sample pipeline: per-window sample size (bounded min-k "
+             "state per (window, shard); finalize with "
+             "streaming/sampling.finalize_window_sample — the result "
+             "provably equals the batch twin)",
+    )
+    ap.add_argument(
         "--recrawl-topk", type=int, default=None,
         help="cep pipeline: after the drain, write a recrawl schedule "
              "(<sink>_recrawl) — top-K urls by change-rate x staleness "
@@ -174,6 +183,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--bench-keys and --bench-bloom are mutually exclusive")
     if args.lm_min_logp is not None and not args.lm_ref:
         ap.error("--lm-min-logp requires --lm-ref (the model to score under)")
+    if args.sample_k is not None and args.pipeline != "sample":
+        ap.error("--sample-k only applies to --pipeline sample")
     if args.politeness_quota is not None and args.pipeline != "cep":
         ap.error("--politeness-quota only applies to --pipeline cep")
     if args.input_format == "warc" and args.pipeline in ("cep", "state"):
@@ -222,10 +233,13 @@ def main(argv: list[str] | None = None) -> int:
         config=config,
         available_now=not args.continuous,
     )
-    if args.pipeline in ("pages", "cep", "linkgraph", "state") and args.lineage:
+    if args.pipeline in ("pages", "cep", "linkgraph", "state", "sample") \
+            and args.lineage:
         kwargs["lineage_path"] = args.lineage
     if args.politeness_quota is not None:
         kwargs["politeness_quota"] = args.politeness_quota
+    if args.pipeline == "sample" and args.sample_k is not None:
+        kwargs["sample_k"] = args.sample_k
     if args.pipeline == "curation":
         kwargs["quality_threshold"] = args.quality_threshold
         kwargs["lang"] = args.lang

@@ -762,3 +762,58 @@ def batch_latest_state(
             (F.col("s.event_type") != "drop").alias("is_active"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed priority sample — live weight-proportional sampling
+# (job.py --pipeline sample)
+# ---------------------------------------------------------------------------
+def sample_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    config: GushSparkConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    sample_k: int = 16,
+    sample_shards: int = 8,
+    lineage_path: str | None = None,
+):
+    """Rate-controlled pages stream → per-(window, shard) bounded
+    min-k priority-sample state → exactly-once keyed sink
+    (streaming/sampling.py). Each closed window's shard candidates
+    land append-once; ``sampling.finalize_window_sample`` over the
+    sink yields the exact per-window sample (== the batch twin, the
+    module's pinned contract). The live eval/monitoring feed: a
+    length-biased sample of every crawl slice, reproducible across
+    retries and cluster sizes."""
+    from gush_spark.streaming.sampling import windowed_priority_sample
+
+    stream = read_input_stream(spark, pages_path, config)
+    cands = windowed_priority_sample(
+        stream,
+        ts_col="warc_ts",
+        url_col="url",
+        weight_expr="length(text)",
+        window_duration=config.window_duration,
+        watermark_delay=config.watermark_delay,
+        k=sample_k,
+        shards=sample_shards,
+    )
+    sink = IdempotentKeyedSink(
+        sink_path, keys=["window_start_us", "shard", "url"]
+    )
+
+    def write(batch_df, batch_id):
+        sink.write_batch(batch_df, batch_id)
+        if lineage_path:
+            partition_lineage(batch_df, batch_id, lineage_path)
+
+    writer = (
+        cands.writeStream.outputMode("append")
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink

@@ -166,3 +166,59 @@ def test_shard_invariance(spark, sample_pages_dir):
             f.sort_values(["window_start_us", "rank"]).reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_sample_pipeline_end_to_end(spark, sample_pages_dir, tmp_dirs):
+    """job.py-level pipeline: exactly-once keyed sink carries the shard
+    candidates; finalize over the sink equals the batch twin."""
+    import dataclasses
+
+    from gush_spark.config import GushSparkConfig
+    from gush_spark.streaming.pipeline import sample_pipeline
+
+    cfg = GushSparkConfig(
+        window_duration="5 minutes", watermark_delay="1 minute"
+    )
+    cfg = dataclasses.replace(cfg, max_files_per_trigger=1)
+    q, sink = sample_pipeline(
+        spark,
+        sample_pages_dir,
+        sink_path=tmp_dirs["sink"],
+        checkpoint_path=tmp_dirs["checkpoint"],
+        config=cfg,
+        available_now=True,
+        sample_k=K,
+        sample_shards=SHARDS,
+    )
+    q.awaitTermination(180)
+    final = (
+        finalize_window_sample(sink.read(spark), k=K)
+        .toPandas()
+        .sort_values(["window_start_us", "rank"])
+        .reset_index(drop=True)
+    )
+    batch = finalize_window_sample(
+        windowed_priority_sample(
+            read_pages_batch(spark, sample_pages_dir), k=K, shards=SHARDS, **KW
+        ),
+        k=K,
+    ).toPandas()
+    batch = (
+        batch[batch.window_start_us.isin(set(final.window_start_us))]
+        .sort_values(["window_start_us", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(set(final.window_start_us)) == 2
+    pd.testing.assert_frame_equal(final, batch)
+
+
+def test_job_cli_sample_flag_validation():
+    from gush_spark.job import main
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main([
+            "--pipeline", "pages", "--sample-k", "8",
+            "--input", "/tmp/x", "--sink", "/tmp/y",
+            "--checkpoint", "/tmp/z",
+        ])
